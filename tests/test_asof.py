@@ -1,0 +1,185 @@
+"""As-of join: engine vs pandas.merge_asof oracle vs DuckDB ASOF JOIN,
+plain and salted, all directions/variants, edge cases."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from tgist_features_spark.operators.asof import asof_join, asof_join_salted
+from tgist_features_spark.oracle.pandas_oracle import oracle_backfill
+from tgist_features_spark.plans.backfill import backfill_features, turn_features
+from tgist_features_spark.sources.corpus import queries_df, transcripts_df
+
+
+def _vec_eq(a, b) -> bool:
+    an = a is None or (isinstance(a, float) and np.isnan(a))
+    bn = b is None or (isinstance(b, float) and np.isnan(b))
+    if an or bn:
+        return an == bn
+    return np.allclose(np.asarray(a, float), np.asarray(b, float), equal_nan=True)
+
+
+@pytest.fixture(scope="module")
+def feats(spark, small_pdf):
+    return turn_features(transcripts_df(spark, small_pdf)).cache()
+
+
+@pytest.fixture(scope="module")
+def oracle_feats(small_pdf):
+    from tgist_features_spark.oracle.pandas_oracle import oracle_turn_features
+
+    return oracle_turn_features(small_pdf)
+
+
+def _check(bf_pdf, oracle_pdf):
+    bf = bf_pdf.sort_values("query_id").reset_index(drop=True)
+    ob = oracle_pdf.sort_values("query_id").reset_index(drop=True)
+    assert len(bf) == len(ob)
+    mt, ot = bf["ts"].to_numpy(), ob["ts"].to_numpy()
+    assert bool(((pd.isna(mt) & pd.isna(ot)) | (mt == ot)).all())
+    assert all(_vec_eq(a, b) for a, b in zip(bf["feature_vec"], ob["feature_vec"]))
+
+
+def test_backward(spark, feats, oracle_feats, queries_pdf):
+    q = queries_df(spark, queries_pdf)
+    _check(backfill_features(feats, q).toPandas(), oracle_backfill(oracle_feats, queries_pdf))
+
+
+def test_backward_salted_equals_plain(spark, feats, oracle_feats, queries_pdf):
+    q = queries_df(spark, queries_pdf)
+    _check(
+        backfill_features(feats, q, salted=True, slice_width_s=600).toPandas(),
+        oracle_backfill(oracle_feats, queries_pdf),
+    )
+
+
+@pytest.mark.parametrize("direction", ["forward"])
+def test_forward(spark, feats, oracle_feats, queries_pdf, direction):
+    q = queries_df(spark, queries_pdf)
+    got = asof_join(
+        q,
+        feats.select("conv_id", "ts", "turn_idx", "feature_vec"),
+        by="conv_id",
+        left_on="query_ts",
+        right_on="ts",
+        direction=direction,
+        value_cols=["ts", "turn_idx", "feature_vec"],
+    ).toPandas()
+    _check(got, oracle_backfill(oracle_feats, queries_pdf, direction=direction))
+
+
+def test_forward_salted(spark, feats, oracle_feats, queries_pdf):
+    got = asof_join_salted(
+        queries_df(spark, queries_pdf),
+        feats.select("conv_id", "ts", "turn_idx", "feature_vec"),
+        by="conv_id",
+        left_on="query_ts",
+        right_on="ts",
+        direction="forward",
+        value_cols=["ts", "turn_idx", "feature_vec"],
+        slice_width_s=600,
+    ).toPandas()
+    _check(got, oracle_backfill(oracle_feats, queries_pdf, direction="forward"))
+
+
+@pytest.mark.parametrize("tol", [60.0, 3600.0])
+def test_tolerance(spark, feats, oracle_feats, queries_pdf, tol):
+    got = asof_join(
+        queries_df(spark, queries_pdf),
+        feats.select("conv_id", "ts", "turn_idx", "feature_vec"),
+        by="conv_id",
+        left_on="query_ts",
+        right_on="ts",
+        tolerance=tol,
+        value_cols=["ts", "turn_idx", "feature_vec"],
+    ).toPandas()
+    _check(got, oracle_backfill(oracle_feats, queries_pdf, tolerance_s=tol))
+
+
+def test_strict_inequality(spark, feats, oracle_feats, queries_pdf):
+    """allow_exact_matches=False: strictly ts < query_ts (hard leakage form)."""
+    got = asof_join(
+        queries_df(spark, queries_pdf),
+        feats.select("conv_id", "ts", "turn_idx", "feature_vec"),
+        by="conv_id",
+        left_on="query_ts",
+        right_on="ts",
+        allow_exact_matches=False,
+        value_cols=["ts", "turn_idx", "feature_vec"],
+    ).toPandas()
+    _check(got, oracle_backfill(oracle_feats, queries_pdf, allow_exact_matches=False))
+
+
+def test_duckdb_asof_cross_check(spark, feats, oracle_feats, queries_pdf):
+    """Second, independent oracle: DuckDB's native ASOF JOIN."""
+    got = (
+        backfill_features(feats, queries_df(spark, queries_pdf))
+        .select("query_id", "conv_id", "query_ts", "ts")
+        .toPandas()
+        .sort_values("query_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    f = oracle_feats[["conv_id", "ts", "turn_idx"]]
+    q = queries_pdf
+    con.register("f", f)
+    con.register("q", q)
+    ref = con.sql(
+        """
+        SELECT q.query_id, f.ts AS ts
+        FROM q ASOF LEFT JOIN f
+          ON q.conv_id = f.conv_id AND q.query_ts >= f.ts
+        ORDER BY q.query_id
+        """
+    ).df()
+    mt, ot = got["ts"].to_numpy(), ref["ts"].to_numpy()
+    assert bool(((pd.isna(mt) & pd.isna(ot)) | (mt == ot)).all())
+
+
+def test_unseen_conv_and_null_ts(spark, feats):
+    q = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "conv_id": ["zzz_unseen", "c00000000"],
+                "query_ts": [pd.Timestamp("2024-02-01"), pd.NaT],
+                "query_id": [0, 1],
+            }
+        ),
+        schema="conv_id string, query_ts timestamp, query_id long",
+    )
+    got = backfill_features(feats, q).toPandas().sort_values("query_id")
+    assert len(got) == 2
+    assert got["ts"].isna().all()
+    assert got["feature_vec"].isna().all()
+
+
+def test_duplicate_ts_tiebreak(spark):
+    """Build rows with identical ts: backward picks max turn_idx, forward min."""
+    build = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "conv_id": ["c"] * 3,
+                "ts": pd.to_datetime(["2024-01-01 00:00:00"] * 2 + ["2024-01-01 00:10:00"]),
+                "turn_idx": pd.array([0, 1, 2], dtype="int32"),
+                "v": [10.0, 11.0, 12.0],
+            }
+        ),
+        schema="conv_id string, ts timestamp, turn_idx int, v double",
+    )
+    probe = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "conv_id": ["c", "c"],
+                "query_ts": pd.to_datetime(["2024-01-01 00:05:00"] * 2),
+                "query_id": [0, 1],
+            }
+        ),
+        schema="conv_id string, query_ts timestamp, query_id long",
+    )
+    back = asof_join(probe, build, value_cols=["v", "turn_idx"]).toPandas()
+    assert set(back["v"]) == {11.0}, "backward tie resolves to max turn_idx"
+    fwd = asof_join(probe, build, direction="forward", value_cols=["v", "turn_idx"]).toPandas()
+    assert set(fwd["v"]) == {12.0}

@@ -1,0 +1,118 @@
+"""Hypothesis property tests: engine as-of == pandas.merge_asof on random
+skewed frames; salted == plain; sessionize invariants."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from tgist_features_spark.operators.asof import asof_join, asof_join_salted
+from tgist_features_spark.operators.sessionize import sessionize
+
+SPARK = None  # filled by fixture-wrapped tests below
+
+
+def _rand_frames(seed: int, n_entities: int, n_build: int, n_probe: int):
+    rng = np.random.default_rng(seed)
+    ents = [f"e{i}" for i in range(n_entities)]
+    base = pd.Timestamp("2024-01-01")
+    # skewed: entity 0 gets half the rows
+    def pick_entities(n):
+        p = np.full(n_entities, 0.5 / max(n_entities - 1, 1))
+        p[0] = 0.5
+        return rng.choice(ents, size=n, p=p)
+
+    build = pd.DataFrame(
+        {
+            "conv_id": pick_entities(n_build),
+            "ts": base + pd.to_timedelta(rng.integers(0, 10**6, n_build), unit="s"),
+            "turn_idx": rng.integers(0, 100, n_build).astype("int32"),
+            "v": rng.normal(size=n_build),
+        }
+    )
+    # force duplicate timestamps
+    if n_build >= 4:
+        build.loc[1, "ts"] = build.loc[0, "ts"]
+        build.loc[1, "conv_id"] = build.loc[0, "conv_id"]
+    probe = pd.DataFrame(
+        {
+            "conv_id": pick_entities(n_probe),
+            "query_ts": base + pd.to_timedelta(rng.integers(0, 10**6, n_probe), unit="s"),
+            "query_id": np.arange(n_probe, dtype="int64"),
+        }
+    )
+    build["ts"] = build["ts"].astype("datetime64[us]")
+    probe["query_ts"] = probe["query_ts"].astype("datetime64[us]")
+    return build, probe
+
+
+def _oracle(build, probe, direction):
+    b = build.sort_values(["ts", "turn_idx"], kind="mergesort")
+    q = probe.sort_values("query_ts", kind="mergesort")
+    return (
+        pd.merge_asof(
+            q, b, left_on="query_ts", right_on="ts", by="conv_id", direction=direction
+        )
+        .sort_values("query_id")
+        .reset_index(drop=True)
+    )
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    direction=st.sampled_from(["backward", "forward"]),
+    salted=st.booleans(),
+)
+def test_asof_matches_merge_asof(spark, seed, direction, salted):
+    build, probe = _rand_frames(seed, n_entities=5, n_build=60, n_probe=40)
+    b = spark.createDataFrame(build, schema="conv_id string, ts timestamp, turn_idx int, v double")
+    p = spark.createDataFrame(probe, schema="conv_id string, query_ts timestamp, query_id long")
+    fn = asof_join_salted if salted else asof_join
+    kw = {"slice_width_s": 3600 * 24} if salted else {}
+    got = (
+        fn(p, b, by="conv_id", left_on="query_ts", right_on="ts",
+           direction=direction, value_cols=["ts", "turn_idx", "v"], **kw)
+        .toPandas()
+        .sort_values("query_id")
+        .reset_index(drop=True)
+    )
+    ref = _oracle(build, probe, direction)
+    mt, ot = got["ts"].to_numpy(), ref["ts"].to_numpy()
+    assert bool(((pd.isna(mt) & pd.isna(ot)) | (mt == ot)).all())
+    gv, rv = got["v"].to_numpy(), ref["v"].to_numpy()
+    assert bool(((np.isnan(gv) & np.isnan(rv)) | (gv == rv)).all())
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(seed=st.integers(0, 2**31 - 1), gap_s=st.sampled_from([60.0, 1800.0]))
+def test_sessionize_invariants(spark, seed, gap_s):
+    rng = np.random.default_rng(seed)
+    n = 80
+    pdf = pd.DataFrame(
+        {
+            "conv_id": rng.choice(["a", "b", "c"], size=n),
+            "ts": (
+                pd.Timestamp("2024-01-01")
+                + pd.to_timedelta(np.sort(rng.integers(0, 10**5, n)), unit="s")
+            ).astype("datetime64[us]"),
+            "turn_idx": np.arange(n, dtype="int32"),
+        }
+    )
+    df = spark.createDataFrame(pdf, schema="conv_id string, ts timestamp, turn_idx int")
+    got = (
+        sessionize(df, gap_s=gap_s)
+        .toPandas()
+        .sort_values(["conv_id", "ts", "turn_idx"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    for _cid, g in got.groupby("conv_id"):
+        sid = g["session_id"].to_numpy()
+        assert sid[0] == 0
+        steps = np.diff(sid)
+        assert ((steps == 0) | (steps == 1)).all(), "session ids increment by <=1"
+        gaps = np.diff(g["ts"].to_numpy()).astype("timedelta64[us]").astype(np.int64)
+        expected = (gaps > gap_s * 1e6).astype(np.int64)
+        assert (steps == expected).all()

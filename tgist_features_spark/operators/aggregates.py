@@ -1,0 +1,79 @@
+"""Aggregations (A1-A5, SURVEY.md §2.4).
+
+The reference's ``pf2dfeats`` stage merged per-occurrence phrase features
+into per-(document, term) records; the transcript generalization is per-
+conversation (and per conversation x role/tool) aggregates. Everything here
+is Catalyst hash aggregation (partial + final, map-side combine for free);
+the only custom piece is the two-phase *salted* aggregation that keeps hot
+conversations from serializing a single reducer at 10^12-turn scale.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def per_entity_agg(df: DataFrame, entity: str = "conv_id") -> DataFrame:
+    """A1: per-conversation summary features."""
+    return df.groupBy(entity).agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.count_distinct("role").alias("n_roles"),
+        F.count_distinct("tool").alias("n_tools"),
+        F.sum(F.length("text").cast("long")).alias("total_chars"),
+        F.avg(F.length("text")).alias("avg_chars"),
+    )
+
+
+def role_tool_pivot(
+    df: DataFrame,
+    entity: str = "conv_id",
+    roles: tuple[str, ...] = ("system", "user", "assistant", "tool"),
+) -> DataFrame:
+    """A2: per-conversation role-frequency features as fixed columns.
+
+    Conditional aggregation (sum-of-when) rather than ``.pivot()`` so the
+    output schema is static — required both for the feature-vector contract
+    and to avoid the extra pivot pass that collects distinct keys.
+    """
+    aggs = [
+        F.sum(F.when(F.col("role") == r, 1).otherwise(0)).cast("long").alias(f"n_{r}")
+        for r in roles
+    ]
+    return df.groupBy(entity).agg(*aggs)
+
+
+def salted_agg(
+    df: DataFrame,
+    entity: str,
+    partials: dict[str, tuple[Column, Callable[[Column], Column]]],
+    n_salts: int = 16,
+    salt_source: str | None = None,
+) -> DataFrame:
+    """A5/J8: two-phase skew-safe aggregation.
+
+    ``partials`` maps output name -> (partial_agg, final_agg_over_partial).
+    Phase 1 groups by (entity, salt) — hot keys fan out over ``n_salts``
+    reducers; phase 2 re-aggregates the per-salt partials by entity. For
+    algebraic aggregates (sum/count/min/max) the result is exactly equal to
+    the unsalted aggregation (tested).
+
+    Note: Catalyst's partial aggregation already does map-side combine, so
+    this matters when per-key cardinality *within* the final reducer is the
+    bottleneck (huge distinct states, pandas-UDF group aggs) or when AQE
+    cannot split the downstream stage.
+    """
+    salt = F.pmod(
+        F.xxhash64(salt_source if salt_source else F.monotonically_increasing_id()),
+        F.lit(n_salts),
+    ).alias("__salt")
+    phase1 = df.withColumn("__salt", salt).groupBy(entity, "__salt").agg(
+        *[p.alias(f"__p_{name}") for name, (p, _) in partials.items()]
+    )
+    return phase1.groupBy(entity).agg(
+        *[fin(F.col(f"__p_{name}")).alias(name) for name, (_, fin) in partials.items()]
+    )

@@ -1,0 +1,261 @@
+"""As-of join (J1/J2/J3, SURVEY.md §2.3) — the engine's flagship operator.
+
+Spark 4.1 has no ASOF JOIN in Catalyst, so this is a custom merge-scan:
+both sides are co-partitioned by the entity key via ``cogroup`` (one shuffle
+each), sorted inside the Python worker, and merged with ``pandas.merge_asof``
+per Arrow batch group. Semantics (pinned by property tests against the pure
+pandas oracle and DuckDB's ASOF JOIN):
+
+* backward: match the build row with the greatest ts <= query_ts
+  (``allow_exact_matches=False`` makes it strictly <) — the point-in-time /
+  zero-leakage form;
+* forward: smallest ts >= query_ts;
+* tolerance: reject matches further than a max staleness;
+* ties on build ts resolve to the greatest tiebreak (backward) / smallest
+  (forward) — deterministic under duplicate timestamps;
+* probes with no eligible build row keep null feature columns (left join);
+* null query_ts or unseen entity -> null match.
+
+Skew: a hot conversation funnels its entire probe+build volume through one
+cogroup task. ``asof_join_salted`` time-slices both sides into
+``(entity, floor(ts / slice_width))`` sub-keys and replicates, per slice,
+exactly one *carry-in* row (the latest build row from any earlier slice —
+computed with a hash aggregation + one tiny window over slice summaries, all
+JVM-side) so every slice's lookback is self-contained. Result is provably
+identical to the unsalted join (tests/test_asof.py) while bounding the
+per-task group size — the 10^12-turn answer to hot conversations, alongside
+AQE skew splitting for the relational joins.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_PANDAS_NULLABLE = {
+    T.ByteType: "Int8",
+    T.ShortType: "Int16",
+    T.IntegerType: "Int32",
+    T.LongType: "Int64",
+    T.FloatType: "float32",
+    T.DoubleType: "float64",
+    T.BooleanType: "boolean",
+}
+
+
+def _null_dtype(spark_type: T.DataType) -> object:
+    if isinstance(spark_type, T.TimestampType):
+        return "datetime64[us]"
+    return _PANDAS_NULLABLE.get(type(spark_type), object)
+
+
+def _coerce(pdf: pd.DataFrame, fields: list[T.StructField]) -> pd.DataFrame:
+    """Nullable-dtype coercion so Arrow accepts missing ints/bools/arrays."""
+
+    def _nan_to_none(v):
+        import numpy as np
+
+        return None if (v is None or (isinstance(v, float) and np.isnan(v))) else v
+
+    for f in fields:
+        dt = _null_dtype(f.dataType)
+        if f.name in pdf.columns:
+            if dt is object:
+                if pdf[f.name].dtype == object:
+                    pdf[f.name] = pdf[f.name].map(_nan_to_none)
+                else:
+                    pdf[f.name] = pdf[f.name].astype(object).map(_nan_to_none)
+            elif str(pdf[f.name].dtype) != str(dt):
+                try:
+                    pdf[f.name] = pdf[f.name].astype(dt)
+                except (TypeError, ValueError):
+                    pass
+        else:
+            pdf[f.name] = pd.Series([None] * len(pdf), dtype=dt)
+    return pdf[[f.name for f in fields]]
+
+
+def _plan(probe: DataFrame, build: DataFrame, by, left_on, right_on, value_cols):
+    by = [by] if isinstance(by, str) else list(by)
+    if value_cols is None:
+        value_cols = [c for c in build.columns if c not in by]
+    rename = {}
+    for c in value_cols:
+        out = c if (c not in probe.columns and c != left_on) else f"{c}_matched"
+        rename[c] = out
+    build_fields = {f.name: f for f in build.schema.fields}
+    carried = [
+        T.StructField(rename[c], build_fields[c].dataType, True) for c in value_cols
+    ]
+    out_schema = T.StructType(list(probe.schema.fields) + carried)
+    return by, value_cols, rename, carried, out_schema
+
+
+def _make_merge_fn(left_on, right_on, value_cols, rename, carried, out_schema,
+                   probe_cols, direction, tolerance, allow_exact_matches,
+                   tiebreak, drop_cols):
+    tol = pd.Timedelta(seconds=tolerance) if tolerance is not None else None
+
+    def merge(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        if len(l) == 0:
+            return _coerce(pd.DataFrame(), out_schema.fields)
+        keep = [c for c in l.columns if c not in drop_cols]
+        l = l[keep]
+        ok = l[left_on].notna()
+        l_null = l[~ok]
+        l = l[ok].sort_values(left_on, kind="mergesort")
+        if len(r):
+            r = r[r[right_on].notna()]
+        if len(r) == 0 or len(l) == 0:
+            merged = l.copy()
+            for f in carried:
+                merged[f.name] = None
+        else:
+            sort_keys = [right_on] + [t for t in tiebreak if t in r.columns]
+            r = r.sort_values(sort_keys, kind="mergesort")
+            r = r.assign(__rkey=r[right_on]).rename(columns=rename)
+            r = r[[rename[c] for c in value_cols] + ["__rkey"]]
+            merged = pd.merge_asof(
+                l,
+                r,
+                left_on=left_on,
+                right_on="__rkey",
+                direction=direction,
+                tolerance=tol,
+                allow_exact_matches=allow_exact_matches,
+            ).drop(columns="__rkey")
+        if len(l_null):
+            merged = pd.concat([merged, l_null], ignore_index=True)
+        return _coerce(merged, out_schema.fields)
+
+    return merge
+
+
+def asof_join(
+    probe: DataFrame,
+    build: DataFrame,
+    by: str | list[str] = "conv_id",
+    left_on: str = "query_ts",
+    right_on: str = "ts",
+    direction: str = "backward",
+    tolerance: float | None = None,
+    allow_exact_matches: bool = True,
+    value_cols: list[str] | None = None,
+    tiebreak: tuple[str, ...] = ("turn_idx",),
+) -> DataFrame:
+    """Point-in-time join: probe (entity, query_ts) x build (entity, ts).
+
+    Returns probe.* plus the matched build value columns (renamed with a
+    ``_matched`` suffix on collision). Left-join semantics.
+    """
+    assert direction in ("backward", "forward")
+    by, value_cols, rename, carried, out_schema = _plan(
+        probe, build, by, left_on, right_on, value_cols
+    )
+    merge = _make_merge_fn(
+        left_on, right_on, value_cols, rename, carried, out_schema,
+        probe.columns, direction, tolerance, allow_exact_matches, tiebreak,
+        drop_cols=set(),
+    )
+    return (
+        probe.groupBy(*by)
+        .cogroup(build.groupBy(*by))
+        .applyInPandas(merge, schema=out_schema)
+    )
+
+
+def asof_join_salted(
+    probe: DataFrame,
+    build: DataFrame,
+    by: str = "conv_id",
+    left_on: str = "query_ts",
+    right_on: str = "ts",
+    direction: str = "backward",
+    tolerance: float | None = None,
+    allow_exact_matches: bool = True,
+    value_cols: list[str] | None = None,
+    tiebreak: tuple[str, ...] = ("turn_idx",),
+    slice_width_s: int = 3600,
+) -> DataFrame:
+    """Skew-safe as-of join: time-sliced sub-keys + carry-in replication.
+
+    Identical results to ``asof_join`` (tested); group size per cogroup task
+    is bounded by rows-per-(entity, slice) instead of rows-per-entity.
+    """
+    assert direction in ("backward", "forward")
+    slice_col = "__slice"
+    width_us = slice_width_s * 1_000_000
+
+    by_l, value_cols, rename, carried, out_schema = _plan(
+        probe, build, by, left_on, right_on, value_cols
+    )
+    assert len(by_l) == 1, "salted path keys on a single entity column"
+
+    p = probe.withColumn(
+        slice_col, F.floor(F.unix_micros(F.col(left_on)) / width_us)
+    )
+    b = build.filter(F.col(right_on).isNotNull()).withColumn(
+        slice_col, F.floor(F.unix_micros(F.col(right_on)) / width_us)
+    )
+
+    # one summary row per (entity, slice): the extreme build row of the slice
+    # (latest for backward, earliest for forward) — a plain hash aggregation.
+    payload = F.struct(*[F.col(c) for c in build.columns])
+    order_key = F.struct(
+        F.unix_micros(F.col(right_on)),
+        *[F.col(t) for t in tiebreak if t in build.columns],
+    )
+    pick = F.max_by(payload, order_key) if direction == "backward" else \
+        F.min_by(payload, order_key)
+    summaries = b.groupBy(by, slice_col).agg(pick.alias("__payload"))
+
+    # carry-in per probe slice: latest summary from any earlier slice
+    # (backward) / earliest from any later slice (forward). The window runs
+    # over slice-level rows only — tiny even for the hottest entity.
+    payload_type = summaries.schema["__payload"].dataType
+    markers = (
+        p.select(by, slice_col)
+        .distinct()
+        .withColumn("__payload", F.lit(None).cast(payload_type))
+    )
+    # within a slice the marker must sort BEFORE the slice's own summary for
+    # backward (so the carry is strictly from earlier slices, never masked by
+    # the same-slice summary) and AFTER it for forward — symmetric reasoning.
+    marker_ord = 0 if direction == "backward" else 1
+    merged = summaries.select(by, slice_col, "__payload").withColumn(
+        "__ord", F.lit(1 - marker_ord)
+    ).unionByName(markers.withColumn("__ord", F.lit(marker_ord)))
+    if direction == "backward":
+        w = (
+            Window.partitionBy(by)
+            .orderBy(slice_col, "__ord")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        carry_val = F.last("__payload", ignorenulls=True).over(w)
+    else:
+        w = (
+            Window.partitionBy(by)
+            .orderBy(slice_col, "__ord")
+            .rowsBetween(1, Window.unboundedFollowing)
+        )
+        carry_val = F.first("__payload", ignorenulls=True).over(w)
+    carries = (
+        merged.withColumn("__carry", carry_val)
+        .filter((F.col("__ord") == marker_ord) & F.col("__carry").isNotNull())
+        .select(by, slice_col, "__carry")
+        .select(by, slice_col, *[F.col(f"__carry.{c}").alias(c) for c in build.columns if c != by])
+    )
+    b_salted = b.unionByName(carries.select(*b.columns))
+
+    merge = _make_merge_fn(
+        left_on, right_on, value_cols, rename, carried, out_schema,
+        probe.columns, direction, tolerance, allow_exact_matches, tiebreak,
+        drop_cols={slice_col},
+    )
+    return (
+        p.groupBy(by, slice_col)
+        .cogroup(b_salted.groupBy(by, slice_col))
+        .applyInPandas(merge, schema=out_schema)
+    )

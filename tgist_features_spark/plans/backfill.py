@@ -1,0 +1,108 @@
+"""The flagship plan: leakage-free per-turn feature vectors + as-of backfill.
+
+Pipeline (engine lifecycle, SURVEY.md §3.2):
+
+    scan -> derive -> canonical order (ONE range shuffle, reused by every
+    window pass) -> W1-W6 window features -> F6 text features (one Arrow
+    pandas UDF) -> per-(entity, ts) feature vector -> J1 as-of merge against
+    the probe/label side -> sink + lineage.
+
+Every feature is strictly backward-looking (frames end at -1, or at 0 only
+where the current turn's own content is legitimately visible at its own
+timestamp) — the zero-temporal-leakage contract. ``next_role`` is emitted as
+an explicitly label-side column and excluded from the feature vector.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tgist_features_spark.functions.text import with_ngram_features
+from tgist_features_spark.operators.asof import asof_join, asof_join_salted
+from tgist_features_spark.operators.ordering import canonical_order
+from tgist_features_spark.operators.sessionize import sessionize
+from tgist_features_spark.operators.windows import (
+    with_cumulative,
+    with_delta_ts,
+    with_ffill,
+    with_lag_lead,
+    with_position,
+    with_rolling_counts,
+)
+
+# ordered numeric feature vector layout (allclose contract is per-position)
+FEATURE_COLS = [
+    "gap_s",
+    "turn_no",
+    "session_id",
+    "n_user_5",
+    "n_tool_5",
+    "roll_chars_5",
+    "cum_chars",
+    "plen",
+    "n_distinct",
+    "bigram_distinct",
+    "distinct_ratio",
+]
+
+
+def turn_features(df: DataFrame, gap_s: float = 1800.0) -> DataFrame:
+    """transcripts -> one feature row per turn (entity x timestamp)."""
+    out = canonical_order(df)
+    out = with_delta_ts(out)
+    out = with_position(out)
+    out = sessionize(out, gap_s=gap_s)
+    out = with_lag_lead(out, ["role"], lead=True)
+    out = with_ffill(out, ["tool"])
+    out = with_rolling_counts(
+        out,
+        5,
+        {
+            "n_user_5": F.sum(F.when(F.col("role") == "user", 1).otherwise(0)),
+            "n_tool_5": F.sum(F.when(F.col("role") == "tool", 1).otherwise(0)),
+            "roll_chars_5": F.avg(F.length("text")),
+        },
+        include_current=False,
+    )
+    # empty frame on the first turn -> null; counts are 0 by definition
+    out = out.withColumn("n_user_5", F.coalesce("n_user_5", F.lit(0)).cast("long"))
+    out = out.withColumn("n_tool_5", F.coalesce("n_tool_5", F.lit(0)).cast("long"))
+    out = with_cumulative(out, {"cum_chars": F.sum(F.length("text"))})
+    out = out.withColumn("cum_chars", F.col("cum_chars").cast("long"))
+    out = with_ngram_features(out)
+    vec = F.array(*[F.col(c).cast("double") for c in FEATURE_COLS])
+    return out.withColumn("feature_vec", vec)
+
+
+def backfill_features(
+    features: DataFrame,
+    queries: DataFrame,
+    salted: bool = False,
+    slice_width_s: int = 3600,
+) -> DataFrame:
+    """Point-in-time backfill: for each (conv_id, query_ts) probe attach the
+    latest feature vector with ts <= query_ts (zero leakage by construction:
+    backward direction, exact matches allowed — a feature stamped at ts is
+    valid AT ts)."""
+    value_cols = ["ts", "turn_idx", "feature_vec"]
+    if salted:
+        return asof_join_salted(
+            queries,
+            features.select("conv_id", *value_cols),
+            by="conv_id",
+            left_on="query_ts",
+            right_on="ts",
+            direction="backward",
+            value_cols=value_cols,
+            slice_width_s=slice_width_s,
+        )
+    return asof_join(
+        queries,
+        features.select("conv_id", *value_cols),
+        by="conv_id",
+        left_on="query_ts",
+        right_on="ts",
+        direction="backward",
+        value_cols=value_cols,
+    )

