@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""Per-round benchmark (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS], plus the flagship transcript backfill at TWO
+parallelism levels (local[8] vs local[32] — the sandbox form of the N->4N
+executor scaling criterion) on a pre-materialized deterministic corpus.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "backfill": {"local8": {...}, "local32": {...}, "scaling_efficiency": E},
+   "backfill_turns_per_sec": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+from tgist_features_spark import get_spark  # noqa: E402
+from tgist_features_spark.plans.entry_queries import QUERIES  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+CORPUS_DIR = os.environ.get("TGIST_BENCH_CORPUS", "/tmp/tgist_bench_corpus")
+N_CONVS = int(os.environ.get("TGIST_BENCH_CONVS", "180000"))
+RUN_SCALING = os.environ.get("TGIST_BENCH_SCALING", "1") != "0"
+
+HEADLINE = [
+    "feature_vector",
+    "sessionize",
+    "rolling_time",
+    "asof_backward",
+    "asof_salted",
+    "broadcast_join",
+    "smj_join",
+    "tpch_q1",
+    "per_user_agg",
+    "ngram_stats",
+    "dedup_exact",
+    "dedup_minhash",
+    "cosine_topk",
+]
+
+
+def _ensure_corpus() -> None:
+    marker = os.path.join(CORPUS_DIR, f".done_{N_CONVS}")
+    if os.path.exists(marker):
+        return
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", "make_bench_corpus.py"),
+         "--n-convs", str(N_CONVS), "--out", CORPUS_DIR],
+        check=True, capture_output=True,
+    )
+    open(marker, "w").close()
+
+
+def _backfill(master: str) -> dict:
+    env = dict(os.environ)
+    env["SPARK_GRAFT_CPUS"] = master.split("[")[1].rstrip("]")
+    cores = int(env["SPARK_GRAFT_CPUS"])
+    res = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", "backfill_features.py"),
+         "--input", os.path.join(CORPUS_DIR, "transcripts"),
+         "--queries", os.path.join(CORPUS_DIR, "queries"),
+         "--master", master,
+         "--shuffle-partitions", str(2 * cores),
+         "--salted"],
+        check=True, capture_output=True, text=True, env=env,
+    )
+    return json.loads(res.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    spark = get_spark(master=f"local[{CPUS}]", app_name="tgist-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    # warm the JVM/catalog with one cheap action before timing
+    spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, SF_DIR).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    spark.stop()
+
+    result = {
+        "metric": "headline_suite_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+    }
+
+    if RUN_SCALING:
+        _ensure_corpus()
+        b8 = _backfill("local[8]")
+        b32 = _backfill("local[32]")
+        eff = b32["turns_per_sec"] / (4.0 * b8["turns_per_sec"])
+        result["backfill"] = {
+            "local8": b8,
+            "local32": b32,
+            "scaling_efficiency": round(eff, 3),
+        }
+        result["backfill_turns_per_sec"] = b32["turns_per_sec"]
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

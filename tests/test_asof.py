@@ -183,3 +183,20 @@ def test_duplicate_ts_tiebreak(spark):
     assert set(back["v"]) == {11.0}, "backward tie resolves to max turn_idx"
     fwd = asof_join(probe, build, direction="forward", value_cols=["v", "turn_idx"]).toPandas()
     assert set(fwd["v"]) == {12.0}
+
+
+def test_auto_skew_split_equals_plain(spark, feats, oracle_feats, queries_pdf):
+    """asof_join_auto: hot entities salted, cold plain — same results."""
+    from tgist_features_spark.operators.asof import asof_join_auto
+
+    got = asof_join_auto(
+        queries_df(spark, queries_pdf),
+        feats.select("conv_id", "ts", "turn_idx", "feature_vec"),
+        by="conv_id",
+        left_on="query_ts",
+        right_on="ts",
+        value_cols=["ts", "turn_idx", "feature_vec"],
+        hot_threshold=20,   # low threshold so both paths are exercised
+        slice_width_s=600,
+    ).toPandas()
+    _check(got, oracle_backfill(oracle_feats, queries_pdf))

@@ -1,0 +1,83 @@
+"""Local replica of the driver's verification: run every queries() entry at
+sf0.01 (sf0.001 for the heavy pairwise ones) and diff against oracle_sql()
+via DuckDB — row count, column names, and order-insensitive value compare
+(floats with tolerance). Catches contract drift before the real driver runs.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def ducks():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = pd.to_datetime(df[c]).astype("datetime64[us]").astype("int64")
+        elif df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif pd.api.types.is_integer_dtype(df[c]) or pd.api.types.is_bool_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def _compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str):
+    assert len(spark_pdf) == len(oracle_pdf), (
+        f"{name}: row count {len(spark_pdf)} vs oracle {len(oracle_pdf)}"
+    )
+    assert sorted(spark_pdf.columns) == sorted(oracle_pdf.columns), (
+        f"{name}: columns {sorted(spark_pdf.columns)} vs {sorted(oracle_pdf.columns)}"
+    )
+    a, b = _normalize(spark_pdf), _normalize(oracle_pdf)
+    for c in a.columns:
+        if pd.api.types.is_float_dtype(a[c]):
+            av, bv = a[c].to_numpy(), b[c].to_numpy()
+            ok = np.isclose(av, bv, rtol=1e-9, atol=1e-9, equal_nan=True)
+            assert ok.all(), f"{name}.{c}: {int((~ok).sum())} value mismatches, e.g. {av[~ok][:3]} vs {bv[~ok][:3]}"
+        else:
+            ok = (a[c] == b[c]) | (a[c].isna() & b[c].isna())
+            assert ok.all(), f"{name}.{c}: {int((~ok).sum())} mismatches, e.g. {a[c][~ok][:3].tolist()} vs {b[c][~ok][:3].tolist()}"
+
+
+_ALL = sorted(entry_mod.queries())
+
+
+@pytest.mark.parametrize("name", _ALL)
+def test_query_vs_oracle(spark, ducks, name):
+    q = entry_mod.queries()[name]
+    oracles = entry_mod.oracle_sql()
+    got = q(spark, SF_DIR).toPandas()
+    if name not in oracles:
+        assert len(got) >= 0  # rows-only contract
+        return
+    ref = ducks.sql(oracles[name]).df()
+    _compare(got, ref, name)
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+    assert len(df.schema.fields) > 0

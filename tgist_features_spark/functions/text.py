@@ -94,46 +94,73 @@ NGRAM_STRUCT = T.StructType(
     ]
 )
 
-_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
-_FNV_PRIME = np.uint64(0x100000001B3)
+_MIX1 = np.uint64(0x9E3779B97F4A7C15)
+_MIX2 = np.uint64(0xC2B2AE3D27D4EB4F)
 
 
-def _fnv1a_tokens(tokens: list[str]) -> int:
-    """Order-sensitive 64-bit FNV-1a over the token stream — the document
-    fingerprint (rolling-hash analogue), deterministic across engines."""
-    h = _FNV_OFFSET
-    for t in tokens:
-        for b in t.encode():
-            h = (h ^ np.uint64(b)) * _FNV_PRIME
-        h = (h ^ np.uint64(0x20)) * _FNV_PRIME
-    return int(h.astype(np.int64))
+def _distinct_per_row(row_id: np.ndarray, h: np.ndarray, n_rows: int) -> np.ndarray:
+    """Count distinct hash values per row_id — sort + boundary scan, O(n log n)."""
+    if len(row_id) == 0:
+        return np.zeros(n_rows, dtype=np.int64)
+    order = np.lexsort((h, row_id))
+    rr, hh = row_id[order], h[order]
+    new = np.empty(len(rr), dtype=bool)
+    new[0] = True
+    new[1:] = (rr[1:] != rr[:-1]) | (hh[1:] != hh[:-1])
+    return np.bincount(rr[new], minlength=n_rows).astype(np.int64)
+
+
+def ngram_stats_batch(text: pd.Series) -> pd.DataFrame:
+    """Vectorized n-gram stats for one Arrow batch: token/bigram/trigram
+    distinct counts via hashed tokens + lexsort boundary counting, document
+    signature via pandas' stable 64-bit string hash. No per-row Python loop
+    beyond the initial tokenization."""
+    text = text.fillna("")
+    tok_lists = text.str.split()
+    n = len(text)
+    lens = tok_lists.str.len().to_numpy()
+    flat = np.array(
+        [t for toks in tok_lists for t in toks], dtype=object
+    )
+    row_id = np.repeat(np.arange(n, dtype=np.int64), lens)
+    h = pd.util.hash_array(flat) if len(flat) else np.empty(0, dtype=np.uint64)
+
+    n_distinct = _distinct_per_row(row_id, h, n)
+
+    same2 = row_id[1:] == row_id[:-1] if len(row_id) > 1 else np.empty(0, bool)
+    with np.errstate(over="ignore"):
+        h2 = (h[:-1] * _MIX1 + h[1:]) if len(h) > 1 else np.empty(0, np.uint64)
+        bi = _distinct_per_row(row_id[1:][same2], h2[same2], n)
+        same3 = same2[1:] & same2[:-1] if len(row_id) > 2 else np.empty(0, bool)
+        h3 = (
+            (h[:-2] * _MIX2 + h[1:-1]) * _MIX1 + h[2:]
+            if len(h) > 2
+            else np.empty(0, np.uint64)
+        )
+        tri = _distinct_per_row(row_id[2:][same3], h3[same3], n)
+
+    sig = pd.util.hash_array(text.to_numpy(dtype=object)).astype(np.int64)
+    lens_f = lens.astype(np.float64)
+    return pd.DataFrame(
+        {
+            "plen": lens.astype(np.int64),
+            "n_distinct": n_distinct,
+            "bigram_distinct": bi,
+            "trigram_distinct": tri,
+            "ngram_sig": sig,
+            "distinct_ratio": np.where(
+                lens_f > 0, n_distinct / np.maximum(lens_f, 1.0), 0.0
+            ),
+        }
+    )
 
 
 @pandas_udf(NGRAM_STRUCT)
 def ngram_features(text: pd.Series) -> pd.DataFrame:
     """Arrow-batched n-gram/signature features (the reference's chunker
     feature pass as one columnar op). Executed once per Arrow batch —
-    pandas/numpy inside, no Spark-row-level Python."""
-    tok_lists = text.fillna("").str.split()
-    n_tokens, n_distinct, bi, tri, sig = [], [], [], [], []
-    for toks in tok_lists:
-        n_tokens.append(len(toks))
-        n_distinct.append(len(set(toks)))
-        bi.append(len({(a, b) for a, b in zip(toks, toks[1:])}))
-        tri.append(len({(a, b, c) for a, b, c in zip(toks, toks[1:], toks[2:])}))
-        sig.append(_fnv1a_tokens(toks))
-    nt = np.asarray(n_tokens, dtype=np.float64)
-    nd = np.asarray(n_distinct, dtype=np.float64)
-    return pd.DataFrame(
-        {
-            "plen": pd.Series(n_tokens, dtype="int64"),
-            "n_distinct": pd.Series(n_distinct, dtype="int64"),
-            "bigram_distinct": pd.Series(bi, dtype="int64"),
-            "trigram_distinct": pd.Series(tri, dtype="int64"),
-            "ngram_sig": pd.Series(sig, dtype="int64"),
-            "distinct_ratio": np.where(nt > 0, nd / np.maximum(nt, 1.0), 0.0),
-        }
-    )
+    vectorized numpy inside, no Spark-row-level Python."""
+    return ngram_stats_batch(text)
 
 
 def with_ngram_features(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -157,14 +184,16 @@ _LANG_MARKERS = {
 def with_lang_id(df: DataFrame, text_col: str = "text",
                  out_col: str = "lang_pred") -> DataFrame:
     """n-gram-heuristic language ID: argmax over per-language stopword hit
-    counts, 'und' (undetermined) when nothing matches. Pure Catalyst."""
+    counts; ties resolve in _LANG_MARKERS declaration order; 'und'
+    (undetermined) when nothing matches. Pure Catalyst."""
     toks = tokenize(text_col)
-    scores = []
+    scores = {}
     for lang, markers in _LANG_MARKERS.items():
         arr = F.array([F.lit(m) for m in markers])
-        s = F.size(F.filter(toks, lambda t: F.array_contains(arr, F.lower(t))))
-        scores.append(F.struct(s.alias("s"), F.lit(lang).alias("l")))
-    best = F.array_max(F.array(*scores))
-    return df.withColumn(
-        out_col, F.when(best["s"] > 0, best["l"]).otherwise(F.lit("und"))
-    )
+        scores[lang] = F.size(F.filter(toks, lambda t: F.array_contains(arr, F.lower(t))))
+    m = F.greatest(*scores.values())
+    expr = F.lit("und")
+    pred = F.when(m == 0, F.lit("und"))
+    for lang in _LANG_MARKERS:
+        pred = pred.when(scores[lang] == m, F.lit(lang))
+    return df.withColumn(out_col, pred.otherwise(expr))

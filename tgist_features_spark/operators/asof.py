@@ -34,6 +34,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from tgist_features_spark.functions.timeu import us
+
 _PANDAS_NULLABLE = {
     T.ByteType: "Int8",
     T.ShortType: "Int16",
@@ -166,6 +168,50 @@ def asof_join(
     )
 
 
+def asof_join_auto(
+    probe: DataFrame,
+    build: DataFrame,
+    by: str = "conv_id",
+    left_on: str = "query_ts",
+    right_on: str = "ts",
+    direction: str = "backward",
+    tolerance: float | None = None,
+    allow_exact_matches: bool = True,
+    value_cols: list[str] | None = None,
+    tiebreak: tuple[str, ...] = ("turn_idx",),
+    hot_threshold: int = 100_000,
+    slice_width_s: int = 3600,
+) -> DataFrame:
+    """Skew-adaptive as-of join: entities whose build side exceeds
+    ``hot_threshold`` rows take the salted (time-sliced) path, everything
+    else the plain cogroup path; results are unioned.
+
+    This is the production entry point at the 10^12-turn design scale: the
+    per-entity count is one cheap hash aggregation, the hot set is tiny by
+    definition (skew = few heavy keys) so it broadcasts, and cold entities
+    avoid the salted path's extra carry bookkeeping entirely.
+    """
+    counts = build.groupBy(by).agg(F.count(F.lit(1)).alias("__n"))
+    hot = counts.filter(F.col("__n") > hot_threshold).select(by)
+    kw = dict(
+        by=by, left_on=left_on, right_on=right_on, direction=direction,
+        tolerance=tolerance, allow_exact_matches=allow_exact_matches,
+        value_cols=value_cols, tiebreak=tiebreak,
+    )
+    cold_out = asof_join(
+        probe.join(F.broadcast(hot), on=by, how="left_anti"),
+        build.join(F.broadcast(hot), on=by, how="left_anti"),
+        **kw,
+    )
+    hot_out = asof_join_salted(
+        probe.join(F.broadcast(hot), on=by, how="left_semi"),
+        build.join(F.broadcast(hot), on=by, how="left_semi"),
+        slice_width_s=slice_width_s,
+        **kw,
+    )
+    return cold_out.unionByName(hot_out)
+
+
 def asof_join_salted(
     probe: DataFrame,
     build: DataFrame,
@@ -194,17 +240,17 @@ def asof_join_salted(
     assert len(by_l) == 1, "salted path keys on a single entity column"
 
     p = probe.withColumn(
-        slice_col, F.floor(F.unix_micros(F.col(left_on)) / width_us)
+        slice_col, F.floor(us(F.col(left_on)) / width_us)
     )
     b = build.filter(F.col(right_on).isNotNull()).withColumn(
-        slice_col, F.floor(F.unix_micros(F.col(right_on)) / width_us)
+        slice_col, F.floor(us(F.col(right_on)) / width_us)
     )
 
     # one summary row per (entity, slice): the extreme build row of the slice
     # (latest for backward, earliest for forward) — a plain hash aggregation.
     payload = F.struct(*[F.col(c) for c in build.columns])
     order_key = F.struct(
-        F.unix_micros(F.col(right_on)),
+        us(F.col(right_on)),
         *[F.col(t) for t in tiebreak if t in build.columns],
     )
     pick = F.max_by(payload, order_key) if direction == "backward" else \

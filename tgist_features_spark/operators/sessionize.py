@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from tgist_features_spark.functions.timeu import us
+
 
 def sessionize(
     df: DataFrame,
@@ -29,7 +31,7 @@ def sessionize(
     """
     w = Window.partitionBy(entity).orderBy(*order)
     prev_ts = F.lag(F.col(ts)).over(w)
-    gap_us = F.unix_micros(F.col(ts)) - F.unix_micros(prev_ts)
+    gap_us = us(F.col(ts)) - us(prev_ts)
     boundary = F.when(gap_us > int(gap_s * 1_000_000), 1).otherwise(0)
     cum = Window.partitionBy(entity).orderBy(*order).rowsBetween(
         Window.unboundedPreceding, 0

@@ -1,0 +1,140 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine is the exactness baseline: JVM-side zip_with/aggregate
+dot products (whole-stage codegen, no Python), broadcast of the (small)
+query side, per-query top-k via window rank — the plan survives scale-out
+because the big side is never shuffled, only scanned.
+
+The scale path is LSH bucketing (random hyperplanes, deterministic seed):
+signatures in one vectorized pandas UDF, candidates from a bucket
+equi-join, exact cosine re-ranking on candidates only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+
+def _cosine(a: str, b: str):
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    na = F.sqrt(
+        F.aggregate(F.transform(F.col(a), lambda x: x * x), F.lit(0.0), lambda s, v: s + v)
+    )
+    nb = F.sqrt(
+        F.aggregate(F.transform(F.col(b), lambda x: x * x), F.lit(0.0), lambda s, v: s + v)
+    )
+    return dot / (na * nb)
+
+
+def cosine_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors for each query vector (brute force).
+
+    ``queries``: (q_id, q_vec). Broadcast the queries, scan the corpus once;
+    per-query rank via window over the (small) q_id domain.
+    """
+    base = df.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    q = queries.select(
+        F.col("q_id"), F.col("q_vec").cast("array<double>").alias("qv")
+    )
+    scored = (
+        base.join(F.broadcast(q), on=F.col("neighbor_id") != F.col("q_id"))
+        .withColumn("cos", F.round(_cosine("v", "qv"), 6))
+        .select("q_id", "neighbor_id", "cos")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "neighbor_id", "cos")
+    )
+
+
+def queries_from_ids(
+    df: DataFrame, ids: list[int], id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    return df.filter(F.col(id_col).isin(ids)).select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+
+
+def lsh_signatures(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane (SimHash-for-vectors) bucket id per vector."""
+    rng = np.random.default_rng(seed)
+    planes = rng.normal(size=(n_planes, dim)).astype(np.float64)
+
+    @pandas_udf(T.LongType())
+    def bucket(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy())  # (batch, dim)
+        bits = (m @ planes.T) > 0  # (batch, n_planes)
+        weights = (1 << np.arange(n_planes)).astype(np.int64)
+        return pd.Series((bits @ weights).astype(np.int64))
+
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        bucket(F.col(vec_col).cast("array<double>")).alias("bucket"),
+    )
+
+
+def lsh_ann_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 12,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: exact cosine re-rank restricted to same-bucket
+    candidates. Recall grows as n_planes shrinks (bigger buckets)."""
+    base = lsh_signatures(df, dim, n_planes, seed, id_col, vec_col)
+    qsig = lsh_signatures(
+        queries.select(F.col("q_id").alias(id_col), F.col("q_vec").alias(vec_col)),
+        dim, n_planes, seed,
+    ).select(F.col("id").alias("q_id"), F.col("v").alias("qv"), "bucket")
+    cand = base.join(F.broadcast(qsig), on="bucket").filter(
+        F.col("id") != F.col("q_id")
+    )
+    scored = cand.withColumn(
+        "cos",
+        F.round(
+            _cosine_arrays(F.col("v").cast("array<double>"), F.col("qv").cast("array<double>")), 6
+        ),
+    ).select("q_id", F.col("id").alias("neighbor_id"), "cos")
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "neighbor_id", "cos")
+    )
+
+
+def _cosine_arrays(a, b):
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
+    return dot / (na * nb)

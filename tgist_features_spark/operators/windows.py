@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window, WindowSpec
 from pyspark.sql import functions as F
 
+from tgist_features_spark.functions.timeu import us
+
 
 def _w(entity: str, order: tuple[str, ...]) -> WindowSpec:
     return Window.partitionBy(entity).orderBy(*order)
@@ -54,7 +56,7 @@ def with_delta_ts(
     prev = F.lag(F.col(ts)).over(w)
     return df.withColumn(
         out_col,
-        (F.unix_micros(F.col(ts)) - F.unix_micros(prev)) / F.lit(1_000_000.0),
+        (us(F.col(ts)) - us(prev)) / F.lit(1_000_000.0),
     )
 
 
@@ -110,7 +112,7 @@ def with_rolling_time(
     hi = 0 if include_current else -1
     w = (
         Window.partitionBy(entity)
-        .orderBy(F.unix_micros(F.col(ts)))
+        .orderBy(us(F.col(ts)))
         .rangeBetween(-seconds * 1_000_000, hi)
     )
     out = df

@@ -16,14 +16,8 @@ import pandas as pd
 from tgist_features_spark.plans.backfill import FEATURE_COLS
 
 
-def _fnv1a(tokens: list[str]) -> int:
-    h = np.uint64(0xCBF29CE484222325)
-    prime = np.uint64(0x100000001B3)
-    for t in tokens:
-        for b in t.encode():
-            h = (h ^ np.uint64(b)) * prime
-        h = (h ^ np.uint64(0x20)) * prime
-    return int(h.astype(np.int64))
+# document signature: pandas' stable 64-bit string hash of the raw text —
+# the engine's ngram_features UDF pins the same definition
 
 
 def oracle_turn_features(pdf: pd.DataFrame, gap_s: float = 1800.0) -> pd.DataFrame:
@@ -70,7 +64,9 @@ def oracle_turn_features(pdf: pd.DataFrame, gap_s: float = 1800.0) -> pd.DataFra
     df["trigram_distinct"] = toks.apply(
         lambda t: len({(a, b, c) for a, b, c in zip(t, t[1:], t[2:])})
     ).astype("int64")
-    df["ngram_sig"] = toks.apply(_fnv1a).astype("int64")
+    df["ngram_sig"] = pd.util.hash_array(
+        df["text"].fillna("").to_numpy(dtype=object)
+    ).astype("int64")
     df["distinct_ratio"] = np.where(
         df["plen"] > 0, df["n_distinct"] / np.maximum(df["plen"], 1), 0.0
     )

@@ -19,7 +19,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from tgist_features_spark.functions.text import with_ngram_features
-from tgist_features_spark.operators.asof import asof_join, asof_join_salted
+from tgist_features_spark.operators.asof import (
+    asof_join,
+    asof_join_auto,
+    asof_join_salted,
+)
 from tgist_features_spark.operators.ordering import canonical_order
 from tgist_features_spark.operators.sessionize import sessionize
 from tgist_features_spark.operators.windows import (
@@ -80,29 +84,27 @@ def backfill_features(
     queries: DataFrame,
     salted: bool = False,
     slice_width_s: int = 3600,
+    hot_threshold: int | None = None,
 ) -> DataFrame:
     """Point-in-time backfill: for each (conv_id, query_ts) probe attach the
     latest feature vector with ts <= query_ts (zero leakage by construction:
     backward direction, exact matches allowed — a feature stamped at ts is
-    valid AT ts)."""
+    valid AT ts).
+
+    ``hot_threshold`` switches to the skew-adaptive path (salt only hot
+    conversations); ``salted`` forces time-slicing for every entity.
+    """
     value_cols = ["ts", "turn_idx", "feature_vec"]
-    if salted:
-        return asof_join_salted(
-            queries,
-            features.select("conv_id", *value_cols),
-            by="conv_id",
-            left_on="query_ts",
-            right_on="ts",
-            direction="backward",
-            value_cols=value_cols,
-            slice_width_s=slice_width_s,
-        )
-    return asof_join(
-        queries,
-        features.select("conv_id", *value_cols),
-        by="conv_id",
-        left_on="query_ts",
-        right_on="ts",
-        direction="backward",
+    kw = dict(
+        by="conv_id", left_on="query_ts", right_on="ts", direction="backward",
         value_cols=value_cols,
     )
+    build = features.select("conv_id", *value_cols)
+    if hot_threshold is not None:
+        return asof_join_auto(
+            queries, build, slice_width_s=slice_width_s,
+            hot_threshold=hot_threshold, **kw,
+        )
+    if salted:
+        return asof_join_salted(queries, build, slice_width_s=slice_width_s, **kw)
+    return asof_join(queries, build, **kw)

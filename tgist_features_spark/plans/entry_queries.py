@@ -1,0 +1,1074 @@
+"""Driver-contract query registry (SURVEY.md §3.3).
+
+One entry per implemented operator from SURVEY.md §2 plus the training-data
+ops (dedup / similarity / text analysis / multimodal). Each Spark query has
+a DuckDB oracle that computes the same result over the same parquet —
+except the genuinely non-SQL-expressible ones (MinHash/SimHash/LSH,
+approx_count_distinct), which ship without an oracle (rows-only check).
+
+Parity conventions (hash-compare discipline):
+* every computed column aliased identically on both sides;
+* timestamps surfaced as epoch microseconds (BIGINT) — engine-neutral;
+* count-ish ints cast to BIGINT on both sides (DuckDB SUM(int) is HUGEINT);
+* float aggregates rounded (2-6 dp) on both sides to absorb summation-order
+  ulps; raw pass-through doubles left exact.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tgist_features_spark.functions.text import (
+    ngram_features,
+    with_lang_id,
+    with_quality_features,
+)
+from tgist_features_spark.operators.asof import asof_join, asof_join_salted
+from tgist_features_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+)
+from tgist_features_spark.operators.sessionize import sessionize
+from tgist_features_spark.operators.similarity import (
+    cosine_topk,
+    lsh_ann_topk,
+    queries_from_ids,
+)
+
+EV_ORDER = ("ts", "event_id")
+
+from tgist_features_spark.functions.timeu import us as _US  # noqa: E402
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events_w():
+    return Window.partitionBy("user_id").orderBy("ts", "event_id")
+
+
+# --------------------------------------------------------------------------
+# events: windowed feature core (W1-W6, P1-P3, O1-O3)
+# --------------------------------------------------------------------------
+
+
+def q_canonical_order(spark, sf):
+    e = _t(spark, sf, "events")
+    return e.select(
+        "event_id",
+        "user_id",
+        _US("ts").alias("ts_us"),
+        F.row_number().over(_events_w()).alias("rn"),
+    )
+
+
+SQL_CANONICAL = """
+SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS rn
+FROM events
+"""
+
+
+def q_lag_lead(spark, sf):
+    e = _t(spark, sf, "events")
+    w = _events_w()
+    return e.select(
+        "user_id",
+        "event_id",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        ((_US("ts") - _US(F.lag("ts").over(w))) / F.lit(1000000.0)).alias("gap_s"),
+    )
+
+
+SQL_LAG_LEAD = """
+SELECT user_id, event_id,
+       LAG(value) OVER w AS prev_value,
+       LEAD(value) OVER w AS next_value,
+       (epoch_us(ts) - epoch_us(LAG(ts) OVER w)) / 1000000.0 AS gap_s
+FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def q_sessionize(spark, sf):
+    e = _t(spark, sf, "events")
+    return sessionize(e, gap_s=1800.0, entity="user_id", order=EV_ORDER).select(
+        "user_id", "event_id", "session_id"
+    )
+
+
+SQL_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS b
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id, event_id,
+       CAST(SUM(b) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+FROM g
+"""
+
+
+def q_session_stats(spark, sf):
+    e = _t(spark, sf, "events")
+    s = sessionize(e, gap_s=1800.0, entity="user_id", order=EV_ORDER)
+    return s.groupBy("user_id", "session_id").agg(
+        _US(F.min("ts")).alias("start_us"),
+        _US(F.max("ts")).alias("end_us"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+SQL_SESSION_STATS = """
+WITH g AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS b
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, ts, value,
+         CAST(SUM(b) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM g)
+SELECT user_id, session_id, epoch_us(MIN(ts)) AS start_us, epoch_us(MAX(ts)) AS end_us,
+       COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+FROM s GROUP BY user_id, session_id
+"""
+
+
+def q_rolling_counts(spark, sf):
+    e = _t(spark, sf, "events")
+    w = _events_w().rowsBetween(-3, -1)
+    return e.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n_prev3"),
+        F.round(F.sum("value").over(w), 4).alias("sum_prev3"),
+    )
+
+
+SQL_ROLLING_COUNTS = """
+SELECT user_id, event_id,
+       COUNT(*) OVER w3 AS n_prev3,
+       ROUND(SUM(value) OVER w3, 4) AS sum_prev3
+FROM events WINDOW w3 AS (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+"""
+
+
+def q_rolling_time(spark, sf):
+    e = _t(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(_US("ts"))
+        .rangeBetween(-3600 * 1000000, 0)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.round(F.sum("value").over(w), 4).alias("sum_1h"),
+    )
+
+
+SQL_ROLLING_TIME = """
+SELECT user_id, event_id,
+       COUNT(*) OVER wr AS n_1h,
+       ROUND(SUM(value) OVER wr, 4) AS sum_1h
+FROM events WINDOW wr AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                          RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_cumulative(spark, sf):
+    e = _t(spark, sf, "events")
+    w = _events_w().rowsBetween(Window.unboundedPreceding, 0)
+    return e.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("cum_n"),
+        F.round(F.sum("value").over(w), 2).alias("cum_value"),
+    )
+
+
+SQL_CUMULATIVE = """
+SELECT user_id, event_id,
+       COUNT(*) OVER wc AS cum_n,
+       ROUND(SUM(value) OVER wc, 2) AS cum_value
+FROM events WINDOW wc AS (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_ffill(spark, sf):
+    e = _t(spark, sf, "events")
+    w = _events_w().rowsBetween(Window.unboundedPreceding, 0)
+    last_err = F.last(
+        F.when(F.col("event_type") == "error", _US("ts")), ignorenulls=True
+    ).over(w)
+    return e.select("user_id", "event_id", last_err.alias("last_error_us"))
+
+
+SQL_FFILL = """
+SELECT user_id, event_id,
+       LAST_VALUE(CASE WHEN event_type = 'error' THEN epoch_us(ts) END IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_error_us
+FROM events
+"""
+
+
+def q_topk_per_user(spark, sf):
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("user_id", "event_id", _US("ts").alias("ts_us"), "rk")
+    )
+
+
+SQL_TOPK_PER_USER = """
+SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS INT) AS rk
+FROM events QUALIFY rk <= 3
+"""
+
+
+def q_global_topk(spark, sf):
+    e = _t(spark, sf, "events")
+    return e.orderBy(F.desc("value"), F.asc("event_id")).limit(10).select(
+        "event_id", "value"
+    )
+
+
+SQL_GLOBAL_TOPK = """
+SELECT event_id, value FROM events ORDER BY value DESC, event_id LIMIT 10
+"""
+
+# --------------------------------------------------------------------------
+# as-of joins (J1/J2/J3 + salted J8) on events
+# --------------------------------------------------------------------------
+
+
+def _asof_sides(spark, sf):
+    e = _t(spark, sf, "events")
+    probe = e.filter(F.col("event_id") % 7 == 0).select(
+        F.col("event_id").alias("query_id"),
+        "user_id",
+        (F.col("ts") + F.expr("INTERVAL 300 SECONDS")).alias("query_ts"),
+    )
+    dw = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    build = (
+        e.withColumn("rn", F.row_number().over(dw))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "ts", "value")
+    )
+    return probe, build
+
+
+_SQL_ASOF_CTES = """
+WITH probe AS (
+  SELECT event_id AS query_id, user_id, ts + INTERVAL 300 SECOND AS query_ts
+  FROM events WHERE event_id % 7 = 0),
+build AS (
+  SELECT user_id, ts, value FROM (
+    SELECT user_id, ts, value,
+           row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+    FROM events) WHERE rn = 1)
+"""
+
+
+def _asof_project(joined: DataFrame) -> DataFrame:
+    return joined.select(
+        "query_id",
+        "user_id",
+        _US("query_ts").alias("query_us"),
+        _US("ts").alias("matched_us"),
+        F.col("value").alias("matched_value"),
+    )
+
+
+def q_asof_backward(spark, sf):
+    probe, build = _asof_sides(spark, sf)
+    j = asof_join(
+        probe, build, by="user_id", left_on="query_ts", right_on="ts",
+        direction="backward", value_cols=["ts", "value"], tiebreak=(),
+    )
+    return _asof_project(j)
+
+
+SQL_ASOF_BACKWARD = _SQL_ASOF_CTES + """
+SELECT p.query_id, p.user_id, epoch_us(p.query_ts) AS query_us,
+       epoch_us(b.ts) AS matched_us, b.value AS matched_value
+FROM probe p ASOF LEFT JOIN build b
+  ON p.user_id = b.user_id AND p.query_ts >= b.ts
+"""
+
+
+def q_asof_forward(spark, sf):
+    probe, build = _asof_sides(spark, sf)
+    j = asof_join(
+        probe, build, by="user_id", left_on="query_ts", right_on="ts",
+        direction="forward", value_cols=["ts", "value"], tiebreak=(),
+    )
+    return _asof_project(j)
+
+
+SQL_ASOF_FORWARD = _SQL_ASOF_CTES + """,
+m AS (
+  SELECT p.query_id, p.user_id, p.query_ts,
+         (SELECT MIN(b.ts) FROM build b
+           WHERE b.user_id = p.user_id AND b.ts >= p.query_ts) AS mts
+  FROM probe p)
+SELECT m.query_id, m.user_id, epoch_us(m.query_ts) AS query_us,
+       epoch_us(m.mts) AS matched_us, b.value AS matched_value
+FROM m LEFT JOIN build b ON b.user_id = m.user_id AND b.ts = m.mts
+"""
+
+
+def q_asof_tolerance(spark, sf):
+    probe, build = _asof_sides(spark, sf)
+    j = asof_join(
+        probe, build, by="user_id", left_on="query_ts", right_on="ts",
+        direction="backward", tolerance=600.0, value_cols=["ts", "value"],
+        tiebreak=(),
+    )
+    return _asof_project(j)
+
+
+SQL_ASOF_TOLERANCE = _SQL_ASOF_CTES + """,
+j AS (
+  SELECT p.query_id, p.user_id, p.query_ts, b.ts AS mts, b.value AS mv
+  FROM probe p ASOF LEFT JOIN build b
+    ON p.user_id = b.user_id AND p.query_ts >= b.ts)
+SELECT query_id, user_id, epoch_us(query_ts) AS query_us,
+       epoch_us(CASE WHEN query_ts - mts <= INTERVAL 600 SECOND THEN mts END) AS matched_us,
+       CASE WHEN query_ts - mts <= INTERVAL 600 SECOND THEN mv END AS matched_value
+FROM j
+"""
+
+
+def q_asof_salted(spark, sf):
+    probe, build = _asof_sides(spark, sf)
+    j = asof_join_salted(
+        probe, build, by="user_id", left_on="query_ts", right_on="ts",
+        direction="backward", value_cols=["ts", "value"], tiebreak=(),
+        slice_width_s=7 * 86400,
+    )
+    return _asof_project(j)
+
+
+SQL_ASOF_SALTED = SQL_ASOF_BACKWARD  # identical semantics, skew-safe plan
+
+# --------------------------------------------------------------------------
+# relational joins & aggregates (J4-J7, A1-A4, U1/U2) on TPC-H tables
+# --------------------------------------------------------------------------
+
+
+def q_broadcast_join(spark, sf):
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice")).cast("long").alias("revenue"),
+        )
+    )
+
+
+SQL_BROADCAST_JOIN = """
+SELECT c_mktsegment, COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(o_totalprice)) AS BIGINT) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_smj_join(spark, sf):
+    l = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .cast("long")
+            .alias("revenue"),
+        )
+    )
+
+
+SQL_SMJ_JOIN = """
+SELECT o_orderpriority, COUNT(*) AS n_items,
+       CAST(ROUND(SUM(l_extendedprice * (1 - l_discount))) AS BIGINT) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+def q_semi_join(spark, sf):
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+SQL_SEMI_JOIN = """
+SELECT c_mktsegment, COUNT(*) AS n_customers
+FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)
+GROUP BY c_mktsegment
+"""
+
+
+def q_anti_join(spark, sf):
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
+SQL_ANTI_JOIN = """
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)
+"""
+
+
+def q_range_join(spark, sf):
+    e = _t(spark, sf, "events")
+    a = e.filter(F.col("event_id") % 23 == 0).select(
+        F.col("event_id").alias("query_id"),
+        F.col("user_id").alias("u"),
+        F.col("ts").alias("ats"),
+    )
+    b = e.select(
+        F.col("event_id").alias("bid"), F.col("user_id").alias("bu"),
+        F.col("ts").alias("bts"),
+    )
+    j = a.join(
+        b,
+        on=[
+            F.col("u") == F.col("bu"),
+            F.col("bts") > F.col("ats"),
+            F.col("bts") <= F.col("ats") + F.expr("INTERVAL 300 SECONDS"),
+        ],
+        how="left",
+    )
+    return j.groupBy("query_id").agg(F.count("bid").alias("n_follow"))
+
+
+SQL_RANGE_JOIN = """
+SELECT a.event_id AS query_id, COUNT(e.event_id) AS n_follow
+FROM events a LEFT JOIN events e
+  ON e.user_id = a.user_id AND e.ts > a.ts AND e.ts <= a.ts + INTERVAL 300 SECOND
+WHERE a.event_id % 23 = 0
+GROUP BY a.event_id
+"""
+
+
+def q_per_user_agg(spark, sf):
+    e = _t(spark, sf, "events")
+    return e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        _US(F.min("ts")).alias("first_us"),
+        _US(F.max("ts")).alias("last_us"),
+        F.count_distinct("event_type").alias("n_types"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )
+
+
+SQL_PER_USER_AGG = """
+SELECT user_id, COUNT(*) AS n_events, epoch_us(MIN(ts)) AS first_us,
+       epoch_us(MAX(ts)) AS last_us, COUNT(DISTINCT event_type) AS n_types,
+       ROUND(SUM(value), 2) AS sum_value, ROUND(AVG(value), 4) AS avg_value
+FROM events GROUP BY user_id
+"""
+
+
+def q_pivot_counts(spark, sf):
+    e = _t(spark, sf, "events")
+    aggs = [
+        F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
+        .cast("long")
+        .alias(f"n_{t}")
+        for t in ["click", "error", "purchase", "signup", "view"]
+    ]
+    return e.groupBy("user_id").agg(
+        *aggs,
+        F.round(F.sum(F.when(F.col("event_type") == "purchase", F.col("value"))), 4)
+        .alias("purchase_value"),
+    )
+
+
+SQL_PIVOT_COUNTS = """
+SELECT user_id,
+       CAST(COUNT(*) FILTER (WHERE event_type='click') AS BIGINT) AS n_click,
+       CAST(COUNT(*) FILTER (WHERE event_type='error') AS BIGINT) AS n_error,
+       CAST(COUNT(*) FILTER (WHERE event_type='purchase') AS BIGINT) AS n_purchase,
+       CAST(COUNT(*) FILTER (WHERE event_type='signup') AS BIGINT) AS n_signup,
+       CAST(COUNT(*) FILTER (WHERE event_type='view') AS BIGINT) AS n_view,
+       ROUND(SUM(value) FILTER (WHERE event_type='purchase'), 4) AS purchase_value
+FROM events GROUP BY user_id
+"""
+
+
+def q_tpch_q1(spark, sf):
+    l = _t(spark, sf, "lineitem")
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity")).cast("long").alias("sum_qty"),
+            F.round(F.sum("l_extendedprice")).cast("long").alias("sum_base"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .cast("long")
+            .alias("sum_disc"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       CAST(ROUND(SUM(l_quantity)) AS BIGINT) AS sum_qty,
+       CAST(ROUND(SUM(l_extendedprice)) AS BIGINT) AS sum_base,
+       CAST(ROUND(SUM(l_extendedprice * (1 - l_discount))) AS BIGINT) AS sum_disc,
+       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 2) AS avg_price,
+       COUNT(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_rollup(spark, sf):
+    l = _t(spark, sf, "lineitem")
+    return l.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity")).cast("long").alias("sum_qty"),
+    )
+
+
+SQL_ROLLUP = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       CAST(ROUND(SUM(l_quantity)) AS BIGINT) AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_cube(spark, sf):
+    l = _t(spark, sf, "lineitem")
+    return l.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+SQL_CUBE = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def q_distinct_agg(spark, sf):
+    l = _t(spark, sf, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct("l_partkey").alias("n_part"),
+    )
+
+
+SQL_DISTINCT_AGG = """
+SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS n_supp,
+       COUNT(DISTINCT l_partkey) AS n_part
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_approx_distinct(spark, sf):
+    # no SQL oracle: approx_count_distinct is engine-specific (HLL++)
+    e = _t(spark, sf, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
+
+
+def q_set_except(spark, sf):
+    e = _t(spark, sf, "events")
+    purch = e.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    err = e.filter(F.col("event_type") == "error").select("user_id").distinct()
+    return purch.subtract(err)
+
+
+SQL_SET_EXCEPT = """
+SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+EXCEPT
+SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+"""
+
+
+def q_union_counts(spark, sf):
+    e = _t(spark, sf, "events")
+    a = e.filter(F.col("event_type") == "purchase").select("user_id")
+    b = e.filter(F.col("event_type") == "signup").select("user_id")
+    return a.unionByName(b).groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+
+
+SQL_UNION_COUNTS = """
+SELECT user_id, COUNT(*) AS n FROM (
+  SELECT user_id FROM events WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT user_id FROM events WHERE event_type = 'signup'
+) GROUP BY user_id
+"""
+
+# --------------------------------------------------------------------------
+# scalar functions: json / date / hash (F3-F5)
+# --------------------------------------------------------------------------
+
+
+def q_json_extract(spark, sf):
+    e = _t(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(k), 4).alias("avg_k"),
+        F.sum(k).cast("long").alias("sum_k"),
+    )
+
+
+SQL_JSON_EXTRACT = """
+SELECT event_type, COUNT(*) AS n,
+       ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k
+FROM events GROUP BY event_type
+"""
+
+
+def q_date_parts(spark, sf):
+    e = _t(spark, sf, "events")
+    return (
+        e.withColumn("hr", F.hour("ts").cast("long"))
+        .withColumn("dom", F.dayofmonth("ts").cast("long"))
+        .groupBy("hr", "dom")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+    )
+
+
+SQL_DATE_PARTS = """
+SELECT CAST(hour(ts) AS BIGINT) AS hr, CAST(day(ts) AS BIGINT) AS dom,
+       COUNT(*) AS n, ROUND(AVG(value), 4) AS avg_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_fingerprint(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("fp"),
+        F.pmod(F.col("doc_id"), F.lit(16)).cast("long").alias("bucket"),
+    )
+
+
+SQL_FINGERPRINT = """
+SELECT doc_id, md5(text) AS fp, CAST(doc_id % 16 AS BIGINT) AS bucket
+FROM documents
+"""
+
+# --------------------------------------------------------------------------
+# text analysis (F1/F2/F6 + quality + lang-id) on documents
+# --------------------------------------------------------------------------
+
+
+def q_tokenize(spark, sf):
+    d = _t(spark, sf, "documents")
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.element_at(toks, 1).alias("first_word"),
+        F.element_at(toks, -1).alias("last_word"),
+        F.expr("right(element_at(split(text, ' '), -1), 3)").alias("suffix3"),
+    )
+
+
+SQL_TOKENIZE = """
+SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+       string_split(text, ' ')[1] AS first_word,
+       string_split(text, ' ')[-1] AS last_word,
+       right(string_split(text, ' ')[-1], 3) AS suffix3
+FROM documents
+"""
+
+
+def q_ngram_stats(spark, sf):
+    d = _t(spark, sf, "documents")
+    nf = ngram_features(F.col("text"))
+    return d.select("doc_id", nf.alias("nf")).select(
+        "doc_id",
+        F.col("nf.plen").alias("plen"),
+        F.col("nf.n_distinct").alias("n_distinct"),
+        F.col("nf.bigram_distinct").alias("bigram_distinct"),
+        F.round(F.col("nf.distinct_ratio"), 6).alias("distinct_ratio"),
+    )
+
+
+SQL_NGRAM_STATS = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+SELECT doc_id, len(l) AS plen, len(list_distinct(l)) AS n_distinct,
+       len(list_distinct(list_transform(range(1, len(l)),
+           i -> l[i] || ' ' || l[i+1]))) AS bigram_distinct,
+       ROUND(len(list_distinct(l)) / greatest(len(l), 1), 6) AS distinct_ratio
+FROM t
+"""
+
+
+def q_quality(spark, sf):
+    d = _t(spark, sf, "documents")
+    out = with_quality_features(d)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("upper_ratio", 6).alias("upper_ratio"),
+        "quality_score",
+    )
+
+
+SQL_QUALITY = """
+WITH t AS (
+  SELECT doc_id, text, string_split(text, ' ') AS l,
+         greatest(length(text), 1) AS slen,
+         length(text) - length(regexp_replace(text, '[^A-Za-z0-9_ ]', '', 'g')) AS n_punct,
+         length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper
+  FROM documents)
+SELECT doc_id, CAST(len(l) AS BIGINT) AS n_tokens,
+       ROUND(len(list_filter(l, x -> lower(x) IN ('the','a','of','and','to','in','is')))
+             / greatest(len(l), 1), 6) AS stopword_ratio,
+       ROUND(n_punct / slen, 6) AS punct_ratio,
+       ROUND(n_upper / slen, 6) AS upper_ratio,
+       ROUND(least(1.0, ln(1 + len(l)) / 5.0) * (1.0 - n_punct / slen), 6) AS quality_score
+FROM t
+"""
+
+
+def q_lang_id(spark, sf):
+    d = _t(spark, sf, "documents")
+    return with_lang_id(d).select("doc_id", "lang_pred")
+
+
+SQL_LANG_ID = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+c AS (
+  SELECT doc_id,
+         len(list_filter(l, x -> lower(x) IN ('the','and','of','to','is'))) AS c_en,
+         len(list_filter(l, x -> lower(x) IN ('el','la','de','que','los'))) AS c_es,
+         len(list_filter(l, x -> lower(x) IN ('der','die','und','das','ist'))) AS c_de,
+         len(list_filter(l, x -> lower(x) IN ('le','la','les','et','des'))) AS c_fr
+  FROM t)
+SELECT doc_id,
+       CASE WHEN greatest(c_en, c_es, c_de, c_fr) = 0 THEN 'und'
+            WHEN c_en = greatest(c_en, c_es, c_de, c_fr) THEN 'en'
+            WHEN c_es = greatest(c_en, c_es, c_de, c_fr) THEN 'es'
+            WHEN c_de = greatest(c_en, c_es, c_de, c_fr) THEN 'de'
+            ELSE 'fr' END AS lang_pred
+FROM c
+"""
+
+
+def q_bpeish_tokens(spark, sf):
+    d = _t(spark, sf, "documents")
+    pat = "[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]"
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(pat), 0)).cast("long").alias("n_bpeish"),
+    )
+
+
+SQL_BPEISH_TOKENS = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS BIGINT) AS n_bpeish
+FROM documents
+"""
+
+
+def q_multimodal_bytes(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.octet_length("text").cast("long").alias("n_bytes"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+SQL_MULTIMODAL_BYTES = """
+SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+"""
+
+# --------------------------------------------------------------------------
+# dedup & similarity (training-data ops)
+# --------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf):
+    return exact_dedup(_t(spark, sf, "documents"))
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS fp, COUNT(*) AS n, MIN(doc_id) AS keep_id
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_ngram_jaccard(spark, sf):
+    pairs = ngram_jaccard_pairs(_t(spark, sf, "documents"), n=2, min_intersection=2)
+    return pairs.select("a", "b", "inter", F.round("jaccard", 6).alias("jaccard"))
+
+
+SQL_NGRAM_JACCARD = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+grams AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(l)),
+         i -> l[i] || ' ' || l[i+1]))) AS g
+  FROM t),
+counts AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS inter
+  FROM grams x JOIN grams y ON x.g = y.g AND x.doc_id < y.doc_id
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+SELECT i.a, i.b, CAST(i.inter AS BIGINT) AS inter,
+       ROUND(i.inter / (ca.n + cb.n - i.inter), 6) AS jaccard
+FROM inter i JOIN counts ca ON ca.doc_id = i.a JOIN counts cb ON cb.doc_id = i.b
+"""
+
+
+def q_dedup_minhash(spark, sf):
+    # MinHash+LSH candidate pairs — not SQL-expressible: rows-only check
+    return minhash_lsh_pairs(
+        _t(spark, sf, "documents"), min_est_jaccard=0.3
+    ).select("a", "b", F.round("est_jaccard", 6).alias("est_jaccard"))
+
+
+def q_dedup_simhash(spark, sf):
+    # SimHash near-dup pairs — rows-only check
+    return simhash_near_pairs(_t(spark, sf, "documents"), max_hamming=8)
+
+
+def q_cosine_topk(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    return cosine_topk(emb, queries_from_ids(emb, [0]), k=10)
+
+
+SQL_COSINE_TOPK = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+s AS (
+  SELECT e.vec_id AS neighbor_id,
+         ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS cos
+  FROM embeddings e, q WHERE e.vec_id <> 0)
+SELECT CAST(0 AS BIGINT) AS q_id,
+       CAST(row_number() OVER (ORDER BY cos DESC, neighbor_id) AS INT) AS rank,
+       neighbor_id, cos
+FROM s ORDER BY rank LIMIT 10
+"""
+
+
+def q_knn_brute(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return cosine_topk(emb, q, k=3)
+
+
+SQL_KNN_BRUTE = """
+WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id % 100 = 0),
+s AS (
+  SELECT q.q_id, e.vec_id AS neighbor_id,
+         ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS cos
+  FROM embeddings e JOIN q ON e.vec_id <> q.q_id)
+SELECT q_id,
+       CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank,
+       neighbor_id, cos
+FROM s QUALIFY rank <= 3
+"""
+
+
+def q_ann_lsh(spark, sf):
+    # LSH-bucketed approximate NN — rows-only check (plan-level operator)
+    emb = _t(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return lsh_ann_topk(emb, q, dim=64, k=3, n_planes=8)
+
+
+# --------------------------------------------------------------------------
+# flagship: full leakage-free feature vector per event
+# --------------------------------------------------------------------------
+
+
+def q_feature_vector(spark, sf):
+    e = _t(spark, sf, "events")
+    w = _events_w()
+    wp = w.rowsBetween(-3, -1)
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    s = sessionize(e, gap_s=1800.0, entity="user_id", order=EV_ORDER)
+    return s.select(
+        "user_id",
+        "event_id",
+        _US("ts").alias("ts_us"),
+        ((_US("ts") - _US(F.lag("ts").over(w))) / F.lit(1000000.0)).alias("gap_s"),
+        "session_id",
+        F.row_number().over(w).alias("turn_no"),
+        F.count(F.lit(1)).over(wp).alias("n_prev3"),
+        F.round(F.sum("value").over(wp), 2).alias("sum_prev3"),
+        F.round(F.sum("value").over(wc), 2).alias("cum_value"),
+        F.last(
+            F.when(F.col("event_type") == "error", _US("ts")), ignorenulls=True
+        ).over(wc).alias("last_error_us"),
+    )
+
+
+SQL_FEATURE_VECTOR = """
+WITH g AS (
+  SELECT user_id, event_id, ts, value, event_type,
+         CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS b,
+         (epoch_us(ts) - epoch_us(LAG(ts) OVER w)) / 1000000.0 AS gap_s,
+         CAST(row_number() OVER w AS INT) AS turn_no,
+         COUNT(*) OVER wp AS n_prev3,
+         ROUND(SUM(value) OVER wp, 2) AS sum_prev3,
+         ROUND(SUM(value) OVER wc, 2) AS cum_value,
+         LAST_VALUE(CASE WHEN event_type = 'error' THEN epoch_us(ts) END IGNORE NULLS)
+           OVER wc AS last_error_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+         wp AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING),
+         wc AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT user_id, event_id, epoch_us(ts) AS ts_us, gap_s,
+       CAST(SUM(b) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id,
+       turn_no, n_prev3, sum_prev3, cum_value, last_error_us
+FROM g
+"""
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "canonical_order": q_canonical_order,
+    "lag_lead": q_lag_lead,
+    "sessionize": q_sessionize,
+    "session_stats": q_session_stats,
+    "rolling_counts": q_rolling_counts,
+    "rolling_time": q_rolling_time,
+    "cumulative": q_cumulative,
+    "ffill": q_ffill,
+    "topk_per_user": q_topk_per_user,
+    "global_topk": q_global_topk,
+    "asof_backward": q_asof_backward,
+    "asof_forward": q_asof_forward,
+    "asof_tolerance": q_asof_tolerance,
+    "asof_salted": q_asof_salted,
+    "broadcast_join": q_broadcast_join,
+    "smj_join": q_smj_join,
+    "semi_join": q_semi_join,
+    "anti_join": q_anti_join,
+    "range_join": q_range_join,
+    "per_user_agg": q_per_user_agg,
+    "pivot_counts": q_pivot_counts,
+    "tpch_q1": q_tpch_q1,
+    "rollup": q_rollup,
+    "cube": q_cube,
+    "distinct_agg": q_distinct_agg,
+    "approx_distinct": q_approx_distinct,
+    "set_except": q_set_except,
+    "union_counts": q_union_counts,
+    "json_extract": q_json_extract,
+    "date_parts": q_date_parts,
+    "fingerprint": q_fingerprint,
+    "tokenize": q_tokenize,
+    "ngram_stats": q_ngram_stats,
+    "quality": q_quality,
+    "lang_id": q_lang_id,
+    "bpeish_tokens": q_bpeish_tokens,
+    "multimodal_bytes": q_multimodal_bytes,
+    "dedup_exact": q_dedup_exact,
+    "ngram_jaccard": q_ngram_jaccard,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "cosine_topk": q_cosine_topk,
+    "knn_brute": q_knn_brute,
+    "ann_lsh": q_ann_lsh,
+    "feature_vector": q_feature_vector,
+}
+
+ORACLES: dict[str, str] = {
+    "canonical_order": SQL_CANONICAL,
+    "lag_lead": SQL_LAG_LEAD,
+    "sessionize": SQL_SESSIONIZE,
+    "session_stats": SQL_SESSION_STATS,
+    "rolling_counts": SQL_ROLLING_COUNTS,
+    "rolling_time": SQL_ROLLING_TIME,
+    "cumulative": SQL_CUMULATIVE,
+    "ffill": SQL_FFILL,
+    "topk_per_user": SQL_TOPK_PER_USER,
+    "global_topk": SQL_GLOBAL_TOPK,
+    "asof_backward": SQL_ASOF_BACKWARD,
+    "asof_forward": SQL_ASOF_FORWARD,
+    "asof_tolerance": SQL_ASOF_TOLERANCE,
+    "asof_salted": SQL_ASOF_SALTED,
+    "broadcast_join": SQL_BROADCAST_JOIN,
+    "smj_join": SQL_SMJ_JOIN,
+    "semi_join": SQL_SEMI_JOIN,
+    "anti_join": SQL_ANTI_JOIN,
+    "range_join": SQL_RANGE_JOIN,
+    "per_user_agg": SQL_PER_USER_AGG,
+    "pivot_counts": SQL_PIVOT_COUNTS,
+    "tpch_q1": SQL_TPCH_Q1,
+    "rollup": SQL_ROLLUP,
+    "cube": SQL_CUBE,
+    "distinct_agg": SQL_DISTINCT_AGG,
+    "set_except": SQL_SET_EXCEPT,
+    "union_counts": SQL_UNION_COUNTS,
+    "json_extract": SQL_JSON_EXTRACT,
+    "date_parts": SQL_DATE_PARTS,
+    "fingerprint": SQL_FINGERPRINT,
+    "tokenize": SQL_TOKENIZE,
+    "ngram_stats": SQL_NGRAM_STATS,
+    "quality": SQL_QUALITY,
+    "lang_id": SQL_LANG_ID,
+    "bpeish_tokens": SQL_BPEISH_TOKENS,
+    "multimodal_bytes": SQL_MULTIMODAL_BYTES,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "cosine_topk": SQL_COSINE_TOPK,
+    "knn_brute": SQL_KNN_BRUTE,
+    "feature_vector": SQL_FEATURE_VECTOR,
+}
