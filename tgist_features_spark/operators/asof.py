@@ -135,7 +135,7 @@ def _make_merge_fn(left_on, right_on, value_cols, rename, carried, out_schema,
     return merge
 
 
-def asof_join(
+def asof_join_cogrouped(
     probe: DataFrame,
     build: DataFrame,
     by: str | list[str] = "conv_id",
@@ -147,10 +147,11 @@ def asof_join(
     value_cols: list[str] | None = None,
     tiebreak: tuple[str, ...] = ("turn_idx",),
 ) -> DataFrame:
-    """Point-in-time join: probe (entity, query_ts) x build (entity, ts).
+    """Cogrouped as-of: one pandas merge per entity group.
 
-    Returns probe.* plus the matched build value columns (renamed with a
-    ``_matched`` suffix on collision). Left-join semantics.
+    Simple and fully general (multi-column ``by``), but pays one Python
+    call per group — use ``asof_join`` (merge-scan) unless the key is
+    composite. The salted path reuses this on (entity, slice) sub-keys.
     """
     assert direction in ("backward", "forward")
     by, value_cols, rename, carried, out_schema = _plan(
@@ -166,6 +167,111 @@ def asof_join(
         .cogroup(build.groupBy(*by))
         .applyInPandas(merge, schema=out_schema)
     )
+
+
+def asof_join(
+    probe: DataFrame,
+    build: DataFrame,
+    by: str | list[str] = "conv_id",
+    left_on: str = "query_ts",
+    right_on: str = "ts",
+    direction: str = "backward",
+    tolerance: float | None = None,
+    allow_exact_matches: bool = True,
+    value_cols: list[str] | None = None,
+    tiebreak: tuple[str, ...] = ("turn_idx",),
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Point-in-time join: probe (entity, query_ts) x build (entity, ts).
+
+    Merge-scan physical plan (the north_star shape): tag both sides, union,
+    ONE ``repartitionByRange`` on the entity key (equal keys never split),
+    ``sortWithinPartitions`` by event time, then a single vectorized
+    ``pandas.merge_asof(by=entity)`` per partition via ``mapInPandas`` —
+    thousands of entities per C-level merge call instead of one Python call
+    per entity. Returns probe.* plus the matched build value columns
+    (renamed with a ``_matched`` suffix on collision). Left-join semantics.
+
+    Memory: one partition is materialized per task (exactly like a sort-
+    merge join buffer); size partitions via ``num_partitions`` /
+    ``spark.sql.shuffle.partitions``. A single entity bigger than a healthy
+    partition is the *skew* case — route through ``asof_join_auto``.
+    """
+    assert direction in ("backward", "forward")
+    by_list = [by] if isinstance(by, str) else list(by)
+    _, value_cols, rename, carried, out_schema = _plan(
+        probe, build, by_list, left_on, right_on, value_cols
+    )
+    probe_cols = list(probe.columns)
+    carried_names = [f.name for f in carried]
+    build_fields = {f.name: f for f in build.schema.fields}
+    tb = [t for t in tiebreak if t in build.columns]
+    tb_names = [f"__tb{i}" for i in range(len(tb))]
+
+    # tagged union on a common wide schema: probe columns null on the build
+    # side and vice versa; __key is the event-time merge key on both sides
+    l = probe.select(
+        F.lit(0).alias("__side"),
+        F.col(left_on).cast("timestamp_ntz").alias("__key"),
+        *[F.col(c) for c in probe_cols],
+        *[
+            F.lit(None).cast(build_fields[c].dataType).alias(rename[c])
+            for c in value_cols
+        ],
+        *[F.lit(None).cast(build_fields[t].dataType).alias(n)
+          for t, n in zip(tb, tb_names)],
+    )
+    r = build.filter(F.col(right_on).isNotNull()).select(
+        F.lit(1).alias("__side"),
+        F.col(right_on).cast("timestamp_ntz").alias("__key"),
+        *[F.col(b) for b in by_list],
+        *[F.lit(None).cast(f.dataType).alias(f.name)
+          for f in probe.schema.fields if f.name not in by_list],
+        *[F.col(c).alias(rename[c]) for c in value_cols],
+        *[F.col(t).alias(n) for t, n in zip(tb, tb_names)],
+    )
+    u = l.unionByName(r.select(*l.columns))
+    if num_partitions:
+        u = u.repartitionByRange(num_partitions, *by_list)
+    else:
+        u = u.repartitionByRange(*by_list)
+    u = u.sortWithinPartitions("__key", "__side", *tb_names)
+
+    tol = pd.Timedelta(seconds=tolerance) if tolerance is not None else None
+    by_key = by_list[0] if len(by_list) == 1 else by_list
+    lcols = list(probe_cols)
+    rcols = [*by_list, "__key", *carried_names]
+
+    def scan(batches):
+        chunks = list(batches)  # one partition, sorted by (__key, __side, tb)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        is_l = pdf["__side"].to_numpy() == 0
+        lp = pdf.loc[is_l, [*lcols, "__key"]]
+        rp = pdf.loc[~is_l, rcols]
+        ok = lp["__key"].notna()
+        l_null = lp.loc[~ok, lcols]
+        lp = lp[ok]
+        if len(rp) == 0 or len(lp) == 0:
+            merged = lp[lcols].copy()
+            for f in carried:
+                merged[f.name] = None
+        else:
+            merged = pd.merge_asof(
+                lp,
+                rp,
+                on="__key",
+                by=by_key,
+                direction=direction,
+                tolerance=tol,
+                allow_exact_matches=allow_exact_matches,
+            ).drop(columns="__key")
+        if len(l_null):
+            merged = pd.concat([merged, l_null], ignore_index=True)
+        yield _coerce(merged, out_schema.fields)
+
+    return u.mapInPandas(scan, schema=out_schema)
 
 
 def asof_join_auto(
@@ -295,13 +401,19 @@ def asof_join_salted(
     )
     b_salted = b.unionByName(carries.select(*b.columns))
 
-    merge = _make_merge_fn(
-        left_on, right_on, value_cols, rename, carried, out_schema,
-        probe.columns, direction, tolerance, allow_exact_matches, tiebreak,
-        drop_cols={slice_col},
+    # final merge: the composite (entity, slice) key routes each slice to its
+    # own range partition — hot entities split across tasks — while the
+    # merge itself stays the bulk merge-scan (no per-group Python calls)
+    out = asof_join(
+        p,
+        b_salted,
+        by=[by, slice_col],
+        left_on=left_on,
+        right_on=right_on,
+        direction=direction,
+        tolerance=tolerance,
+        allow_exact_matches=allow_exact_matches,
+        value_cols=value_cols,
+        tiebreak=tiebreak,
     )
-    return (
-        p.groupBy(by, slice_col)
-        .cogroup(b_salted.groupBy(by, slice_col))
-        .applyInPandas(merge, schema=out_schema)
-    )
+    return out.drop(slice_col)
