@@ -29,7 +29,7 @@ from tgist_features_spark.plans.entry_queries import QUERIES  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 CORPUS_DIR = os.environ.get("TGIST_BENCH_CORPUS", "/tmp/tgist_bench_corpus")
-N_CONVS = int(os.environ.get("TGIST_BENCH_CONVS", "180000"))
+N_CONVS = int(os.environ.get("TGIST_BENCH_CONVS", "30000"))
 RUN_SCALING = os.environ.get("TGIST_BENCH_SCALING", "1") != "0"
 
 HEADLINE = [
@@ -71,7 +71,7 @@ def _backfill(master: str) -> dict:
          "--queries", os.path.join(CORPUS_DIR, "queries"),
          "--master", master,
          "--shuffle-partitions", str(2 * cores),
-         "--salted"],
+         "--repeat", "4"],
         check=True, capture_output=True, text=True, env=env,
     )
     return json.loads(res.stdout.strip().splitlines()[-1])
@@ -100,15 +100,15 @@ def main() -> None:
 
     if RUN_SCALING:
         _ensure_corpus()
+        b2 = _backfill("local[2]")
         b8 = _backfill("local[8]")
-        b32 = _backfill("local[32]")
-        eff = b32["turns_per_sec"] / (4.0 * b8["turns_per_sec"])
+        eff = b8["turns_per_sec"] / (4.0 * b2["turns_per_sec"])
         result["backfill"] = {
+            "local2": b2,
             "local8": b8,
-            "local32": b32,
             "scaling_efficiency": round(eff, 3),
         }
-        result["backfill_turns_per_sec"] = b32["turns_per_sec"]
+        result["backfill_turns_per_sec"] = b8["turns_per_sec"]
 
     print(json.dumps(result))
 

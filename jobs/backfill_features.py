@@ -22,6 +22,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from tgist_features_spark import get_spark  # noqa: E402
+from tgist_features_spark.session import warm_python_workers  # noqa: E402
 from tgist_features_spark.plans.backfill import backfill_features, turn_features  # noqa: E402
 
 
@@ -34,9 +35,14 @@ def main() -> None:
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     ap.add_argument("--salted", action="store_true",
                     help="skew-adaptive as-of (salt hot conversations)")
-    ap.add_argument("--hot-threshold", type=int, default=1000)
+    ap.add_argument("--hot-threshold", type=int, default=2_000_000,
+                    help="rows-per-conversation above which the salted "
+                         "time-sliced path kicks in (≈ a partition budget; "
+                         "the plain merge-scan handles anything smaller)")
     ap.add_argument("--slice-width-s", type=int, default=3600)
     ap.add_argument("--gap-s", type=float, default=1800.0)
+    ap.add_argument("--repeat", type=int, default=1,
+                    help="time N passes, report the median of the warm ones")
     args = ap.parse_args()
 
     spark = get_spark(master=args.master, shuffle_partitions=args.shuffle_partitions,
@@ -45,24 +51,42 @@ def main() -> None:
 
     transcripts = spark.read.parquet(args.input)
     n_turns = transcripts.count()  # warm the scan + JVM before timing
+    # warm every Python worker (pandas/numpy import + Arrow path) and the
+    # codegen/JIT so measurements reflect steady-state throughput
+    warm_python_workers(spark)
+    turn_features(transcripts.limit(20_000)).write.mode("overwrite").format(
+        "noop"
+    ).save()
 
-    t0 = time.perf_counter()
-    feats = turn_features(transcripts, gap_s=args.gap_s)
-    if args.queries:
-        probes = spark.read.parquet(args.queries)
-        out = backfill_features(
-            feats,
-            probes,
-            slice_width_s=args.slice_width_s,
-            hot_threshold=args.hot_threshold if args.salted else None,
-        )
-    else:
-        out = feats
-    if args.output == "noop":
-        out.write.mode("overwrite").format("noop").save()
-    else:
-        out.write.mode("overwrite").parquet(args.output)
-    wall = time.perf_counter() - t0
+    probes = spark.read.parquet(args.queries) if args.queries else None
+
+    def one_pass() -> float:
+        t0 = time.perf_counter()
+        feats = turn_features(transcripts, gap_s=args.gap_s)
+        if probes is not None:
+            # materialize the feature relation before the as-of (production
+            # equivalent: sink the features table, then scan it) — also
+            # required by the skew-adaptive path's multiple consumers
+            feats = feats.persist()
+            out = backfill_features(
+                feats,
+                probes,
+                slice_width_s=args.slice_width_s,
+                hot_threshold=args.hot_threshold if args.salted else None,
+            )
+        else:
+            out = feats
+        if args.output == "noop":
+            out.write.mode("overwrite").format("noop").save()
+        else:
+            out.write.mode("overwrite").parquet(args.output)
+        feats.unpersist()
+        return time.perf_counter() - t0
+
+    walls = [one_pass() for _ in range(max(1, args.repeat))]
+    warm = walls[1:] if len(walls) > 1 else walls
+    warm_sorted = sorted(warm)
+    wall = warm_sorted[len(warm_sorted) // 2]
 
     print(
         json.dumps(
@@ -72,6 +96,7 @@ def main() -> None:
                 "turns": n_turns,
                 "wall_s": round(wall, 3),
                 "turns_per_sec": round(n_turns / wall, 1),
+                "walls_all": [round(w, 3) for w in walls],
                 "salted": args.salted,
             }
         )

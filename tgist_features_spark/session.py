@@ -51,3 +51,26 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def warm_python_workers(spark: SparkSession, tasks: int | None = None) -> None:
+    """Force-start every Python worker (pandas/numpy import + Arrow path).
+
+    Daemon workers are forked lazily per core on first use; on a wide local
+    master the simultaneous cold imports during the first real UDF stage
+    cost tens of seconds. One trivial pandas-UDF stage with >= 2x-cores
+    tasks touches every worker up front — benchmark and latency hygiene.
+    """
+    from pyspark.sql.functions import col, pandas_udf  # noqa: PLC0415
+
+    if tasks is None:
+        tasks = 2 * int(spark.sparkContext.defaultParallelism)
+
+    # no type hints: `from __future__ import annotations` would stringify
+    # them and break pandas_udf's eval-type inference; hint-less defaults
+    # to the scalar Series->Series eval type
+    _warm = pandas_udf(lambda s: s, "long")
+
+    spark.range(0, tasks, 1, numPartitions=tasks).select(
+        _warm(col("id"))
+    ).write.mode("overwrite").format("noop").save()
