@@ -1,0 +1,104 @@
+"""Streaming surface: file-source replay must agree with the batch engine."""
+
+from __future__ import annotations
+
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from tgist_features_spark.operators.sessionize import sessionize
+from tgist_features_spark.sources.corpus import transcripts_df
+from tgist_features_spark.streaming.stream import (
+    dedup_within_watermark,
+    incremental_turn_state,
+    read_transcript_stream,
+    session_window_stats,
+    windowed_turn_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(spark, tiny_pdf, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("stream_src"))
+    transcripts_df(spark, tiny_pdf).repartition(4).write.mode("overwrite").parquet(p)
+    return p
+
+
+def _run_to_memory(stream_df, mode: str) -> str:
+    name = f"t{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return name
+
+
+def test_windowed_counts_match_batch(spark, corpus_dir, tiny_pdf):
+    stream = read_transcript_stream(spark, corpus_dir)
+    name = _run_to_memory(windowed_turn_counts(stream, "1 hour"), "complete")
+    got = spark.sql(f"SELECT conv_id, win.start AS ws, n_turns FROM {name}").toPandas()
+    batch = (
+        transcripts_df(spark, tiny_pdf)
+        .groupBy("conv_id", F.window("ts", "1 hour").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n_turns"))
+        .select("conv_id", F.col("win.start").alias("ws"), "n_turns")
+        .toPandas()
+    )
+    key = ["conv_id", "ws"]
+    got = got.sort_values(key).reset_index(drop=True)
+    batch = batch.sort_values(key).reset_index(drop=True)
+    assert len(got) == len(batch)
+    assert (got["n_turns"].to_numpy() == batch["n_turns"].to_numpy()).all()
+
+
+def test_session_window_matches_batch_session_count(spark, corpus_dir, tiny_pdf):
+    stream = read_transcript_stream(spark, corpus_dir)
+    name = _run_to_memory(session_window_stats(stream, gap="30 minutes"), "complete")
+    got = (
+        spark.sql(f"SELECT conv_id, COUNT(*) AS n_sessions FROM {name} GROUP BY 1")
+        .toPandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    batch = (
+        sessionize(transcripts_df(spark, tiny_pdf), gap_s=1800.0)
+        .groupBy("conv_id")
+        .agg((F.max("session_id") + 1).alias("n_sessions"))
+        .toPandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    assert (got["n_sessions"].to_numpy() == batch["n_sessions"].to_numpy()).all()
+
+
+def test_dedup_within_watermark(spark, tiny_pdf, tmp_path):
+    dup_dir = str(tmp_path / "dups")
+    df = transcripts_df(spark, tiny_pdf)
+    df.unionByName(df).repartition(4).write.mode("overwrite").parquet(dup_dir)
+    stream = read_transcript_stream(spark, dup_dir)
+    name = _run_to_memory(dedup_within_watermark(stream), "append")
+    n = spark.sql(f"SELECT COUNT(*) AS n FROM {name}").collect()[0]["n"]
+    assert n == len(tiny_pdf)
+
+
+def test_incremental_state_matches_batch(spark, corpus_dir, tiny_pdf):
+    stream = read_transcript_stream(spark, corpus_dir)
+    name = _run_to_memory(incremental_turn_state(stream), "append")
+    got = (
+        spark.sql(f"SELECT conv_id, turn_idx, turn_no, cum_chars FROM {name}")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    from tgist_features_spark.oracle.pandas_oracle import oracle_turn_features
+
+    ref = oracle_turn_features(tiny_pdf)[["conv_id", "turn_idx", "turn_no", "cum_chars"]]
+    ref = ref.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert len(got) == len(ref)
+    assert (got["turn_no"].to_numpy() == ref["turn_no"].to_numpy()).all()
+    assert (got["cum_chars"].to_numpy() == ref["cum_chars"].to_numpy()).all()

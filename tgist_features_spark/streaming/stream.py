@@ -1,0 +1,142 @@
+"""Structured Streaming surface (T1-T5, SURVEY.md §2.9).
+
+The batch engine is authoritative (north_rule is batch-first); this module
+gives the same feature semantics an incremental form: watermarked event
+time, tumbling/sliding windowed counts, session windows, late-data dedup,
+and a custom stateful per-conversation operator via
+``applyInPandasWithState`` (running turn counts / last-ts state — the
+incremental analogue of the W2/W5 window features).
+
+At the 10^12-turn design point this is the maintenance path: the batch
+backfill bootstraps the feature table; the stream keeps it fresh between
+snapshots, keyed and partitioned identically (conv_id), so the as-of
+serving join reads one consistent layout.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from tgist_features_spark.sources.corpus import TRANSCRIPT_SCHEMA
+
+
+def read_transcript_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over a transcript parquet directory (S1 analog)."""
+    reader = spark.readStream.schema(TRANSCRIPT_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def dedup_within_watermark(
+    stream: DataFrame, delay: str = "10 minutes"
+) -> DataFrame:
+    """T5: idempotent re-delivery — drop duplicate (conv_id, turn_idx)
+    within the watermark horizon."""
+    return stream.withWatermark("ts", delay).dropDuplicatesWithinWatermark(
+        ["conv_id", "turn_idx"]
+    )
+
+
+def windowed_turn_counts(
+    stream: DataFrame,
+    window: str = "1 hour",
+    slide: str | None = None,
+    delay: str = "30 minutes",
+) -> DataFrame:
+    """T2: watermarked tumbling/sliding per-conversation turn counts."""
+    win = F.window("ts", window, slide) if slide else F.window("ts", window)
+    return (
+        stream.withWatermark("ts", delay)
+        .groupBy("conv_id", win.alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum(F.length("text")).cast("long").alias("chars"),
+        )
+    )
+
+
+def session_window_stats(
+    stream: DataFrame, gap: str = "30 minutes", delay: str = "30 minutes"
+) -> DataFrame:
+    """T3: streaming sessionize via session_window (gap-merged windows)."""
+    return (
+        stream.withWatermark("ts", delay)
+        .groupBy("conv_id", F.session_window("ts", gap).alias("sw"))
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
+
+
+# ------------------------------------------------------- T4: custom state
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_turns", T.LongType()),
+        T.StructField("last_ts_us", T.LongType()),
+        T.StructField("cum_chars", T.LongType()),
+    ]
+)
+
+INCR_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("turn_no", T.LongType()),
+        T.StructField("gap_s", T.DoubleType()),
+        T.StructField("cum_chars", T.LongType()),
+    ]
+)
+
+
+def _incr_fn(key: Any, pdfs, state: GroupState):
+    """Incremental W2/W5 features: running turn number, gap to previous
+    turn, cumulative chars — per conversation, state carried across
+    micro-batches. Within a batch rows are processed in (ts, turn_idx)
+    order; across batches the source must deliver in event-time order
+    (true for the bootstrap replay; late rows are handled by the dedup +
+    watermark stage upstream)."""
+    if state.exists:
+        n_turns, last_ts_us, cum_chars = state.get
+    else:
+        n_turns, last_ts_us, cum_chars = 0, None, 0
+    out = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "turn_idx"], kind="mergesort")
+        for ts, turn_idx, text in zip(pdf["ts"], pdf["turn_idx"], pdf["text"]):
+            ts_us = int(pd.Timestamp(ts).value // 1000)
+            gap = (ts_us - last_ts_us) / 1e6 if last_ts_us is not None else None
+            n_turns += 1
+            cum_chars += len(text) if isinstance(text, str) else 0
+            out.append((key[0], turn_idx, n_turns, gap, cum_chars))
+            last_ts_us = ts_us
+    state.update((n_turns, last_ts_us, cum_chars))
+    yield pd.DataFrame(
+        out, columns=["conv_id", "turn_idx", "turn_no", "gap_s", "cum_chars"]
+    )
+
+
+def incremental_turn_state(stream: DataFrame, delay: str = "30 minutes") -> DataFrame:
+    """T4: applyInPandasWithState — incremental per-conv turn features."""
+    return (
+        stream.withWatermark("ts", delay)
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            _incr_fn,
+            outputStructType=INCR_OUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
