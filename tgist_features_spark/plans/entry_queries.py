@@ -925,6 +925,111 @@ def q_ann_lsh(spark, sf):
     return lsh_ann_topk(emb, q, dim=64, k=3, n_planes=8)
 
 
+def q_intersect(spark, sf):
+    e = _t(spark, sf, "events")
+    a = e.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    b = e.filter(F.col("event_type") == "error").select("user_id").distinct()
+    return a.intersect(b)
+
+
+SQL_INTERSECT = """
+SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+INTERSECT
+SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+"""
+
+
+def q_window_ranks(spark, sf):
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return e.select(
+        "user_id",
+        "event_id",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+SQL_WINDOW_RANKS = """
+SELECT user_id, event_id,
+       CAST(rank() OVER w AS INT) AS rnk,
+       CAST(dense_rank() OVER w AS INT) AS drnk,
+       ROUND(percent_rank() OVER w, 6) AS prnk,
+       CAST(ntile(4) OVER w AS INT) AS quartile
+FROM events WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id)
+"""
+
+
+def q_string_funcs(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.upper(F.substring("text", 1, 10)).alias("head_upper"),
+        F.length(F.regexp_replace("text", "the", "")).cast("long").alias("len_no_the"),
+        F.lpad(F.col("lang"), 5, "_").alias("lang_pad"),
+        F.concat_ws("|", "lang", "source").alias("tag"),
+        F.reverse(F.substring("text", 1, 8)).alias("head_rev"),
+    )
+
+
+SQL_STRING_FUNCS = """
+SELECT doc_id,
+       upper(substring(text, 1, 10)) AS head_upper,
+       CAST(length(regexp_replace(text, 'the', '', 'g')) AS BIGINT) AS len_no_the,
+       lpad(lang, 5, '_') AS lang_pad,
+       concat_ws('|', lang, source) AS tag,
+       reverse(substring(text, 1, 8)) AS head_rev
+FROM documents
+"""
+
+
+def q_array_stats(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    l2 = F.sqrt(
+        F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda s, x: s + x)
+    )
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(l2, 4).alias("l2"),
+        F.round(F.element_at(v, 1), 6).alias("first_val"),
+        F.round(F.aggregate(v, F.lit(0.0), lambda s, x: s + x), 4).alias("vsum"),
+    )
+
+
+SQL_ARRAY_STATS = """
+WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, embedding FROM embeddings)
+SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+       ROUND(sqrt(list_sum(list_transform(v, x -> x * x))), 4) AS l2,
+       ROUND(v[1], 6) AS first_val,
+       ROUND(list_sum(v), 4) AS vsum
+FROM t
+"""
+
+
+def q_percentiles(spark, sf):
+    e = _t(spark, sf, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        F.round(F.min("value"), 4).alias("vmin"),
+        F.round(F.max("value"), 4).alias("vmax"),
+    )
+
+
+SQL_PERCENTILES = """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 4) AS p50,
+       ROUND(quantile_cont(value, 0.9), 4) AS p90,
+       ROUND(MIN(value), 4) AS vmin,
+       ROUND(MAX(value), 4) AS vmax
+FROM events GROUP BY event_type
+"""
+
+
 # --------------------------------------------------------------------------
 # flagship: full leakage-free feature vector per event
 # --------------------------------------------------------------------------
@@ -1026,6 +1131,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cosine_topk": q_cosine_topk,
     "knn_brute": q_knn_brute,
     "ann_lsh": q_ann_lsh,
+    "intersect": q_intersect,
+    "window_ranks": q_window_ranks,
+    "string_funcs": q_string_funcs,
+    "array_stats": q_array_stats,
+    "percentiles": q_percentiles,
     "feature_vector": q_feature_vector,
 }
 
@@ -1070,5 +1180,10 @@ ORACLES: dict[str, str] = {
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "cosine_topk": SQL_COSINE_TOPK,
     "knn_brute": SQL_KNN_BRUTE,
+    "intersect": SQL_INTERSECT,
+    "window_ranks": SQL_WINDOW_RANKS,
+    "string_funcs": SQL_STRING_FUNCS,
+    "array_stats": SQL_ARRAY_STATS,
+    "percentiles": SQL_PERCENTILES,
     "feature_vector": SQL_FEATURE_VECTOR,
 }
