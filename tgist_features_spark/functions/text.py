@@ -110,19 +110,37 @@ def _distinct_per_row(row_id: np.ndarray, h: np.ndarray, n_rows: int) -> np.ndar
     return np.bincount(rr[new], minlength=n_rows).astype(np.int64)
 
 
+def _flat_tokens(text: pd.Series) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(flat_tokens, row_id, lens) without per-row Python list objects:
+    join all rows with a sentinel token and split ONCE (one C call), then
+    recover row boundaries from sentinel positions."""
+    n = len(text)
+    vals = text.to_numpy(dtype=object)
+    if n and not text.str.contains("\x01").any():
+        big = " \x01 ".join(vals).split()
+        arr = np.array(big, dtype=object)
+        sent = arr == "\x01"
+        row_id = np.cumsum(sent)
+        keep = ~sent
+        flat, row_id = arr[keep], row_id[keep].astype(np.int64)
+        lens = np.bincount(row_id, minlength=n).astype(np.int64)
+        return flat, row_id, lens
+    # slow path (sentinel collision or empty batch)
+    tok_lists = text.str.split()
+    lens = tok_lists.str.len().to_numpy(dtype=np.int64) if n else np.zeros(0, np.int64)
+    flat = np.array([t for toks in tok_lists for t in toks], dtype=object)
+    row_id = np.repeat(np.arange(n, dtype=np.int64), lens)
+    return flat, row_id, lens
+
+
 def ngram_stats_batch(text: pd.Series) -> pd.DataFrame:
     """Vectorized n-gram stats for one Arrow batch: token/bigram/trigram
     distinct counts via hashed tokens + lexsort boundary counting, document
     signature via pandas' stable 64-bit string hash. No per-row Python loop
-    beyond the initial tokenization."""
+    anywhere — one global split + one hash call per batch."""
     text = text.fillna("")
-    tok_lists = text.str.split()
     n = len(text)
-    lens = tok_lists.str.len().to_numpy()
-    flat = np.array(
-        [t for toks in tok_lists for t in toks], dtype=object
-    )
-    row_id = np.repeat(np.arange(n, dtype=np.int64), lens)
+    flat, row_id, lens = _flat_tokens(text)
     h = pd.util.hash_array(flat) if len(flat) else np.empty(0, dtype=np.uint64)
 
     n_distinct = _distinct_per_row(row_id, h, n)
