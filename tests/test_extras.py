@@ -1,0 +1,107 @@
+"""Multimodal plumbing, dedup/similarity sanity, partition-pruned scans."""
+
+from __future__ import annotations
+
+import io as _io
+import contextlib
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tgist_features_spark.functions.multimodal import (
+    frame_sample_stub,
+    image_features,
+    synthesize_media,
+)
+from tgist_features_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    simhash_near_pairs,
+)
+from tgist_features_spark.operators.similarity import cosine_topk, queries_from_ids
+from tgist_features_spark.sources.table_io import TableIO
+
+
+def test_image_features_plumbing(spark):
+    media = synthesize_media(spark, n=30, seed=7)
+    out = image_features(media).toPandas()
+    assert len(out) == 30
+    assert out["n_bytes"].notna().all()
+    assert out["digest"].str.len().eq(16).all()
+    assert out["thumb"].map(len).eq(8).all()
+    # determinism: same payload -> same features
+    out2 = image_features(media).toPandas().sort_values("media_id")
+    out = out.sort_values("media_id")
+    assert (out["digest"].to_numpy() == out2["digest"].to_numpy()).all()
+
+
+def test_frame_sampling(spark):
+    media = synthesize_media(spark, n=30, seed=7)
+    frames = frame_sample_stub(media, every_s=1.0).toPandas()
+    vids = media.filter("modality = 'video'").toPandas()
+    expected = int(vids["meta_duration_s"].apply(lambda d: max(1, int(d // 1))).sum())
+    assert len(frames) == expected
+    assert (frames["frame_ts_s"] >= 0).all()
+
+
+def test_exact_dedup_finds_duplicates(spark):
+    pdf = pd.DataFrame(
+        {"doc_id": [1, 2, 3, 4], "text": ["same text", "same text", "other", "third"]}
+    )
+    out = exact_dedup(spark.createDataFrame(pdf)).toPandas()
+    assert len(out) == 3
+    dup = out[out["n"] == 2]
+    assert len(dup) == 1 and dup["keep_id"].iloc[0] == 1
+
+
+def test_minhash_detects_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    near = base.replace("lazy", "sleepy")
+    far = "completely different content about spark engines and parquet files"
+    pdf = pd.DataFrame({"doc_id": [1, 2, 3], "text": [base, near, far]})
+    pairs = minhash_lsh_pairs(
+        spark.createDataFrame(pdf), min_est_jaccard=0.3
+    ).toPandas()
+    assert ((pairs["a"] == 1) & (pairs["b"] == 2)).any()
+    assert not ((pairs["b"] == 3) | (pairs["a"] == 3)).any()
+
+
+def test_simhash_near_pairs(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    near = base.replace("zeta", "zetaX")
+    pdf = pd.DataFrame({"doc_id": [1, 2], "text": [base, near]})
+    pairs = simhash_near_pairs(spark.createDataFrame(pdf), max_hamming=16).toPandas()
+    assert len(pairs) == 1 and pairs["hamming"].iloc[0] <= 16
+
+
+def test_cosine_topk_selfsimilar(spark):
+    pdf = pd.DataFrame(
+        {
+            "vec_id": [0, 1, 2],
+            "embedding": [[1.0, 0.0], [0.9, 0.1], [0.0, 1.0]],
+        }
+    )
+    df = spark.createDataFrame(pdf, schema="vec_id long, embedding array<float>")
+    out = cosine_topk(df, queries_from_ids(df, [0]), k=2).toPandas()
+    assert out[out["rank"] == 1]["neighbor_id"].iloc[0] == 1
+    assert out[out["rank"] == 2]["neighbor_id"].iloc[0] == 2
+
+
+def test_partition_pruned_scan(spark, tiny_pdf, tmp_path):
+    """S2: a day-filter on the bucketed/day-partitioned sink layout must
+    prune at the partition level (PartitionFilters, not a full scan)."""
+    from tgist_features_spark.sources.corpus import transcripts_df
+
+    io = TableIO(spark, str(tmp_path), n_buckets=4)
+    io.write(transcripts_df(spark, tiny_pdf), "t")
+    day = tiny_pdf["ts"].dt.date.mode()[0]
+    df = spark.read.parquet(io.path("t")).filter(F.col("day") == F.lit(str(day)))
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain()
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "day" in plan
+    got = df.count()
+    expected = int((tiny_pdf["ts"].dt.date == day).sum())
+    assert got == expected

@@ -1,0 +1,71 @@
+"""Physical-plan regression tests: the plans we designed for 100 TB must
+stay the plans Catalyst produces (SURVEY.md §4)."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from tgist_features_spark.operators.asof import asof_join
+from tgist_features_spark.plans.backfill import turn_features
+from tgist_features_spark.sources.corpus import (
+    generate_queries_pdf,
+    queries_df,
+    transcripts_df,
+)
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def frames(spark, tiny_pdf):
+    t = transcripts_df(spark, tiny_pdf)
+    q = queries_df(spark, generate_queries_pdf(tiny_pdf, n_queries=50))
+    return t, q
+
+
+def test_asof_is_single_range_exchange_mergescan(spark, frames):
+    t, q = frames
+    p = _plan(asof_join(q, t, value_cols=["ts", "turn_idx", "role"]))
+    assert "MapInPandas" in p, "as-of must be the bulk merge-scan"
+    assert "FlatMapCoGroupsInPandas" not in p, "no per-group Python calls"
+    assert len(re.findall(r"rangepartitioning", p)) == 1, (
+        "exactly one range exchange feeds the merge"
+    )
+
+
+def test_turn_features_single_layout_shuffle(spark, frames):
+    t, _ = frames
+    p = _plan(turn_features(t))
+    # one planned exchange: the canonical-order range repartition; every
+    # window pass and the text UDF reuse that layout shuffle-free
+    assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 1, p[:1500]
+    assert len(re.findall(r"rangepartitioning", p)) == 1
+
+
+def test_scan_pushdown_and_pruning(spark):
+    df = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .filter(F.col("event_type") == "error")
+        .select("event_id", "ts")
+    )
+    p = _plan(df)
+    assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,error)]" in p
+    assert re.search(r"ReadSchema: struct<event_id:bigint,ts:timestamp_ntz,event_type:string>", p)
+
+
+def test_broadcast_dim_join(spark):
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    c = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    p = _plan(o.join(F.broadcast(c), o.o_custkey == c.c_custkey))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p

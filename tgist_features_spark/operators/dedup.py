@@ -89,14 +89,18 @@ def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    n_hashes: int = 64,
-    bands: int = 16,
+    n_hashes: int = 128,
+    bands: int = 64,
     shingle: int = 3,
     seed: int = 42,
     min_est_jaccard: float = 0.5,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (a < b) with the MinHash-estimated
-    Jaccard. Only same-bucket pairs are ever materialized."""
+    Jaccard. Only same-bucket pairs are ever materialized.
+
+    Default banding 64 bands x 2 rows: candidate-recall threshold
+    ~(1/64)^(1/2) = 0.125 Jaccard — generous recall, with precision
+    restored by the ``min_est_jaccard`` filter on the full signature."""
     rows = n_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle, seed)
     banded = sigs.select(

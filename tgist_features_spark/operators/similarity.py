@@ -20,16 +20,14 @@ from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
 
-def _cosine(a: str, b: str):
-    dot = F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
-    )
-    na = F.sqrt(
-        F.aggregate(F.transform(F.col(a), lambda x: x * x), F.lit(0.0), lambda s, v: s + v)
-    )
-    nb = F.sqrt(
-        F.aggregate(F.transform(F.col(b), lambda x: x * x), F.lit(0.0), lambda s, v: s + v)
-    )
+def _cosine(a, b):
+    """Cosine similarity between two array columns — pure Catalyst
+    (zip_with + aggregate fold), runs inside whole-stage codegen."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
     return dot / (na * nb)
 
 
@@ -122,7 +120,7 @@ def lsh_ann_topk(
     scored = cand.withColumn(
         "cos",
         F.round(
-            _cosine_arrays(F.col("v").cast("array<double>"), F.col("qv").cast("array<double>")), 6
+            _cosine(F.col("v").cast("array<double>"), F.col("qv").cast("array<double>")), 6
         ),
     ).select("q_id", F.col("id").alias("neighbor_id"), "cos")
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
@@ -131,10 +129,3 @@ def lsh_ann_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "rank", "neighbor_id", "cos")
     )
-
-
-def _cosine_arrays(a, b):
-    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
-    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
-    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
-    return dot / (na * nb)
