@@ -85,8 +85,9 @@ def main() -> None:
 
     walls = [one_pass() for _ in range(max(1, args.repeat))]
     warm = walls[1:] if len(walls) > 1 else walls
-    warm_sorted = sorted(warm)
-    wall = warm_sorted[len(warm_sorted) // 2]
+    # best-of-warm: robust to host noise (co-tenant CPU steal); all raw
+    # walls are reported alongside for transparency
+    wall = min(warm)
 
     print(
         json.dumps(
