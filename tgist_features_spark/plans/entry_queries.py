@@ -925,6 +925,32 @@ def q_ann_lsh(spark, sf):
     return lsh_ann_topk(emb, q, dim=64, k=3, n_planes=8)
 
 
+def q_embed_near_dup(spark, sf):
+    """Embedding-cosine near-duplicate pairs (brute-force a<b)."""
+    from tgist_features_spark.operators.similarity import _cosine
+
+    emb = _t(spark, sf, "embeddings")
+    a = emb.select(F.col("vec_id").alias("a"),
+                   F.col("embedding").cast("array<double>").alias("va"))
+    b = emb.select(F.col("vec_id").alias("b"),
+                   F.col("embedding").cast("array<double>").alias("vb"))
+    return (
+        a.join(b, F.col("a") < F.col("b"))
+        .withColumn("cos", F.round(_cosine("va", "vb"), 6))
+        .filter(F.col("cos") >= 0.9)
+        .select("a", "b", "cos")
+    )
+
+
+SQL_EMBED_NEAR_DUP = """
+WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT x.vec_id AS a, y.vec_id AS b,
+       ROUND(list_cosine_similarity(x.v, y.v), 6) AS cos
+FROM t x JOIN t y ON x.vec_id < y.vec_id
+WHERE ROUND(list_cosine_similarity(x.v, y.v), 6) >= 0.9
+"""
+
+
 def q_intersect(spark, sf):
     e = _t(spark, sf, "events")
     a = e.filter(F.col("event_type") == "purchase").select("user_id").distinct()
@@ -1131,6 +1157,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cosine_topk": q_cosine_topk,
     "knn_brute": q_knn_brute,
     "ann_lsh": q_ann_lsh,
+    "embed_near_dup": q_embed_near_dup,
     "intersect": q_intersect,
     "window_ranks": q_window_ranks,
     "string_funcs": q_string_funcs,
@@ -1180,6 +1207,7 @@ ORACLES: dict[str, str] = {
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "cosine_topk": SQL_COSINE_TOPK,
     "knn_brute": SQL_KNN_BRUTE,
+    "embed_near_dup": SQL_EMBED_NEAR_DUP,
     "intersect": SQL_INTERSECT,
     "window_ranks": SQL_WINDOW_RANKS,
     "string_funcs": SQL_STRING_FUNCS,
