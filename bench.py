@@ -24,6 +24,7 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
 from tgist_features_spark import get_spark  # noqa: E402
+from tgist_features_spark.session import warm_python_workers  # noqa: E402
 from tgist_features_spark.plans.entry_queries import QUERIES  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -82,8 +83,9 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     timings: dict[str, float] = {}
-    # warm the JVM/catalog with one cheap action before timing
+    # warm the JVM/catalog and every Python worker before timing
     spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    warm_python_workers(spark)
     for name in HEADLINE:
         t0 = time.perf_counter()
         QUERIES[name](spark, SF_DIR).write.mode("overwrite").format("noop").save()

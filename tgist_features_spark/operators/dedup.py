@@ -77,7 +77,11 @@ def minhash_signatures(
     n_hashes: int = 64,
     shingle: int = 3,
     seed: int = 42,
+    parallelism: int | None = None,
 ) -> DataFrame:
+    if parallelism:
+        # single-file sources otherwise feed the UDF one task
+        df = df.repartition(parallelism)
     @pandas_udf(T.ArrayType(T.LongType()))
     def mh(texts: pd.Series) -> pd.Series:
         return pd.Series(_minhash_batch(texts, n_hashes, shingle, seed))
@@ -102,7 +106,10 @@ def minhash_lsh_pairs(
     ~(1/64)^(1/2) = 0.125 Jaccard — generous recall, with precision
     restored by the ``min_est_jaccard`` filter on the full signature."""
     rows = n_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle, seed)
+    sigs = minhash_signatures(
+        df, id_col, text_col, n_hashes, shingle, seed,
+        parallelism=df.sparkSession.sparkContext.defaultParallelism,
+    )
     banded = sigs.select(
         "id",
         "sig",
