@@ -72,7 +72,7 @@ def _backfill(master: str) -> dict:
          "--queries", os.path.join(CORPUS_DIR, "queries"),
          "--master", master,
          "--shuffle-partitions", str(2 * cores),
-         "--repeat", "4"],
+         "--repeat", "5"],
         check=True, capture_output=True, text=True, env=env,
     )
     return json.loads(res.stdout.strip().splitlines()[-1])

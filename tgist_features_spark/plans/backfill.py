@@ -52,28 +52,52 @@ FEATURE_COLS = [
 
 
 def turn_features(df: DataFrame, gap_s: float = 1800.0) -> DataFrame:
-    """transcripts -> one feature row per turn (entity x timestamp)."""
+    """transcripts -> one feature row per turn (entity x timestamp).
+
+    Fused form of the modular operators (windows.py / sessionize.py —
+    semantics identical, oracle-gated): expressions sharing a frame share
+    one Window node, so the whole feature pass is 4 window passes over the
+    single canonical-order sort instead of 8.
+    """
+    from pyspark.sql import Window
+
+    from tgist_features_spark.functions.timeu import us
+
     out = canonical_order(df)
-    out = with_delta_ts(out)
-    out = with_position(out)
-    out = sessionize(out, gap_s=gap_s)
-    out = with_lag_lead(out, ["role"], lead=True)
-    out = with_ffill(out, ["tool"])
-    out = with_rolling_counts(
-        out,
-        5,
-        {
-            "n_user_5": F.sum(F.when(F.col("role") == "user", 1).otherwise(0)),
-            "n_tool_5": F.sum(F.when(F.col("role") == "tool", 1).otherwise(0)),
-            "roll_chars_5": F.avg(F.length("text")),
-        },
-        include_current=False,
+    w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    w_all = Window.partitionBy("conv_id")
+    w_cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    w_roll = w.rowsBetween(-5, -1)
+
+    # pass 1 — plain offset/frame-free expressions (lag/lead family)
+    prev_ts = F.lag("ts").over(w)
+    out = out.select(
+        "*",
+        ((us(F.col("ts")) - us(prev_ts)) / F.lit(1_000_000.0)).alias("gap_s"),
+        F.lag("role").over(w).alias("prev_role"),
+        F.lead("role").over(w).alias("next_role"),
+        F.count(F.lit(1)).over(w_all).alias("turns_total"),
+    )
+    # pass 2 — cumulative frame (row_number shares the running frame)
+    boundary = F.when(F.col("gap_s") > F.lit(gap_s), 1).otherwise(0)
+    out = out.select(
+        "*",
+        F.row_number().over(w).alias("turn_no"),
+        F.sum(boundary).over(w_cum).cast("long").alias("session_id"),
+        F.last("tool", ignorenulls=True).over(w_cum).alias("last_tool"),
+        F.sum(F.length("text")).over(w_cum).cast("long").alias("cum_chars"),
+    )
+    out = out.withColumn("turns_remaining", F.col("turns_total") - F.col("turn_no"))
+    # pass 3 — trailing row frame (-5..-1): leakage-safe rolling features
+    out = out.select(
+        "*",
+        F.sum(F.when(F.col("role") == "user", 1).otherwise(0)).over(w_roll).alias("n_user_5"),
+        F.sum(F.when(F.col("role") == "tool", 1).otherwise(0)).over(w_roll).alias("n_tool_5"),
+        F.avg(F.length("text")).over(w_roll).alias("roll_chars_5"),
     )
     # empty frame on the first turn -> null; counts are 0 by definition
     out = out.withColumn("n_user_5", F.coalesce("n_user_5", F.lit(0)).cast("long"))
     out = out.withColumn("n_tool_5", F.coalesce("n_tool_5", F.lit(0)).cast("long"))
-    out = with_cumulative(out, {"cum_chars": F.sum(F.length("text"))})
-    out = out.withColumn("cum_chars", F.col("cum_chars").cast("long"))
     out = with_ngram_features(out)
     vec = F.array(*[F.col(c).cast("double") for c in FEATURE_COLS])
     return out.withColumn("feature_vec", vec)
