@@ -102,3 +102,44 @@ def test_incremental_state_matches_batch(spark, corpus_dir, tiny_pdf):
     assert len(got) == len(ref)
     assert (got["turn_no"].to_numpy() == ref["turn_no"].to_numpy()).all()
     assert (got["cum_chars"].to_numpy() == ref["cum_chars"].to_numpy()).all()
+
+
+def test_incremental_state_across_microbatches(spark, tiny_pdf, tmp_path):
+    """State carries across micro-batches: split the corpus into an early
+    and a late half (by global event time), deliver one file per trigger,
+    and require the final output to still match the batch oracle."""
+    import os
+
+    src = str(tmp_path / "batched")
+    os.makedirs(src, exist_ok=True)
+    cut = tiny_pdf["ts"].quantile(0.5)
+    early = tiny_pdf[tiny_pdf["ts"] <= cut]
+    late = tiny_pdf[tiny_pdf["ts"] > cut]
+    # file names sort early < late; file source processes in path order
+    transcripts_df(spark, early).coalesce(1).write.mode("overwrite").parquet(src + "/b=0")
+    transcripts_df(spark, late).coalesce(1).write.mode("overwrite").parquet(src + "/b=1")
+
+    stream = (
+        spark.readStream.schema(
+            __import__("tgist_features_spark.sources.corpus", fromlist=["TRANSCRIPT_SCHEMA"]).TRANSCRIPT_SCHEMA
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/b=*")
+    )
+    name = _run_to_memory(incremental_turn_state(stream), "append")
+    got = (
+        spark.sql(f"SELECT conv_id, turn_idx, turn_no, cum_chars FROM {name}")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    from tgist_features_spark.oracle.pandas_oracle import oracle_turn_features
+
+    ref = (
+        oracle_turn_features(tiny_pdf)[["conv_id", "turn_idx", "turn_no", "cum_chars"]]
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(ref)
+    assert (got["turn_no"].to_numpy() == ref["turn_no"].to_numpy()).all()
+    assert (got["cum_chars"].to_numpy() == ref["cum_chars"].to_numpy()).all()

@@ -925,6 +925,56 @@ def q_ann_lsh(spark, sf):
     return lsh_ann_topk(emb, q, dim=64, k=3, n_planes=8)
 
 
+def q_grouping_sets(spark, sf):
+    """A4 via the SQL surface: GROUPING SETS over lineitem."""
+    _t(spark, sf, "lineitem").createOrReplaceTempView("v_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               CAST(ROUND(SUM(l_quantity)) AS BIGINT) AS sum_qty
+        FROM v_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+SQL_GROUPING_SETS = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       CAST(ROUND(SUM(l_quantity)) AS BIGINT) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+def q_sql_shipping(spark, sf):
+    """Multi-join aggregate through the SQL surface (TPC-H Q3 shape)."""
+    _t(spark, sf, "customer").createOrReplaceTempView("v_customer")
+    _t(spark, sf, "orders").createOrReplaceTempView("v_orders")
+    _t(spark, sf, "lineitem").createOrReplaceTempView("v_lineitem")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, o_orderpriority,
+               COUNT(DISTINCT o_orderkey) AS n_orders,
+               CAST(ROUND(SUM(l_extendedprice * (1 - l_discount))) AS BIGINT) AS revenue
+        FROM v_customer
+        JOIN v_orders ON c_custkey = o_custkey
+        JOIN v_lineitem ON l_orderkey = o_orderkey
+        GROUP BY c_mktsegment, o_orderpriority
+        """
+    )
+
+
+SQL_SQL_SHIPPING = """
+SELECT c_mktsegment, o_orderpriority,
+       COUNT(DISTINCT o_orderkey) AS n_orders,
+       CAST(ROUND(SUM(l_extendedprice * (1 - l_discount))) AS BIGINT) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY c_mktsegment, o_orderpriority
+"""
+
+
 def q_embed_near_dup(spark, sf):
     """Embedding-cosine near-duplicate pairs (brute-force a<b)."""
     from tgist_features_spark.operators.similarity import _cosine
@@ -1158,6 +1208,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_brute": q_knn_brute,
     "ann_lsh": q_ann_lsh,
     "embed_near_dup": q_embed_near_dup,
+    "grouping_sets": q_grouping_sets,
+    "sql_shipping": q_sql_shipping,
     "intersect": q_intersect,
     "window_ranks": q_window_ranks,
     "string_funcs": q_string_funcs,
@@ -1208,6 +1260,8 @@ ORACLES: dict[str, str] = {
     "cosine_topk": SQL_COSINE_TOPK,
     "knn_brute": SQL_KNN_BRUTE,
     "embed_near_dup": SQL_EMBED_NEAR_DUP,
+    "grouping_sets": SQL_GROUPING_SETS,
+    "sql_shipping": SQL_SQL_SHIPPING,
     "intersect": SQL_INTERSECT,
     "window_ranks": SQL_WINDOW_RANKS,
     "string_funcs": SQL_STRING_FUNCS,
