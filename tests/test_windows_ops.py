@@ -1,0 +1,89 @@
+"""Direct unit coverage for the modular window operators (windows.py) —
+the fused plan in plans/backfill.py must stay equivalent to these."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from tgist_features_spark.operators.ordering import canonical_order
+from tgist_features_spark.operators.sessionize import session_bounds, sessionize
+from tgist_features_spark.operators.windows import (
+    with_cumulative,
+    with_delta_ts,
+    with_ffill,
+    with_lag_lead,
+    with_position,
+    with_rolling_counts,
+    with_rolling_time,
+)
+from tgist_features_spark.plans.backfill import turn_features
+from tgist_features_spark.sources.corpus import transcripts_df
+
+
+def _sorted(df):
+    return (
+        df.toPandas()
+        .sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
+def test_modular_ops_equal_fused_plan(spark, tiny_pdf):
+    """Composing the modular operators reproduces the fused turn_features
+    feature columns exactly."""
+    df = canonical_order(transcripts_df(spark, tiny_pdf))
+    out = with_delta_ts(df)
+    out = with_position(out)
+    out = sessionize(out)
+    out = with_lag_lead(out, ["role"])
+    out = with_ffill(out, ["tool"])
+    out = with_rolling_counts(
+        out,
+        5,
+        {
+            "n_user_5": F.sum(F.when(F.col("role") == "user", 1).otherwise(0)),
+            "n_tool_5": F.sum(F.when(F.col("role") == "tool", 1).otherwise(0)),
+            "roll_chars_5": F.avg(F.length("text")),
+        },
+    )
+    out = out.withColumn("n_user_5", F.coalesce("n_user_5", F.lit(0)))
+    out = out.withColumn("n_tool_5", F.coalesce("n_tool_5", F.lit(0)))
+    out = with_cumulative(out, {"cum_chars": F.sum(F.length("text"))})
+    modular = _sorted(out)
+    fused = _sorted(turn_features(transcripts_df(spark, tiny_pdf)))
+    for col in ["gap_s", "turn_no", "turns_total", "turns_remaining",
+                "session_id", "n_user_5", "n_tool_5", "roll_chars_5",
+                "cum_chars"]:
+        np.testing.assert_allclose(
+            modular[col].astype(float).fillna(-1).to_numpy(),
+            fused[col].astype(float).fillna(-1).to_numpy(),
+            err_msg=col,
+        )
+    for col in ["prev_role", "next_role", "last_tool"]:
+        a, b = modular[col], fused[col]
+        assert ((a.isna() & b.isna()) | (a == b)).all(), col
+
+
+def test_rolling_time_frame(spark, tiny_pdf):
+    """W4 time-range frame vs a pandas per-conv double loop oracle."""
+    df = transcripts_df(spark, tiny_pdf)
+    got = _sorted(
+        with_rolling_time(df, 60, {"n_60s": F.count(F.lit(1))})
+    )
+    ref = tiny_pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    exp = []
+    for _cid, g in ref.groupby("conv_id", sort=True):
+        ts = g["ts"].astype("int64").to_numpy()
+        for t in ts:
+            exp.append(int(((ts >= t - 60_000_000) & (ts <= t)).sum()))
+    ref = ref.assign(n=exp).sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert (got["n_60s"].to_numpy() == ref["n"].to_numpy()).all()
+
+
+def test_session_bounds(spark, tiny_pdf):
+    df = sessionize(canonical_order(transcripts_df(spark, tiny_pdf)))
+    b = session_bounds(df).toPandas()
+    assert (b["n_turns"] >= 1).all()
+    assert (b["session_start"] <= b["session_end"]).all()
+    assert b.groupby("conv_id")["n_turns"].sum().sum() == len(tiny_pdf)
