@@ -25,15 +25,6 @@ from tgist_features_spark.operators.asof import (
     asof_join_salted,
 )
 from tgist_features_spark.operators.ordering import canonical_order
-from tgist_features_spark.operators.sessionize import sessionize
-from tgist_features_spark.operators.windows import (
-    with_cumulative,
-    with_delta_ts,
-    with_ffill,
-    with_lag_lead,
-    with_position,
-    with_rolling_counts,
-)
 
 # ordered numeric feature vector layout (allclose contract is per-position)
 FEATURE_COLS = [
