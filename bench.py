@@ -2,13 +2,14 @@
 """Per-round benchmark (driver contract): runs the headline queries at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS], plus the flagship transcript backfill at TWO
-parallelism levels (local[8] vs local[32] — the sandbox form of the N->4N
-executor scaling criterion) on a pre-materialized deterministic corpus.
+parallelism levels (local[2] vs local[8] — the sandbox form of the N->4N
+executor scaling criterion; see BASELINE.md for the hardware-ceiling
+control) on a pre-materialized deterministic corpus.
 
 Prints ONE JSON line:
   {"metric": ..., "value": <total sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": ...,
-   "backfill": {"local8": {...}, "local32": {...}, "scaling_efficiency": E},
+   "backfill": {"local2": {...}, "local8": {...}, "scaling_efficiency": E},
    "backfill_turns_per_sec": ...}
 """
 

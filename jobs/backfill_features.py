@@ -42,7 +42,7 @@ def main() -> None:
     ap.add_argument("--slice-width-s", type=int, default=3600)
     ap.add_argument("--gap-s", type=float, default=1800.0)
     ap.add_argument("--repeat", type=int, default=1,
-                    help="time N passes, report the median of the warm ones")
+                    help="time N passes, report the best of the warm ones")
     args = ap.parse_args()
 
     spark = get_spark(master=args.master, shuffle_partitions=args.shuffle_partitions,

@@ -59,3 +59,11 @@ def test_queries_shape(small_pdf):
     assert len(q) == 200
     unseen = q[~q["conv_id"].isin(set(small_pdf["conv_id"]))]
     assert len(unseen) == 20
+    # exact-timestamp probes within their own conversation must exist —
+    # they are what exercises the <= vs < inclusivity boundary
+    hits = q.merge(
+        small_pdf[["conv_id", "ts"]],
+        left_on=["conv_id", "query_ts"],
+        right_on=["conv_id", "ts"],
+    )
+    assert len(hits) >= 20

@@ -71,7 +71,9 @@ def test_query_vs_oracle(spark, ducks, name):
     oracles = entry_mod.oracle_sql()
     got = q(spark, SF_DIR).toPandas()
     if name not in oracles:
-        assert len(got) >= 0  # rows-only contract
+        # rows-only contract: every oracle-less query is known non-empty
+        # at sf0.01 — an empty result means the operator silently broke
+        assert len(got) > 0, f"{name}: rows-only query returned no rows"
         return
     ref = ducks.sql(oracles[name]).df()
     _compare(got, ref, name)

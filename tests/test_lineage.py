@@ -79,6 +79,7 @@ def test_manifest_contents(spark, tiny_pdf, io):
         "run_id", "snapshot_id", "bucket", "rows_in", "rows_out", "watermark_us"
     }
     assert m["rows_out"].sum() == len(tiny_pdf)
+    assert (m["rows_in"] == m["rows_out"]).all(), "per-bucket rows_in"
     assert (m["watermark_us"] > 0).all()
 
 

@@ -109,10 +109,13 @@ def minhash_lsh_pairs(
     sigs = minhash_signatures(
         df, id_col, text_col, n_hashes, shingle, seed,
         parallelism=df.sparkSession.sparkContext.defaultParallelism,
-    )
+    ).persist()
+    # band WITHOUT the signature payload: the exploded relation that goes
+    # through the band-equality shuffle is (id, band, bhash) only — at the
+    # 100 TB point dragging the 128-long array through 64 bands x 2 join
+    # sides would dominate the job
     banded = sigs.select(
         "id",
-        "sig",
         F.explode(
             F.array(*[
                 F.struct(
@@ -124,7 +127,7 @@ def minhash_lsh_pairs(
                 for i in range(bands)
             ])
         ).alias("bk"),
-    ).select("id", "sig", "bk.band", "bk.bhash")
+    ).select("id", "bk.band", "bk.bhash")
     l, r = banded.alias("l"), banded.alias("r")
     cand = (
         l.join(
@@ -135,14 +138,13 @@ def minhash_lsh_pairs(
                 F.col("l.id") < F.col("r.id"),
             ],
         )
-        .select(
-            F.col("l.id").alias("a"),
-            F.col("r.id").alias("b"),
-            F.col("l.sig").alias("sig_a"),
-            F.col("r.sig").alias("sig_b"),
-        )
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
         .dropDuplicates(["a", "b"])
     )
+    # signatures join back once, onto the (small) deduped candidate set
+    sa = sigs.select(F.col("id").alias("a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("id").alias("b"), F.col("sig").alias("sig_b"))
+    cand = cand.join(sa, "a").join(sb, "b")
     est = F.aggregate(
         F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
         F.lit(0),

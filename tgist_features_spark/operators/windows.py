@@ -108,7 +108,14 @@ def with_rolling_time(
     include_current: bool = True,
 ) -> DataFrame:
     """W4: time-range frame — trailing ``seconds`` window ordered by epoch
-    microseconds (so sub-second gaps still resolve exactly)."""
+    microseconds (so sub-second gaps still resolve exactly).
+
+    ``include_current=False`` bounds the frame at -1 microsecond, which
+    excludes ALL rows sharing the current timestamp, not just the current
+    row — the conservative leakage semantics (co-timestamped rows are
+    simultaneous, so none of them may see each other). This differs from
+    the row-frame ``with_rolling_counts`` where -1 excludes only the
+    current row."""
     hi = 0 if include_current else -1
     w = (
         Window.partitionBy(entity)

@@ -873,7 +873,7 @@ def q_dedup_minhash(spark, sf):
 
 def q_dedup_simhash(spark, sf):
     # SimHash near-dup pairs — rows-only check
-    return simhash_near_pairs(_t(spark, sf, "documents"), max_hamming=8)
+    return simhash_near_pairs(_t(spark, sf, "documents"), max_hamming=3)
 
 
 def q_cosine_topk(spark, sf):

@@ -89,17 +89,25 @@ def run_incremental(
                 "buckets_run": [], "rows_out": 0}
 
     todo = src.filter(F.col("bucket").isin([int(b) for b in pending]))
-    rows_in = todo.count()
+    rows_in_by_bucket = {
+        r["bucket"]: r["n"]
+        for r in todo.groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
     feats = turn_features(todo.drop("bucket"), gap_s=gap_s).withColumn(
         "bucket", bucket_of("conv_id", n_buckets)
     )
 
     # overwrite exactly the pending bucket partitions (crash-safe rerun),
-    # leaving completed buckets untouched
+    # leaving completed buckets untouched; restore the session-level mode
+    # afterwards so other writers keep static-overwrite semantics
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    feats.write.mode("overwrite").partitionBy("bucket").parquet(
-        io.path(FEATURES_TABLE)
-    )
+    try:
+        feats.write.mode("overwrite").partitionBy("bucket").parquet(
+            io.path(FEATURES_TABLE)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
 
     stats = (
         feats.groupBy("bucket")
@@ -109,7 +117,15 @@ def run_incremental(
         )
         .withColumn("run_id", F.lit(run_id))
         .withColumn("snapshot_id", F.lit(snapshot_id))
-        .withColumn("rows_in", F.lit(rows_in))
+        .withColumn(
+            "rows_in",
+            F.element_at(
+                F.create_map(
+                    *[F.lit(x) for kv in rows_in_by_bucket.items() for x in kv]
+                ),
+                F.col("bucket"),
+            ).cast("long"),
+        )
         .select([f.name for f in MANIFEST_SCHEMA.fields])
     )
     stats.write.mode("append").parquet(io.path(MANIFEST_TABLE))

@@ -156,16 +156,19 @@ def generate_queries_pdf(
     """As-of probe side (FIXTURES.md A2): 90% real conv_ids at exact/±ε/out-of
     -range timestamps, 10% unseen conv_ids (must yield null matches)."""
     rng = np.random.default_rng(seed)
-    convs = transcripts["conv_id"].unique()
     ts_by_conv = transcripts.groupby("conv_id")["ts"]
     lo, hi = ts_by_conv.min(), ts_by_conv.max()
 
     n_real = int(n_queries * 0.9)
-    pick = rng.choice(convs, size=n_real)
     rows = []
+    # probes pair a sampled TURN's own (conv_id, ts) so mode 0 really is an
+    # exact timestamp hit within that conversation — this is what exercises
+    # the <= vs < inclusivity boundary of the as-of join
     sampled = transcripts.sample(n=n_real, replace=True, random_state=int(rng.integers(2**31)))
     eps = pd.Timedelta(microseconds=1)
-    for i, (cid, base) in enumerate(zip(pick, sampled["ts"].to_numpy())):
+    for i, (cid, base) in enumerate(
+        zip(sampled["conv_id"].to_numpy(), sampled["ts"].to_numpy())
+    ):
         base = pd.Timestamp(base)
         mode = i % 5
         if mode == 0:

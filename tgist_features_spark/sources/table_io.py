@@ -82,15 +82,23 @@ class TableIO:
         )
 
     def snapshot_id(self, name: str) -> str:
-        """Snapshot surrogate for lineage rows: Iceberg snapshot-id when the
-        jar exists, else a content hash over the file listing (names+sizes)."""
+        """Snapshot surrogate for lineage rows: a hash over the file
+        listing (relative path + size + mtime). With Iceberg installed this
+        would be the table's snapshot-id (self.iceberg gates that path once
+        a runtime jar exists); the surrogate is equivalent for resume
+        purposes as long as rewrites touch mtimes — which every parquet
+        writer does."""
         p = self.path(name)
         h = hashlib.sha256()
         for dirpath, _dirs, files in sorted(os.walk(p)):
+            rel = os.path.relpath(dirpath, p)
             for f in sorted(files):
                 if f.startswith(("_", ".")):
                     continue
                 full = os.path.join(dirpath, f)
+                st = os.stat(full)
+                h.update(rel.encode())
                 h.update(f.encode())
-                h.update(str(os.path.getsize(full)).encode())
+                h.update(str(st.st_size).encode())
+                h.update(str(st.st_mtime_ns).encode())
         return h.hexdigest()[:16]
