@@ -5,26 +5,41 @@ All paths are shuffle-frugal by design for the 100 TB point:
 * exact:     one hash aggregation on a 16-byte digest (no text shuffle —
              md5 computed JVM-side before the exchange, so only the digest
              and ids move).
-* MinHash+LSH: signatures in ONE vectorized pandas UDF pass; banding turns
-             the quadratic all-pairs problem into a groupBy on (band, hash)
-             whose buckets are tiny; candidate pairs emerge from a per-bucket
-             self-join only.
+* MinHash+LSH: signatures in ONE vectorized pandas UDF pass (segmented
+             numpy reduceat over flattened token hashes — no per-doc Python
+             objects); banding turns the quadratic all-pairs problem into a
+             groupBy on (band, hash) whose buckets are tiny; candidate pairs
+             emerge from a per-bucket self-join only. Degenerate buckets
+             (empty/boilerplate texts sharing one signature) are CAPPED:
+             buckets larger than ``max_bucket`` are dropped before the
+             self-join — their content carries no near-dup signal that the
+             exact-dedup stage upstream hasn't already caught, and an
+             uncapped bucket is a within-bucket cartesian product.
 * SimHash:   64-bit signature per doc; near-dup candidates via band-equality
              (4 x 16-bit chunks) — Hamming<=k candidates without any
-             all-pairs step.
-* n-gram Jaccard: explode distinct n-grams -> self-equi-join on the n-gram
-             -> count intersections; union sizes come from a broadcastable
-             per-doc count, so the only big shuffle keys on the n-gram.
+             all-pairs step; same bucket cap.
+* n-gram Jaccard: explode distinct n-grams -> DF-cap (drop grams whose
+             document frequency exceeds ``max_df`` — stopword grams carry
+             ~no Jaccard signal and make the self-join quadratic) ->
+             self-equi-join on the n-gram -> count intersections. Join
+             strategy for the per-doc count tables is left to AQE (they
+             grow linearly with the corpus, so no forced broadcast).
 """
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
+
+from tgist_features_spark.functions.text import _flat_tokens
+
+logger = logging.getLogger(__name__)
 
 # ------------------------------------------------------------------ exact
 
@@ -42,31 +57,125 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
+# --------------------------------------------------------------- bucket cap
+
+
+def cap_buckets(
+    df: DataFrame, keys: list[str], max_bucket: int | None
+) -> DataFrame:
+    """Drop every row of LSH buckets larger than ``max_bucket``.
+
+    One window count over the bucket keys (the rows were headed for a
+    shuffle on the same keys anyway). A bucket over the cap is degenerate —
+    shared boilerplate/empty content — and self-joining it is quadratic;
+    exact duplicates are the exact-dedup stage's job, not LSH's.
+    """
+    if max_bucket is None:
+        return df
+    w = Window.partitionBy(*keys)
+    return (
+        df.withColumn("_bsz", F.count(F.lit(1)).over(w))
+        .filter(F.col("_bsz") <= max_bucket)
+        .drop("_bsz")
+    )
+
+
 # ----------------------------------------------------------- MinHash + LSH
 
 _M61 = np.uint64((1 << 61) - 1)
+_MIXA = np.uint64(0x9E3779B97F4A7C15)
 
 
-def _minhash_batch(texts: pd.Series, n_hashes: int, shingle: int, seed: int) -> list:
+def _shingle_hashes(texts: pd.Series, shingle: int) -> tuple[np.ndarray, np.ndarray]:
+    """Flatten a batch of texts into (shingle_hash_values, per_doc_counts).
+
+    One C-level split + one hash call for the whole batch; word-k-shingle
+    hashes come from a vectorized rolling mix over consecutive token hashes.
+    Docs shorter than ``shingle`` tokens contribute one whole-doc shingle.
+    MinHash is invariant to duplicate shingles (min over a multiset equals
+    min over its set), so no per-doc dedup is needed.
+    """
+    texts = texts.fillna("")
+    n = len(texts)
+    flat, row_id, lens = _flat_tokens(texts)
+    h = (
+        pd.util.hash_array(flat).astype(np.uint64)
+        if len(flat)
+        else np.empty(0, dtype=np.uint64)
+    )
+    k = shingle
+    with np.errstate(over="ignore"):
+        if len(h) >= k:
+            wh = h[: len(h) - k + 1].copy()
+            for j in range(1, k):
+                wh = wh * _MIXA + h[j : len(h) - k + 1 + j]
+            wrow = row_id[: len(h) - k + 1]
+            valid = row_id[: len(h) - k + 1] == row_id[k - 1 :]
+            wh, wrow = wh[valid], wrow[valid]
+        else:
+            wh = np.empty(0, dtype=np.uint64)
+            wrow = np.empty(0, dtype=np.int64)
+
+        counts = np.bincount(wrow, minlength=n).astype(np.int64)
+        short = np.flatnonzero(counts == 0)  # docs with < k tokens (or empty)
+        if len(short):
+            # tiny per-doc fallback: whole-doc shingle (few rows, < k tokens each)
+            starts = np.concatenate(([0], np.cumsum(lens)))
+            extra = np.empty(len(short), dtype=np.uint64)
+            empty_h = pd.util.hash_array(np.array([""], dtype=object)).astype(
+                np.uint64
+            )[0]
+            for i, d in enumerate(short):
+                seg = h[starts[d] : starts[d + 1]]
+                if len(seg) == 0:
+                    extra[i] = empty_h
+                else:
+                    v = seg[0]
+                    for x in seg[1:]:
+                        v = v * _MIXA + x
+                    extra[i] = v
+            wh = np.concatenate([wh, extra])
+            wrow = np.concatenate([wrow, short.astype(np.int64)])
+            order = np.argsort(wrow, kind="stable")
+            wh, wrow = wh[order], wrow[order]
+            counts = np.bincount(wrow, minlength=n).astype(np.int64)
+    return wh, counts
+
+
+def _minhash_batch(
+    texts: pd.Series,
+    n_hashes: int,
+    shingle: int,
+    seed: int,
+    max_chunk_vals: int = 1 << 21,
+) -> list:
+    """MinHash signatures for one Arrow batch: (a*x + b) mod 2^61-1, min per
+    doc via ``np.minimum.reduceat`` over the flattened shingle-hash array —
+    no per-doc Python work. Chunked over docs so the (n_hashes x n_shingles)
+    intermediate stays under ~``max_chunk_vals`` cells."""
     rng = np.random.default_rng(seed)
     a = rng.integers(1, _M61, size=n_hashes, dtype=np.uint64)
     b = rng.integers(0, _M61, size=n_hashes, dtype=np.uint64)
-    out = []
-    for text in texts.fillna(""):
-        toks = text.split()
-        if len(toks) < shingle:
-            shs = [" ".join(toks)] if toks else [""]
-        else:
-            shs = list({
-                " ".join(toks[i : i + shingle])
-                for i in range(len(toks) - shingle + 1)
-            })
-        # stable base hash per shingle (one C call), then n affine transforms
-        base = pd.util.hash_array(np.asarray(shs, dtype=object)).astype(np.uint64)
-        # (a*x + b) mod 2^61-1, min over shingles, vectorized (n_hashes x n_shingles)
-        with np.errstate(over="ignore"):
-            vals = (a[:, None] * (base[None, :] % _M61) + b[:, None]) % _M61
-        out.append(vals.min(axis=1).astype(np.int64).tolist())
+    wh, counts = _shingle_hashes(texts, shingle)
+    n = len(counts)
+    starts = np.concatenate(([0], np.cumsum(counts)))
+    out: list = [None] * n
+    max_cols = max(1, max_chunk_vals // max(n_hashes, 1))
+    d0 = 0
+    with np.errstate(over="ignore"):
+        while d0 < n:
+            d1 = d0
+            while d1 < n and starts[d1 + 1] - starts[d0] <= max_cols:
+                d1 += 1
+            d1 = max(d1, d0 + 1)  # always take >=1 doc even if oversized
+            seg = wh[starts[d0] : starts[d1]] % _M61
+            vals = (a[:, None] * seg[None, :] + b[:, None]) % _M61
+            local = starts[d0:d1] - starts[d0]
+            mins = np.minimum.reduceat(vals, local, axis=1)  # (n_hashes, docs)
+            sig = mins.astype(np.int64).T
+            for i in range(d1 - d0):
+                out[d0 + i] = sig[i]
+            d0 = d1
     return out
 
 
@@ -98,13 +207,22 @@ def minhash_lsh_pairs(
     shingle: int = 3,
     seed: int = 42,
     min_est_jaccard: float = 0.5,
+    max_bucket: int | None = 200,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (a < b) with the MinHash-estimated
-    Jaccard. Only same-bucket pairs are ever materialized.
+    Jaccard. Only same-bucket pairs are ever materialized, and buckets
+    larger than ``max_bucket`` are dropped (degenerate content — see module
+    docstring); the drop count is logged.
 
     Default banding 64 bands x 2 rows: candidate-recall threshold
     ~(1/64)^(1/2) = 0.125 Jaccard — generous recall, with precision
-    restored by the ``min_est_jaccard`` filter on the full signature."""
+    restored by the ``min_est_jaccard`` filter on the full signature.
+
+    The returned DataFrame is materialized and persisted inside this call
+    (it is small — candidate pairs only) so the big signature cache can be
+    released before returning; callers may ``unpersist()`` the result when
+    done with it.
+    """
     rows = n_hashes // bands
     sigs = minhash_signatures(
         df, id_col, text_col, n_hashes, shingle, seed,
@@ -114,20 +232,20 @@ def minhash_lsh_pairs(
     # through the band-equality shuffle is (id, band, bhash) only — at the
     # 100 TB point dragging the 128-long array through 64 bands x 2 join
     # sides would dominate the job
-    banded = sigs.select(
+    # band hash is numeric (xxhash64 over the band's signature elements) —
+    # no array-slice/string casts in the 64-wide projection
+    banded_raw = sigs.select(
         "id",
-        F.explode(
+        F.posexplode(
             F.array(*[
-                F.struct(
-                    F.lit(i).alias("band"),
-                    F.xxhash64(
-                        F.slice("sig", i * rows + 1, rows).cast("string")
-                    ).alias("bhash"),
-                )
+                F.xxhash64(*[
+                    F.element_at("sig", i * rows + j + 1) for j in range(rows)
+                ])
                 for i in range(bands)
             ])
-        ).alias("bk"),
-    ).select("id", "bk.band", "bk.bhash")
+        ).alias("band", "bhash"),
+    )
+    banded = cap_buckets(banded_raw, ["band", "bhash"], max_bucket)
     l, r = banded.alias("l"), banded.alias("r")
     cand = (
         l.join(
@@ -150,11 +268,27 @@ def minhash_lsh_pairs(
         F.lit(0),
         lambda acc, v: acc + v,
     ) / F.lit(float(n_hashes))
-    return (
+    out = (
         cand.withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= min_est_jaccard)
         .select("a", "b", "est_jaccard")
+        .persist()
     )
+    n_pairs = out.count()  # materialize while sigs are cached
+    if max_bucket is not None and logger.isEnabledFor(logging.INFO):
+        dropped = (
+            banded_raw.groupBy("band", "bhash")
+            .count()
+            .filter(F.col("count") > max_bucket)
+            .count()
+        )
+        if dropped:
+            logger.info(
+                "minhash_lsh_pairs: dropped %d oversized buckets (cap=%d); "
+                "%d candidate pairs kept", dropped, max_bucket, n_pairs,
+            )
+    sigs.unpersist()
+    return out
 
 
 # ------------------------------------------------------------------ SimHash
@@ -188,10 +322,14 @@ def simhash_near_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    max_bucket: int | None = 256,
 ) -> DataFrame:
     """Near-dup candidates: docs whose 64-bit simhash agrees on >=1 of 4
     16-bit bands (pigeonhole: Hamming<=3 guarantees a matching band); exact
-    Hamming filter applied on candidates only."""
+    Hamming filter applied on candidates only. Buckets over ``max_bucket``
+    rows are dropped before the self-join (see module docstring) — with the
+    cap the Hamming<=3 guarantee holds only for docs outside degenerate
+    buckets."""
     sigs = simhash_signatures(df, id_col, text_col)
     bands = sigs.select(
         "id",
@@ -208,6 +346,7 @@ def simhash_near_pairs(
             ])
         ).alias("bk"),
     ).select("id", "simhash", "bk.band", "bk.bval")
+    bands = cap_buckets(bands, ["band", "bval"], max_bucket)
     l, r = bands.alias("l"), bands.alias("r")
     cand = (
         l.join(
@@ -243,11 +382,22 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 2,
     min_intersection: int = 2,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard for pairs sharing >= min_intersection n-grams.
 
-    Shuffles key on the n-gram (rare keys at realistic vocab sizes); per-doc
-    n-gram counts are a small broadcastable dim.
+    ``max_df`` drops n-grams whose document frequency exceeds the cap
+    BEFORE the self-join: a gram shared by d docs emits d^2/2 pair rows, so
+    stopword grams ("of the") make the raw self-join quadratic in corpus
+    size while carrying ~no Jaccard signal. With the cap, Jaccard is
+    computed over the capped gram universe on both the intersection and the
+    union side (a consistent similarity definition; per-doc counts are
+    taken after the filter). ``max_df=None`` keeps the exact all-gram
+    semantics for use as a small-scale oracle.
+
+    Shuffles key on the (capped) n-gram; per-doc counts join by doc id with
+    the strategy left to AQE — they grow with the corpus, so no broadcast
+    hint.
     """
     toks = F.split(F.col(text_col), " ")
     grams = df.select(
@@ -264,6 +414,17 @@ def ngram_jaccard_pairs(
             )
         ).alias("g"),
     ).filter(F.col("g").isNotNull())
+    if max_df is not None:
+        # grams are distinct per doc, so count(*) per gram == doc frequency;
+        # the over-cap gram list is the heavy-hitter tail — small, and AQE
+        # turns the anti-join into a broadcast when it fits
+        hot = (
+            grams.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("g")
+        )
+        grams = grams.join(hot, "g", "left_anti")
     counts = grams.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
     l, r = grams.alias("l"), grams.alias("r")
     inter = (
@@ -275,8 +436,8 @@ def ngram_jaccard_pairs(
     ca = counts.select(F.col("id").alias("a"), F.col("n_grams").alias("na"))
     cb = counts.select(F.col("id").alias("b"), F.col("n_grams").alias("nb"))
     return (
-        inter.join(F.broadcast(ca), "a")
-        .join(F.broadcast(cb), "b")
+        inter.join(ca, "a")
+        .join(cb, "b")
         .withColumn(
             "jaccard",
             F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")),

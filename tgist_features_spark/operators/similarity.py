@@ -97,6 +97,43 @@ def lsh_signatures(
     )
 
 
+def _lsh_multi_buckets(
+    df: DataFrame,
+    dim: int,
+    n_planes: int,
+    n_tables: int,
+    seed: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(id, v, table, bucket) — one row per (vector, hash table).
+
+    All tables' buckets come out of ONE vectorized UDF pass over the scan
+    (a single (batch, n_tables*n_planes) matmul), then one explode; the big
+    side is still read exactly once."""
+    rng = np.random.default_rng(seed)
+    planes = rng.normal(size=(n_tables * n_planes, dim)).astype(np.float64)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def buckets(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy())  # (batch, dim)
+        bits = (m @ planes.T) > 0  # (batch, n_tables*n_planes)
+        b = bits.reshape(len(m), n_tables, n_planes) @ weights  # (batch, n_tables)
+        return pd.Series(list(b.astype(np.int64)))
+
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        buckets(F.col(vec_col).cast("array<double>")).alias("bks"),
+    )
+    return sig.select(
+        "id",
+        "v",
+        F.posexplode("bks").alias("table", "bucket"),
+    )
+
+
 def lsh_ann_topk(
     df: DataFrame,
     queries: DataFrame,
@@ -106,16 +143,36 @@ def lsh_ann_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_tables: int = 1,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: exact cosine re-rank restricted to same-bucket
-    candidates. Recall grows as n_planes shrinks (bigger buckets)."""
-    base = lsh_signatures(df, dim, n_planes, seed, id_col, vec_col)
-    qsig = lsh_signatures(
+    candidates, unioned across ``n_tables`` independent hyperplane tables
+    (recall compounds per table: a true neighbor is missed only if it lands
+    in a different bucket in EVERY table). Recall also grows as n_planes
+    shrinks (bigger buckets).
+
+    ``max_bucket`` bounds the per-(table, bucket) candidate count: buckets
+    keep a deterministic hash-ordered subset of at most ``max_bucket``
+    vectors, so a degenerate bucket (many near-identical vectors) cannot go
+    quadratic against the queries it contains — best-effort recall inside
+    the cap instead of an unbounded blow-up."""
+    base = _lsh_multi_buckets(df, dim, n_planes, n_tables, seed, id_col, vec_col)
+    if max_bucket is not None:
+        wb = Window.partitionBy("table", "bucket").orderBy(F.xxhash64("id"))
+        base = (
+            base.withColumn("_rn", F.row_number().over(wb))
+            .filter(F.col("_rn") <= max_bucket)
+            .drop("_rn")
+        )
+    qsig = _lsh_multi_buckets(
         queries.select(F.col("q_id").alias(id_col), F.col("q_vec").alias(vec_col)),
-        dim, n_planes, seed,
-    ).select(F.col("id").alias("q_id"), F.col("v").alias("qv"), "bucket")
-    cand = base.join(F.broadcast(qsig), on="bucket").filter(
-        F.col("id") != F.col("q_id")
+        dim, n_planes, n_tables, seed, id_col, vec_col,
+    ).select(F.col("id").alias("q_id"), F.col("v").alias("qv"), "table", "bucket")
+    cand = (
+        base.join(F.broadcast(qsig), on=["table", "bucket"])
+        .filter(F.col("id") != F.col("q_id"))
+        .dropDuplicates(["q_id", "id"])  # same pair may match in >1 table
     )
     scored = cand.withColumn(
         "cos",
