@@ -99,3 +99,22 @@ def test_crash_without_manifest_row_is_overwritten(spark, tiny_pdf, io):
     run_incremental(spark, io, df, "snap-f", run_id="r2", n_buckets=4)
     total = read_features(io).count()
     assert total == len(tiny_pdf), "bucket rewrite must not duplicate rows"
+
+
+def test_zero_row_buckets_get_manifest_rows(spark, tiny_pdf, io):
+    """A pending bucket with no input rows must still record a manifest row
+    (rows_out=0) — otherwise it is re-selected as pending on every resume
+    forever and the 'rerun is noop' contract breaks."""
+    df = transcripts_df(spark, tiny_pdf)
+    n_buckets = 64  # far more buckets than conversations -> some are empty
+    s1 = run_incremental(spark, io, df, "snap-z", run_id="r1", n_buckets=n_buckets)
+    assert s1["buckets_run"] == list(range(n_buckets))
+    assert done_buckets(io, "snap-z") == list(range(n_buckets))
+    m = spark.read.parquet(io.path("manifest")).toPandas()
+    assert len(m) == n_buckets
+    empties = m[m["rows_out"] == 0]
+    assert len(empties) > 0, "fixture should leave some buckets empty"
+    assert (empties["rows_in"] == 0).all()
+    assert empties["watermark_us"].isna().all()
+    s2 = run_incremental(spark, io, df, "snap-z", run_id="r2", n_buckets=n_buckets)
+    assert s2["buckets_run"] == [] and s2["rows_out"] == 0

@@ -1,0 +1,189 @@
+"""Recall/precision gates for the probabilistic dedup + ANN operators.
+
+"Returns rows" is not "works": these tests measure the probabilistic ops
+against exact ground truth the repo can compute itself —
+
+* MinHash est_jaccard vs exact n-gram Jaccard on a seeded near-dup corpus
+  (recall floor + estimate-error band),
+* LSH-ANN recall@k vs brute-force cosine top-k on a clustered embedding
+  corpus (the operator's design regime: true near neighbors exist), plus a
+  re-rank exactness check on the real testdata (every returned score must
+  equal the brute-force score for that pair),
+* bucket-cap behavior under degenerate input (1k identical texts) and
+  DF-cap behavior under a corpus-wide hot gram — bounded output instead of
+  a quadratic blow-up, with normal pairs unaffected.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tgist_features_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+)
+from tgist_features_spark.operators.similarity import cosine_topk, lsh_ann_topk
+
+VOCAB = 500
+
+
+def _near_dup_corpus(n_base: int = 40, doc_len: int = 80, seed: int = 7) -> pd.DataFrame:
+    """2*n_base docs: each base doc plus a copy with ~8% of words mutated —
+    true 3-gram Jaccard of each (2b, 2b+1) pair lands around 0.5-0.7."""
+    rng = np.random.default_rng(seed)
+    words = np.array([f"w{i}" for i in range(VOCAB)], dtype=object)
+    rows = []
+    did = 0
+    for _ in range(n_base):
+        base = rng.integers(0, VOCAB, size=doc_len)
+        rows.append((did, " ".join(words[base])))
+        did += 1
+        mut = base.copy()
+        idx = rng.choice(doc_len, size=max(1, doc_len // 12), replace=False)
+        mut[idx] = rng.integers(0, VOCAB, size=len(idx))
+        rows.append((did, " ".join(words[mut])))
+        did += 1
+    return pd.DataFrame(rows, columns=["doc_id", "text"])
+
+
+def test_minhash_recall_and_estimate_vs_exact_jaccard(spark):
+    pdf = _near_dup_corpus()
+    df = spark.createDataFrame(pdf)
+    exact = ngram_jaccard_pairs(df, n=3, min_intersection=1).toPandas()
+    truth = exact[exact["jaccard"] >= 0.5]
+    assert len(truth) >= 30, "fixture must produce enough true near-dup pairs"
+
+    mh = minhash_lsh_pairs(df, min_est_jaccard=0.25).toPandas()
+    mh_pairs = set(zip(mh["a"], mh["b"]))
+    hits = sum((a, b) in mh_pairs for a, b in zip(truth["a"], truth["b"]))
+    recall = hits / len(truth)
+    assert recall >= 0.9, f"MinHash recall {recall:.3f} < 0.9 on true pairs"
+
+    # estimate accuracy: matched pairs' est_jaccard within 0.25 of exact
+    merged = mh.merge(truth, on=["a", "b"])
+    err = (merged["est_jaccard"] - merged["jaccard"]).abs()
+    assert (err <= 0.25).all(), f"max |est - exact| = {err.max():.3f}"
+
+    # precision guard: candidates from unrelated base docs should be rare
+    unrelated = mh[(mh["a"] // 2) != (mh["b"] // 2)]
+    assert len(unrelated) <= max(2, 0.1 * len(mh)), (
+        f"{len(unrelated)}/{len(mh)} candidate pairs join unrelated docs"
+    )
+
+
+def _clustered_embeddings(
+    n_clusters: int = 60, per: int = 5, dim: int = 32, seed: int = 11
+):
+    rng = np.random.default_rng(seed)
+    rows = []
+    vid = 0
+    for _ in range(n_clusters):
+        c = rng.normal(size=dim)
+        c /= np.linalg.norm(c)
+        for _ in range(per):
+            v = c + 0.05 * rng.normal(size=dim)
+            v /= np.linalg.norm(v)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    return rows, dim
+
+
+def test_ann_lsh_recall_on_clustered_corpus(spark):
+    rows, dim = _clustered_embeddings()
+    emb = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    q = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    brute = cosine_topk(emb, q, k=3).toPandas()
+    ann = lsh_ann_topk(
+        emb, q, dim=dim, k=3, n_planes=8, n_tables=8, max_bucket=4096
+    ).toPandas()
+    bt = brute.groupby("q_id")["neighbor_id"].agg(set).to_dict()
+    at = ann.groupby("q_id")["neighbor_id"].agg(set).to_dict()
+    recalls = [len(bt[qid] & at.get(qid, set())) / len(bt[qid]) for qid in bt]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.9, f"ANN recall@3 {mean_recall:.3f} < 0.9"
+
+
+def test_ann_lsh_rerank_scores_are_exact(spark):
+    """On the real (near-orthogonal) testdata ANN recall is inherently low —
+    no true near neighbors exist for hyperplane LSH to preserve — but every
+    score it DOES return must be the exact brute-force cosine for that pair
+    (re-rank is exact on candidates)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    ann = lsh_ann_topk(emb, q, dim=64, k=3, n_planes=8, n_tables=8).toPandas()
+    assert len(ann) > 0
+    brute_all = cosine_topk(emb, q, k=10**6).toPandas()  # all scored pairs
+    key = brute_all.set_index(["q_id", "neighbor_id"])["cos"].to_dict()
+    for r in ann.itertuples():
+        assert key[(r.q_id, r.neighbor_id)] == pytest.approx(r.cos, abs=1e-9)
+
+
+def _degenerate_corpus(n_identical: int = 1000) -> pd.DataFrame:
+    boiler = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"
+    rows = [(i, boiler) for i in range(n_identical)]
+    # four genuine near-dup docs on top of the degenerate block: 60 shared
+    # tokens + 1 differing keeps the pair within simhash Hamming<=3 AND at
+    # 3-gram Jaccard ~0.9
+    base_a = " ".join(f"alpha{i}" for i in range(60))
+    base_b = " ".join(f"num{i}" for i in range(60))
+    rows += [
+        (n_identical + 0, base_a + " s0"),
+        (n_identical + 1, base_a + " s3"),
+        (n_identical + 2, base_b + " ten"),
+        (n_identical + 3, base_b + " eleven"),
+    ]
+    return pd.DataFrame(rows, columns=["doc_id", "text"])
+
+
+def test_minhash_bucket_cap_bounds_degenerate_input(spark):
+    pdf = _degenerate_corpus()
+    df = spark.createDataFrame(pdf)
+    pairs = minhash_lsh_pairs(df, min_est_jaccard=0.3, max_bucket=200).toPandas()
+    # the 1000-identical block would emit ~500k pairs uncapped; with the cap
+    # its buckets are dropped entirely and only the genuine near-dups remain
+    assert len(pairs) <= 6, f"{len(pairs)} pairs — degenerate bucket leaked"
+    got = set(zip(pairs["a"], pairs["b"]))
+    assert (1000, 1001) in got and (1002, 1003) in got
+    assert all(a >= 1000 for a, _ in got), "identical-block pair leaked"
+    # ...and exact dedup (the right tool for identical docs) catches the block
+    dd = exact_dedup(df).toPandas()
+    assert int(dd["n"].max()) == 1000
+
+
+def test_simhash_bucket_cap_bounds_degenerate_input(spark):
+    pdf = _degenerate_corpus()
+    df = spark.createDataFrame(pdf)
+    pairs = simhash_near_pairs(df, max_hamming=3, max_bucket=256).toPandas()
+    assert all(a >= 1000 for a in pairs["a"]), "identical-block pair leaked"
+    assert len(pairs) <= 6
+    got = set(zip(pairs["a"], pairs["b"]))
+    assert (1000, 1001) in got and (1002, 1003) in got
+
+
+def test_ngram_jaccard_df_cap_bounds_hot_gram(spark):
+    """A bigram present in EVERY doc must not make the self-join quadratic:
+    with max_df, pair count is bounded by genuine co-occurrence only."""
+    rng = np.random.default_rng(3)
+    words = np.array([f"w{i}" for i in range(2000)], dtype=object)
+    rows = []
+    for i in range(400):
+        tail = " ".join(words[rng.choice(2000, size=20, replace=False)])
+        rows.append((i, f"of the {tail}"))  # "of the" is in all 400 docs
+    # one genuine near-dup pair
+    rows.append((400, "red green blue cyan magenta yellow black white"))
+    rows.append((401, "red green blue cyan magenta yellow black grey"))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    pairs = ngram_jaccard_pairs(df, n=2, min_intersection=2, max_df=50).toPandas()
+    # uncapped, the hot bigram alone contributes 400*399/2 ~ 80k pair rows to
+    # the intersection join; capped, only genuinely-similar docs pair up
+    assert len(pairs) <= 50, f"{len(pairs)} pairs — hot gram leaked"
+    assert (400, 401) in set(zip(pairs["a"], pairs["b"]))

@@ -58,7 +58,7 @@ def test_windowed_counts_match_batch(spark, corpus_dir, tiny_pdf):
 
 def test_session_window_matches_batch_session_count(spark, corpus_dir, tiny_pdf):
     stream = read_transcript_stream(spark, corpus_dir)
-    name = _run_to_memory(session_window_stats(stream, gap="30 minutes"), "complete")
+    name = _run_to_memory(session_window_stats(stream, gap_s=1800.0), "complete")
     got = (
         spark.sql(f"SELECT conv_id, COUNT(*) AS n_sessions FROM {name} GROUP BY 1")
         .toPandas()
@@ -143,3 +143,42 @@ def test_incremental_state_across_microbatches(spark, tiny_pdf, tmp_path):
     assert len(got) == len(ref)
     assert (got["turn_no"].to_numpy() == ref["turn_no"].to_numpy()).all()
     assert (got["cum_chars"].to_numpy() == ref["cum_chars"].to_numpy()).all()
+
+
+def test_session_gap_exact_threshold_matches_batch(spark, tmp_path):
+    """A gap of EXACTLY the threshold must sessionize identically on both
+    surfaces. Empirically session_window MERGES events whose gap equals the
+    duration (inclusive end) and cuts only on gap > duration — identical to
+    batch sessionize's strict-> cut, so both the exact-threshold gap (merge)
+    and the 1-microsecond-over gap (cut) must agree with batch."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c1"] * 3 + ["c2"] * 2,
+            "turn_idx": [0, 1, 2, 0, 1],
+            "role": ["user"] * 5,
+            "text": ["x"] * 5,
+            "tool": [None] * 5,
+            "ts": pd.to_datetime(
+                [0, 1800_000_000_000, 3600_000_000_000,  # exact 1800s gaps
+                 0, 1800_000_001_000],                    # 1800.000001s gap
+            ),
+        }
+    )
+    src = str(tmp_path / "exact_gap")
+    transcripts_df(spark, pdf).coalesce(1).write.mode("overwrite").parquet(src)
+    stream = read_transcript_stream(spark, src)
+    name = _run_to_memory(session_window_stats(stream, gap_s=1800.0), "complete")
+    got = (
+        spark.sql(f"SELECT conv_id, COUNT(*) AS n FROM {name} GROUP BY 1")
+        .toPandas().set_index("conv_id")["n"].to_dict()
+    )
+    batch = (
+        sessionize(transcripts_df(spark, pdf), gap_s=1800.0)
+        .groupBy("conv_id").agg((F.max("session_id") + 1).alias("n"))
+        .toPandas().set_index("conv_id")["n"].to_dict()
+    )
+    # c1: exact-threshold gaps merge (1 session); c2: gap just over cuts (2)
+    assert batch == {"c1": 1, "c2": 2}
+    assert got == batch

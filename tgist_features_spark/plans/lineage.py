@@ -109,32 +109,47 @@ def run_incremental(
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
 
-    stats = (
-        feats.groupBy("bucket")
+    # manifest stats come from READING BACK the bucket partitions just
+    # written (partition-pruned scan), not from re-running the feature plan:
+    # the expensive plan executes exactly once (the sink write above), and
+    # the manifest records what is actually on disk — no drift window.
+    # explicit schema: when every pending bucket had zero input rows the
+    # write produced no part files, and schema inference would fail
+    written = (
+        io.spark.read.schema(feats.schema)
+        .parquet(io.path(FEATURES_TABLE))
+        .filter(F.col("bucket").isin([int(b) for b in pending]))
+    )
+    stat_rows = {
+        int(r["bucket"]): r
+        for r in written.groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("rows_out"),
             F.max(us("ts")).alias("watermark_us"),
         )
-        .withColumn("run_id", F.lit(run_id))
-        .withColumn("snapshot_id", F.lit(snapshot_id))
-        .withColumn(
-            "rows_in",
-            F.element_at(
-                F.create_map(
-                    *[F.lit(x) for kv in rows_in_by_bucket.items() for x in kv]
-                ),
-                F.col("bucket"),
-            ).cast("long"),
+        .collect()
+    }
+    # every pending bucket gets a manifest row — including zero-input
+    # buckets (rows_out=0, watermark NULL), which otherwise would be
+    # re-selected as pending on every resume forever
+    manifest_rows = [
+        (
+            run_id,
+            snapshot_id,
+            int(b),
+            int(rows_in_by_bucket.get(b, 0)),
+            int(stat_rows[b]["rows_out"]) if b in stat_rows else 0,
+            stat_rows[b]["watermark_us"] if b in stat_rows else None,
         )
-        .select([f.name for f in MANIFEST_SCHEMA.fields])
-    )
+        for b in pending
+    ]
+    stats = spark.createDataFrame(manifest_rows, MANIFEST_SCHEMA)
     stats.write.mode("append").parquet(io.path(MANIFEST_TABLE))
-    summary_rows = stats.collect()
     return {
         "snapshot_id": snapshot_id,
         "buckets_done": sorted(done),
-        "buckets_run": sorted(r["bucket"] for r in summary_rows),
-        "rows_out": sum(r["rows_out"] for r in summary_rows),
+        "buckets_run": sorted(pending),
+        "rows_out": sum(r[4] for r in manifest_rows),
     }
 
 

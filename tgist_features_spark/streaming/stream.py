@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import Any
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -65,9 +66,17 @@ def windowed_turn_counts(
 
 
 def session_window_stats(
-    stream: DataFrame, gap: str = "30 minutes", delay: str = "30 minutes"
+    stream: DataFrame, gap_s: float = 1800.0, delay: str = "30 minutes"
 ) -> DataFrame:
-    """T3: streaming sessionize via session_window (gap-merged windows)."""
+    """T3: streaming sessionize via session_window (gap-merged windows).
+
+    Gap inclusivity matches batch ``sessionize`` exactly: empirically
+    (tests/test_streaming.py::test_session_gap_exact_threshold_matches_batch)
+    ``session_window`` MERGES two events whose gap equals the duration and
+    cuts only when the gap is strictly greater — the same "cut when
+    gap > gap_s" rule the batch surface uses, so no duration adjustment
+    is needed."""
+    gap = f"{int(round(gap_s * 1_000_000))} microseconds"
     return (
         stream.withWatermark("ts", delay)
         .groupBy("conv_id", F.session_window("ts", gap).alias("sw"))
@@ -106,24 +115,49 @@ def _incr_fn(key: Any, pdfs, state: GroupState):
     micro-batches. Within a batch rows are processed in (ts, turn_idx)
     order; across batches the source must deliver in event-time order
     (true for the bootstrap replay; late rows are handled by the dedup +
-    watermark stage upstream)."""
+    watermark stage upstream).
+
+    Vectorized: one numpy cumsum/diff pass per pandas batch, offset by
+    the carried state — no per-row Python loop."""
     if state.exists:
         n_turns, last_ts_us, cum_chars = state.get
     else:
         n_turns, last_ts_us, cum_chars = 0, None, 0
-    out = []
+    frames = []
     for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
         pdf = pdf.sort_values(["ts", "turn_idx"], kind="mergesort")
-        for ts, turn_idx, text in zip(pdf["ts"], pdf["turn_idx"], pdf["text"]):
-            ts_us = int(pd.Timestamp(ts).value // 1000)
-            gap = (ts_us - last_ts_us) / 1e6 if last_ts_us is not None else None
-            n_turns += 1
-            cum_chars += len(text) if isinstance(text, str) else 0
-            out.append((key[0], turn_idx, n_turns, gap, cum_chars))
-            last_ts_us = ts_us
+        ts_us = (pdf["ts"].astype("int64") // 1000).to_numpy()
+        chars = pdf["text"].str.len().fillna(0).astype("int64").to_numpy()
+        gap = np.empty(len(pdf), dtype=np.float64)
+        gap[1:] = (ts_us[1:] - ts_us[:-1]) / 1e6
+        gap[0] = (
+            (ts_us[0] - last_ts_us) / 1e6 if last_ts_us is not None else np.nan
+        )
+        turn_no = n_turns + 1 + np.arange(len(pdf), dtype=np.int64)
+        cum = cum_chars + np.cumsum(chars)
+        frames.append(
+            pd.DataFrame(
+                {
+                    "conv_id": key[0],
+                    "turn_idx": pdf["turn_idx"].to_numpy(),
+                    "turn_no": turn_no,
+                    "gap_s": gap,
+                    "cum_chars": cum,
+                }
+            )
+        )
+        n_turns += len(pdf)
+        cum_chars = int(cum[-1])
+        last_ts_us = int(ts_us[-1])
     state.update((n_turns, last_ts_us, cum_chars))
-    yield pd.DataFrame(
-        out, columns=["conv_id", "turn_idx", "turn_no", "gap_s", "cum_chars"]
+    yield (
+        pd.concat(frames, ignore_index=True)
+        if frames
+        else pd.DataFrame(
+            columns=["conv_id", "turn_idx", "turn_no", "gap_s", "cum_chars"]
+        )
     )
 
 
