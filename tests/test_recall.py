@@ -187,3 +187,30 @@ def test_ngram_jaccard_df_cap_bounds_hot_gram(spark):
     # the intersection join; capped, only genuinely-similar docs pair up
     assert len(pairs) <= 50, f"{len(pairs)} pairs — hot gram leaked"
     assert (400, 401) in set(zip(pairs["a"], pairs["b"]))
+
+
+def test_ivf_ann_recall_on_clustered_corpus(spark):
+    from tgist_features_spark.operators.similarity import ivf_ann_topk
+
+    rows, dim = _clustered_embeddings()
+    emb = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    q = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    brute = cosine_topk(emb, q, k=3).toPandas()
+    ann = ivf_ann_topk(emb, q, dim=dim, k=3, n_centroids=32, nprobe=4).toPandas()
+    bt = brute.groupby("q_id")["neighbor_id"].agg(set).to_dict()
+    at = ann.groupby("q_id")["neighbor_id"].agg(set).to_dict()
+    recalls = [len(bt[qid] & at.get(qid, set())) / len(bt[qid]) for qid in bt]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.9, f"IVF recall@3 {mean_recall:.3f} < 0.9"
+
+
+def test_ivf_centroids_deterministic(spark):
+    from tgist_features_spark.operators.similarity import fit_ivf_centroids
+
+    rows, dim = _clustered_embeddings()
+    emb = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    c1 = fit_ivf_centroids(emb, dim, n_centroids=16, seed=5)
+    c2 = fit_ivf_centroids(emb.repartition(7), dim, n_centroids=16, seed=5)
+    np.testing.assert_allclose(c1, c2, err_msg="centroids must not depend on layout")

@@ -5,9 +5,16 @@ dot products (whole-stage codegen, no Python), broadcast of the (small)
 query side, per-query top-k via window rank — the plan survives scale-out
 because the big side is never shuffled, only scanned.
 
-The scale path is LSH bucketing (random hyperplanes, deterministic seed):
-signatures in one vectorized pandas UDF, candidates from a bucket
-equi-join, exact cosine re-ranking on candidates only.
+Two scale paths:
+
+* LSH bucketing (random hyperplanes, deterministic seed): signatures in
+  one vectorized pandas UDF, candidates from a bucket equi-join, exact
+  cosine re-ranking on candidates only; multi-table for recall.
+* IVF (inverted-file) cells: centroids fit driver-side on a deterministic
+  hash-sample (k-means-lite, bounded sample regardless of corpus size),
+  broadcast into ONE vectorized assignment UDF; queries probe their
+  ``nprobe`` nearest cells and re-rank exactly — the big side is scanned
+  once and shuffled only on the (small-cardinality) cell id.
 """
 
 from __future__ import annotations
@@ -173,6 +180,117 @@ def lsh_ann_topk(
         base.join(F.broadcast(qsig), on=["table", "bucket"])
         .filter(F.col("id") != F.col("q_id"))
         .dropDuplicates(["q_id", "id"])  # same pair may match in >1 table
+    )
+    scored = cand.withColumn(
+        "cos",
+        F.round(
+            _cosine(F.col("v").cast("array<double>"), F.col("qv").cast("array<double>")), 6
+        ),
+    ).select("q_id", F.col("id").alias("neighbor_id"), "cos")
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "neighbor_id", "cos")
+    )
+
+
+# ------------------------------------------------------------------- IVF
+
+
+def fit_ivf_centroids(
+    df: DataFrame,
+    dim: int,
+    n_centroids: int = 64,
+    sample_target: int = 4096,
+    n_iters: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Spherical k-means-lite on a deterministic hash-sample.
+
+    The sample filter is ``xxhash64(id) % S == 0`` — pushdown-friendly,
+    layout-independent, and bounded at ~``sample_target`` rows no matter
+    the corpus size, so the driver-side fit stays O(sample) at 100 TB.
+    Returns L2-normalized centroids, deterministic for a given seed.
+    """
+    n = df.count()
+    s = max(1, n // max(sample_target, n_centroids))
+    sample = (
+        df.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(s)) == 0)
+        .select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
+        .toPandas()
+        .sort_values("id")  # stable order regardless of partitioning
+    )
+    m = np.stack(sample["v"].to_numpy()).astype(np.float64)
+    m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    init = rng.choice(len(m), size=min(n_centroids, len(m)), replace=False)
+    cents = m[np.sort(init)].copy()
+    for _ in range(n_iters):
+        assign = np.argmax(m @ cents.T, axis=1)
+        for c in range(len(cents)):
+            members = m[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                nv = np.linalg.norm(v)
+                if nv > 1e-12:
+                    cents[c] = v / nv
+    return cents
+
+
+def ivf_ann_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_centroids: int = 64,
+    nprobe: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """Approximate top-k via inverted-file cells: every corpus vector is
+    assigned to its nearest centroid (one vectorized UDF pass), every query
+    probes its ``nprobe`` nearest cells, and candidates are re-ranked with
+    the exact cosine. Recall grows with ``nprobe`` (= n_centroids it
+    degenerates to exact brute force)."""
+    if centroids is None:
+        centroids = fit_ivf_centroids(
+            df, dim, n_centroids, seed=seed, id_col=id_col, vec_col=vec_col
+        )
+    cents = centroids
+
+    @pandas_udf(T.LongType())
+    def cell_of(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy())
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(m @ cents.T, axis=1).astype(np.int64))
+
+    nprobe = min(nprobe, len(cents))
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def probe_cells(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy())
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sim = m @ cents.T
+        top = np.argpartition(-sim, nprobe - 1, axis=1)[:, :nprobe]
+        return pd.Series(list(top.astype(np.int64)))
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        cell_of(F.col(vec_col).cast("array<double>")).alias("cell"),
+    )
+    qcells = queries.select(
+        "q_id",
+        F.col("q_vec").alias("qv"),
+        F.explode(probe_cells(F.col("q_vec").cast("array<double>"))).alias("cell"),
+    )
+    cand = base.join(F.broadcast(qcells), on="cell").filter(
+        F.col("id") != F.col("q_id")
     )
     scored = cand.withColumn(
         "cos",

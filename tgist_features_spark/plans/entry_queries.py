@@ -951,6 +951,18 @@ def q_ann_lsh(spark, sf):
     return lsh_ann_topk(emb, q, dim=64, k=3, n_planes=8, n_tables=8, max_bucket=4096)
 
 
+def q_ivf_ann(spark, sf):
+    # IVF-cell approximate NN — rows-only check (sketch/index operator);
+    # recall@3 vs brute force is gated in tests/test_recall.py
+    from tgist_features_spark.operators.similarity import ivf_ann_topk
+
+    emb = _t(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return ivf_ann_topk(emb, q, dim=64, k=3, n_centroids=32, nprobe=8)
+
+
 def q_grouping_sets(spark, sf):
     """A4 via the SQL surface: GROUPING SETS over lineitem."""
     _t(spark, sf, "lineitem").createOrReplaceTempView("v_lineitem")
@@ -1247,6 +1259,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "ann_lsh": q_ann_lsh,
+    "ivf_ann": q_ivf_ann,
     "canonical_order": q_canonical_order,
     "lag_lead": q_lag_lead,
     "sessionize": q_sessionize,
@@ -1285,6 +1298,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_brute": q_knn_brute,
     "sql_shipping": q_sql_shipping,
     "window_ranks": q_window_ranks,
+    # tail: already hash-green in CORRECTNESS_r01 with redundant coverage
     "string_funcs": q_string_funcs,
     "session_stats": q_session_stats,
     "cumulative": q_cumulative,
