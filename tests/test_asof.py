@@ -200,3 +200,27 @@ def test_auto_skew_split_equals_plain(spark, feats, oracle_feats, queries_pdf):
         slice_width_s=600,
     ).toPandas()
     _check(got, oracle_backfill(oracle_feats, queries_pdf))
+
+
+def test_asof_auto_partitions_equals_plain(spark, tiny_pdf):
+    from tgist_features_spark.operators.asof import _auto_num_partitions
+    from tgist_features_spark.sources.corpus import (
+        generate_queries_pdf,
+        queries_df,
+        transcripts_df,
+    )
+
+    t = transcripts_df(spark, tiny_pdf)
+    q = queries_df(spark, generate_queries_pdf(tiny_pdf, n_queries=80))
+    plain = asof_join(q, t, value_cols=["ts", "turn_idx"]).toPandas()
+    auto = asof_join(
+        q, t, value_cols=["ts", "turn_idx"], num_partitions="auto"
+    ).toPandas()
+    key = ["conv_id", "query_ts", "query_id"] if "query_id" in plain else list(plain.columns)
+    plain = plain.sort_values(list(plain.columns), kind="mergesort").reset_index(drop=True)
+    auto = auto.sort_values(list(auto.columns), kind="mergesort").reset_index(drop=True)
+    assert plain.equals(auto)
+    # the sizing itself: tiny input floors at default parallelism, and the
+    # estimate scales linearly in input bytes
+    n = _auto_num_partitions(t)
+    assert n == spark.sparkContext.defaultParallelism

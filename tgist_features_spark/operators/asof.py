@@ -47,6 +47,24 @@ _PANDAS_NULLABLE = {
 }
 
 
+# target bytes of unioned input per merge-scan task ("auto" partition
+# sizing): 64 MB of on-wire data keeps the per-task pandas buffer (roughly
+# 2-4x expansion) comfortably inside executor memory at any input scale
+ASOF_TARGET_PARTITION_BYTES = 64 << 20
+
+
+def _auto_num_partitions(u: DataFrame) -> int:
+    """Partition count from Catalyst's size estimate of the unioned input —
+    no extra jobs (statistics come from file sizes / plan estimation). Never
+    below the cluster's default parallelism."""
+    try:
+        size = int(u._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        size = 0
+    floor = u.sparkSession.sparkContext.defaultParallelism
+    return max(floor, min(1 << 20, size // ASOF_TARGET_PARTITION_BYTES + 1))
+
+
 def _null_dtype(spark_type: T.DataType) -> object:
     if isinstance(spark_type, T.TimestampType):
         return "datetime64[us]"
@@ -180,7 +198,7 @@ def asof_join(
     allow_exact_matches: bool = True,
     value_cols: list[str] | None = None,
     tiebreak: tuple[str, ...] = ("turn_idx",),
-    num_partitions: int | None = None,
+    num_partitions: int | str | None = None,
 ) -> DataFrame:
     """Point-in-time join: probe (entity, query_ts) x build (entity, ts).
 
@@ -194,8 +212,12 @@ def asof_join(
 
     Memory: one partition is materialized per task (exactly like a sort-
     merge join buffer); size partitions via ``num_partitions`` /
-    ``spark.sql.shuffle.partitions``. A single entity bigger than a healthy
-    partition is the *skew* case — route through ``asof_join_auto``.
+    ``spark.sql.shuffle.partitions``, or pass ``num_partitions="auto"`` to
+    size them from Catalyst's size estimate of the unioned input
+    (~``ASOF_TARGET_PARTITION_BYTES`` per task — keeps the per-task pandas
+    buffer bounded as inputs grow, with zero extra jobs). A single entity
+    bigger than a healthy partition is the *skew* case — route through
+    ``asof_join_auto``.
     """
     assert direction in ("backward", "forward")
     by_list = [by] if isinstance(by, str) else list(by)
@@ -231,6 +253,8 @@ def asof_join(
         *[F.col(t).alias(n) for t, n in zip(tb, tb_names)],
     )
     u = l.unionByName(r.select(*l.columns))
+    if num_partitions == "auto":
+        num_partitions = _auto_num_partitions(u)
     if num_partitions:
         u = u.repartitionByRange(num_partitions, *by_list)
     else:
