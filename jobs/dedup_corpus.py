@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Production corpus-dedup job — ships as spark-submit --py-files.
+
+    spark-submit --master local[32] --py-files tgist_features_spark.zip \
+        jobs/dedup_corpus.py --input /path/documents_parquet \
+        --output /path/kept --drop-log /path/drops --threshold 0.7
+
+Exact dedup (md5 hash-agg) then MinHash+LSH near-dedup with the keep-first
+policy (plans/dedup_pipeline.py). Prints one JSON line with input/kept/
+dropped counts, wall time and docs/sec. Also runnable directly with python.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tgist_features_spark import get_spark  # noqa: E402
+from tgist_features_spark.session import warm_python_workers  # noqa: E402
+from tgist_features_spark.plans.dedup_pipeline import dedup_corpus  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="documents parquet path")
+    ap.add_argument("--output", default="noop", help="kept-docs path or 'noop'")
+    ap.add_argument("--drop-log", default=None, help="drop-log parquet path")
+    ap.add_argument("--master", default=None)
+    ap.add_argument("--shuffle-partitions", type=int, default=None)
+    ap.add_argument("--threshold", type=float, default=0.7,
+                    help="min MinHash-estimated Jaccard to call a near-dup")
+    ap.add_argument("--max-bucket", type=int, default=200,
+                    help="LSH bucket cap (degenerate-bucket guard)")
+    args = ap.parse_args()
+
+    spark = get_spark(master=args.master,
+                      shuffle_partitions=args.shuffle_partitions,
+                      app_name="tgist-dedup")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = spark.read.parquet(args.input)
+    n_in = docs.count()  # warm the scan before timing
+    warm_python_workers(spark)
+
+    t0 = time.perf_counter()
+    kept, drop_log = dedup_corpus(
+        docs, min_est_jaccard=args.threshold, max_bucket=args.max_bucket
+    )
+    if args.output == "noop":
+        kept.write.mode("overwrite").format("noop").save()
+        n_kept = kept.count()
+    else:
+        kept.write.mode("overwrite").parquet(args.output)
+        n_kept = spark.read.parquet(args.output).count()
+    if args.drop_log:
+        drop_log.write.mode("overwrite").parquet(args.drop_log)
+    wall = time.perf_counter() - t0
+
+    print(json.dumps({
+        "job": "dedup_corpus",
+        "docs_in": n_in,
+        "docs_kept": n_kept,
+        "docs_dropped": n_in - n_kept,
+        "threshold": args.threshold,
+        "wall_s": round(wall, 3),
+        "docs_per_sec": round(n_in / wall, 1),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

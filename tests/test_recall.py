@@ -214,3 +214,23 @@ def test_ivf_centroids_deterministic(spark):
     c1 = fit_ivf_centroids(emb, dim, n_centroids=16, seed=5)
     c2 = fit_ivf_centroids(emb.repartition(7), dim, n_centroids=16, seed=5)
     np.testing.assert_allclose(c1, c2, err_msg="centroids must not depend on layout")
+
+
+def test_dedup_pipeline_end_to_end(spark):
+    """Exact stage absorbs the degenerate block (so LSH never sees it),
+    near stage drops the larger id of each near-dup pair."""
+    from tgist_features_spark.plans.dedup_pipeline import dedup_corpus
+
+    pdf = _degenerate_corpus()
+    df = spark.createDataFrame(pdf)
+    kept, drops = dedup_corpus(df, min_est_jaccard=0.5)
+    kept_ids = sorted(r["doc_id"] for r in kept.select("doc_id").collect())
+    assert kept_ids == [0, 1000, 1002], kept_ids
+    dl = drops.toPandas()
+    exact = dl[dl["reason"] == "exact"]
+    near = dl[dl["reason"] == "near"]
+    assert len(exact) == 999 and (exact["dup_of"] == 0).all()
+    assert set(zip(near["doc_id"], near["dup_of"])) == {(1001, 1000), (1003, 1002)}
+    assert (near["est_jaccard"] >= 0.5).all()
+    # invariant: kept + dropped partitions the input exactly
+    assert len(dl) + len(kept_ids) == len(pdf)

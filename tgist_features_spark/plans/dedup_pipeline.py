@@ -1,0 +1,87 @@
+"""End-to-end corpus deduplication plan (training-data pipeline surface).
+
+Stage order matters at scale:
+
+1. **exact** — md5 hash-agg keeps the smallest doc_id per distinct text.
+   This is the stage that absorbs degenerate mass duplication (boilerplate,
+   empty docs), which is exactly the input the LSH bucket caps guard
+   against — after this stage no bucket is degenerate by construction.
+2. **near** — MinHash+LSH candidate pairs over the exact survivors; for
+   every pair (a < b, est_jaccard >= threshold) the larger id is dropped in
+   favor of the smaller ("keep first"). Greedy pairwise dropping is the
+   standard near-dedup policy for training corpora: deterministic, one
+   pass, no iterative connected-components job; transitive chains can drop
+   slightly more than a full CC pass would keep — the conservative
+   direction for dedup.
+
+Everything is DataFrame-only: two hash aggregations, the banded LSH join,
+and two anti-joins; no driver-side loops, no collects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tgist_features_spark.operators.dedup import exact_dedup, minhash_lsh_pairs
+
+
+def dedup_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_est_jaccard: float = 0.7,
+    n_hashes: int = 128,
+    bands: int = 64,
+    max_bucket: int | None = 200,
+) -> tuple[DataFrame, DataFrame]:
+    """Returns (kept_docs, drop_log).
+
+    ``drop_log`` columns: (doc_id, dup_of, reason in {'exact','near'},
+    est_jaccard — null for exact drops).
+    """
+    fp = exact_dedup(docs, id_col, text_col)  # (fp, n, keep_id)
+    with_fp = docs.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("fp")
+    ).join(fp.select("fp", "keep_id"), "fp")
+    exact_drops = (
+        with_fp.filter(F.col(id_col) != F.col("keep_id"))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.col("keep_id").alias("dup_of"),
+            F.lit("exact").alias("reason"),
+            F.lit(None).cast("double").alias("est_jaccard"),
+        )
+    )
+    exact_kept = docs.join(
+        fp.select(F.col("keep_id").alias(id_col)), id_col, "left_semi"
+    )
+
+    pairs = minhash_lsh_pairs(
+        exact_kept,
+        id_col=id_col,
+        text_col=text_col,
+        n_hashes=n_hashes,
+        bands=bands,
+        min_est_jaccard=min_est_jaccard,
+        max_bucket=max_bucket,
+    )
+    # keep-first policy: for each near-dup pair (a < b) drop b; a doc that
+    # appears as b in several pairs keeps its smallest partner as dup_of
+    # (deterministic via the min aggregation)
+    near_drops = (
+        pairs.groupBy(F.col("b").alias("doc_id"))
+        .agg(
+            F.min("a").alias("dup_of"),
+            F.max("est_jaccard").alias("est_jaccard"),
+        )
+        .select(
+            "doc_id",
+            "dup_of",
+            F.lit("near").alias("reason"),
+            "est_jaccard",
+        )
+    )
+    kept = exact_kept.join(near_drops.select("doc_id"), id_col, "left_anti")
+    drop_log = exact_drops.unionByName(near_drops)
+    return kept, drop_log
