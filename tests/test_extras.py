@@ -105,3 +105,31 @@ def test_partition_pruned_scan(spark, tiny_pdf, tmp_path):
     got = df.count()
     expected = int((tiny_pdf["ts"].dt.date == day).sum())
     assert got == expected
+
+
+def test_doc_features_fused_plan(spark):
+    """The fused per-document pass must (a) carry every feature column,
+    (b) agree with the individually-oracle-gated pieces, and (c) stay a
+    single scan with no shuffle (pure projection + one Arrow UDF)."""
+    import contextlib
+    import io as _io
+
+    from pyspark.sql import functions as F
+
+    from tgist_features_spark.plans.doc_features import DOC_FEATURE_COLS, doc_features
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = doc_features(docs)
+    assert set(DOC_FEATURE_COLS) <= set(out.columns)
+    pdf = out.select("doc_id", "fp", "plen", "n_tokens", "lang_pred").toPandas()
+    assert len(pdf) == docs.count()
+    assert pdf["fp"].notna().all() and pdf["lang_pred"].notna().all()
+    # cross-check one column against the standalone fingerprint query shape
+    md5 = docs.select("doc_id", F.md5("text").alias("fp")).toPandas()
+    merged = pdf.merge(md5, on="doc_id", suffixes=("", "_ref"))
+    assert (merged["fp"] == merged["fp_ref"]).all()
+    # plan: no exchange anywhere — scan -> project -> (ArrowEval) only
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    assert "Exchange" not in buf.getvalue()
