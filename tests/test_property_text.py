@@ -50,3 +50,60 @@ def test_ngram_stats_match_naive_sets(rows):
     assert got["trigram_distinct"].tolist() == [
         len({(a, b, c) for a, b, c in zip(t, t[1:], t[2:])}) for t in toks
     ]
+
+
+# ---------------------------------------------------------------- MinHash
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from tgist_features_spark.operators.dedup import _MIXA, _M61, _minhash_batch
+
+
+def _naive_minhash(texts, n_hashes, shingle, seed):
+    """Reference implementation: per-doc python loop, same hash family."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _M61, size=n_hashes, dtype=np.uint64)
+    b = rng.integers(0, _M61, size=n_hashes, dtype=np.uint64)
+    out = []
+    for text in texts:
+        toks = (text or "").split()
+        th = pd.util.hash_array(np.asarray(toks, dtype=object)).astype(np.uint64) \
+            if toks else np.empty(0, np.uint64)
+        shingles = []
+        with np.errstate(over="ignore"):
+            if len(th) >= shingle:
+                for i in range(len(th) - shingle + 1):
+                    v = th[i]
+                    for x in th[i + 1 : i + shingle]:
+                        v = v * _MIXA + x
+                    shingles.append(v)
+            else:  # whole-doc shingle (empty doc -> hash of "")
+                if len(th) == 0:
+                    v = pd.util.hash_array(np.array([""], dtype=object)).astype(np.uint64)[0]
+                else:
+                    v = th[0]
+                    for x in th[1:]:
+                        v = v * _MIXA + x
+                shingles.append(v)
+            sh = np.asarray(shingles, dtype=np.uint64) % _M61
+            vals = (a[:, None] * sh[None, :] + b[:, None]) % _M61
+        out.append(vals.min(axis=1).astype(np.int64))
+    return out
+
+
+_token = st.text(alphabet="abcxyz", min_size=1, max_size=4)
+_doc = st.lists(_token, min_size=0, max_size=12).map(" ".join)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(_doc, min_size=1, max_size=12))
+def test_minhash_segmented_matches_naive(docs):
+    """The segmented reduceat vectorization must agree with a naive per-doc
+    loop on every doc — including empty docs, sub-shingle docs, and batch
+    boundaries (tiny chunk size forces multi-chunk paths)."""
+    got = _minhash_batch(pd.Series(docs), n_hashes=8, shingle=3, seed=9,
+                         max_chunk_vals=16)
+    ref = _naive_minhash(docs, n_hashes=8, shingle=3, seed=9)
+    for g, r in zip(got, ref):
+        np.testing.assert_array_equal(np.asarray(g), r)
