@@ -52,7 +52,8 @@ def main() -> None:
         docs, min_est_jaccard=args.threshold, max_bucket=args.max_bucket
     )
     if args.output == "noop":
-        kept.write.mode("overwrite").format("noop").save()
+        # count() materializes the whole DAG — a separate noop write would
+        # execute everything a second time
         n_kept = kept.count()
     else:
         kept.write.mode("overwrite").parquet(args.output)

@@ -118,3 +118,28 @@ def test_zero_row_buckets_get_manifest_rows(spark, tiny_pdf, io):
     assert empties["watermark_us"].isna().all()
     s2 = run_incremental(spark, io, df, "snap-z", run_id="r2", n_buckets=n_buckets)
     assert s2["buckets_run"] == [] and s2["rows_out"] == 0
+
+
+def test_stale_partition_cleared_for_zero_input_bucket(spark, tiny_pdf, io):
+    """Reusing a warehouse across snapshots: a bucket that had rows under
+    snapshot A but zero input rows under snapshot B must not leak A's data
+    into B's features or B's manifest stats."""
+    from tgist_features_spark.plans.lineage import bucket_of
+    from pyspark.sql import functions as F
+
+    df = transcripts_df(spark, tiny_pdf)
+    run_incremental(spark, io, df, "snap-s1", run_id="r1", n_buckets=4)
+    feats_a = read_features(io)
+    a_bucket3 = feats_a.filter(F.col("bucket") == 3).count()
+    assert a_bucket3 > 0, "fixture should populate bucket 3 under snapshot A"
+
+    # snapshot B: remove every conversation that hashes to bucket 3
+    df_b = df.withColumn("b", bucket_of("conv_id", 4)).filter("b <> 3").drop("b")
+    run_incremental(spark, io, df_b, "snap-s2", run_id="r2", n_buckets=4)
+    assert read_features(io).filter(F.col("bucket") == 3).count() == 0, (
+        "snapshot A's rows must not linger in B's bucket-3 partition"
+    )
+    m = spark.read.parquet(io.path("manifest")).toPandas()
+    b3 = m[(m["snapshot_id"] == "snap-s2") & (m["bucket"] == 3)]
+    assert len(b3) == 1 and int(b3["rows_out"].iloc[0]) == 0
+    assert int(b3["rows_in"].iloc[0]) == 0

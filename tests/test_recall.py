@@ -145,26 +145,34 @@ def _degenerate_corpus(n_identical: int = 1000) -> pd.DataFrame:
 
 
 def test_minhash_bucket_cap_bounds_degenerate_input(spark):
+    cap = 200
     pdf = _degenerate_corpus()
     df = spark.createDataFrame(pdf)
-    pairs = minhash_lsh_pairs(df, min_est_jaccard=0.3, max_bucket=200).toPandas()
-    # the 1000-identical block would emit ~500k pairs uncapped; with the cap
-    # its buckets are dropped entirely and only the genuine near-dups remain
-    assert len(pairs) <= 6, f"{len(pairs)} pairs — degenerate bucket leaked"
+    pairs = minhash_lsh_pairs(df, min_est_jaccard=0.3, max_bucket=cap).toPandas()
+    # the 1000-identical block would emit ~500k pairs uncapped; the cap keeps
+    # the SAME deterministic <=cap subset in every band, so its distinct
+    # pair output is bounded by C(cap, 2) — while genuine near-dups outside
+    # the block are untouched
+    assert len(pairs) <= cap * (cap - 1) // 2 + 6, f"{len(pairs)} pairs"
+    block = pairs[(pairs["a"] < 1000) & (pairs["b"] < 1000)]
+    block_ids = set(block["a"]) | set(block["b"])
+    assert len(block_ids) <= cap, "more than cap distinct block docs paired"
     got = set(zip(pairs["a"], pairs["b"]))
     assert (1000, 1001) in got and (1002, 1003) in got
-    assert all(a >= 1000 for a, _ in got), "identical-block pair leaked"
     # ...and exact dedup (the right tool for identical docs) catches the block
     dd = exact_dedup(df).toPandas()
     assert int(dd["n"].max()) == 1000
 
 
 def test_simhash_bucket_cap_bounds_degenerate_input(spark):
+    cap = 256
     pdf = _degenerate_corpus()
     df = spark.createDataFrame(pdf)
-    pairs = simhash_near_pairs(df, max_hamming=3, max_bucket=256).toPandas()
-    assert all(a >= 1000 for a in pairs["a"]), "identical-block pair leaked"
-    assert len(pairs) <= 6
+    pairs = simhash_near_pairs(df, max_hamming=3, max_bucket=cap).toPandas()
+    assert len(pairs) <= cap * (cap - 1) // 2 + 6
+    block = pairs[(pairs["a"] < 1000) & (pairs["b"] < 1000)]
+    block_ids = set(block["a"]) | set(block["b"])
+    assert len(block_ids) <= cap, "more than cap distinct block docs paired"
     got = set(zip(pairs["a"], pairs["b"]))
     assert (1000, 1001) in got and (1002, 1003) in got
 

@@ -62,6 +62,10 @@ def _auto_num_partitions(u: DataFrame) -> int:
     except Exception:
         size = 0
     floor = u.sparkSession.sparkContext.defaultParallelism
+    if size <= 0 or size >= (1 << 60):
+        # no statistics (or the unknown-size sentinel, Long.MaxValue-ish):
+        # fall back to the cluster default rather than a huge shuffle
+        return floor
     return max(floor, min(1 << 20, size // ASOF_TARGET_PARTITION_BYTES + 1))
 
 

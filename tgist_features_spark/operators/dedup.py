@@ -11,10 +11,11 @@ All paths are shuffle-frugal by design for the 100 TB point:
              groupBy on (band, hash) whose buckets are tiny; candidate pairs
              emerge from a per-bucket self-join only. Degenerate buckets
              (empty/boilerplate texts sharing one signature) are CAPPED:
-             buckets larger than ``max_bucket`` are dropped before the
-             self-join — their content carries no near-dup signal that the
-             exact-dedup stage upstream hasn't already caught, and an
-             uncapped bucket is a within-bucket cartesian product.
+             every bucket keeps a deterministic ``max_bucket``-row subset
+             (same ids across bands) before the self-join, bounding the
+             worst-case pair output at C(max_bucket, 2) instead of a
+             within-bucket cartesian product while still collapsing giant
+             near-dup clusters among the kept subset.
 * SimHash:   64-bit signature per doc; near-dup candidates via band-equality
              (4 x 16-bit chunks) — Hamming<=k candidates without any
              all-pairs step; same bucket cap.
@@ -61,22 +62,27 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 
 
 def cap_buckets(
-    df: DataFrame, keys: list[str], max_bucket: int | None
+    df: DataFrame, keys: list[str], max_bucket: int | None, id_col: str = "id"
 ) -> DataFrame:
-    """Drop every row of LSH buckets larger than ``max_bucket``.
+    """Keep a deterministic ``max_bucket``-row subset of every LSH bucket.
 
-    One window count over the bucket keys (the rows were headed for a
-    shuffle on the same keys anyway). A bucket over the cap is degenerate —
-    shared boilerplate/empty content — and self-joining it is quadratic;
-    exact duplicates are the exact-dedup stage's job, not LSH's.
+    One window over the bucket keys (the rows were headed for a shuffle on
+    the same keys anyway), ordered by ``xxhash64(id)`` so the SAME ids
+    survive in every bucket/band: distinct pairs from a degenerate bucket
+    are then bounded by C(max_bucket, 2) total — not per band — instead of
+    a cartesian blow-up. Unlike dropping the whole bucket, a giant
+    NEAR-duplicate cluster (templated docs, not byte-identical, so exact
+    dedup can't touch it) still collapses among its kept subset; members
+    outside the subset survive this pass (re-run after dropping, or raise
+    the cap, for a full collapse — the conservative direction for dedup).
     """
     if max_bucket is None:
         return df
-    w = Window.partitionBy(*keys)
+    w = Window.partitionBy(*keys).orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
     return (
-        df.withColumn("_bsz", F.count(F.lit(1)).over(w))
-        .filter(F.col("_bsz") <= max_bucket)
-        .drop("_bsz")
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_bucket)
+        .drop("_rn")
     )
 
 
@@ -211,8 +217,9 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Candidate near-duplicate pairs (a < b) with the MinHash-estimated
     Jaccard. Only same-bucket pairs are ever materialized, and buckets
-    larger than ``max_bucket`` are dropped (degenerate content — see module
-    docstring); the drop count is logged.
+    larger than ``max_bucket`` are capped to a deterministic subset
+    (degenerate content — see module docstring); the over-cap bucket count
+    is logged.
 
     Default banding 64 bands x 2 rows: candidate-recall threshold
     ~(1/64)^(1/2) = 0.125 Jaccard — generous recall, with precision
@@ -284,8 +291,8 @@ def minhash_lsh_pairs(
         )
         if dropped:
             logger.info(
-                "minhash_lsh_pairs: dropped %d oversized buckets (cap=%d); "
-                "%d candidate pairs kept", dropped, max_bucket, n_pairs,
+                "minhash_lsh_pairs: capped %d oversized buckets to %d rows "
+                "each; %d candidate pairs kept", dropped, max_bucket, n_pairs,
             )
     sigs.unpersist()
     return out
@@ -327,9 +334,10 @@ def simhash_near_pairs(
     """Near-dup candidates: docs whose 64-bit simhash agrees on >=1 of 4
     16-bit bands (pigeonhole: Hamming<=3 guarantees a matching band); exact
     Hamming filter applied on candidates only. Buckets over ``max_bucket``
-    rows are dropped before the self-join (see module docstring) — with the
-    cap the Hamming<=3 guarantee holds only for docs outside degenerate
-    buckets."""
+    rows keep a deterministic subset before the self-join (see module
+    docstring) — with the cap the Hamming<=3 guarantee holds for docs whose
+    shared band-bucket is within the cap, and for the kept subset of
+    degenerate buckets."""
     sigs = simhash_signatures(df, id_col, text_col)
     bands = sigs.select(
         "id",

@@ -223,7 +223,15 @@ def fit_ivf_centroids(
         .toPandas()
         .sort_values("id")  # stable order regardless of partitioning
     )
+    if len(sample) == 0:
+        raise ValueError(
+            "fit_ivf_centroids: empty sample — the corpus has no rows"
+        )
     m = np.stack(sample["v"].to_numpy()).astype(np.float64)
+    if m.shape[1] != dim:
+        raise ValueError(
+            f"fit_ivf_centroids: vectors are {m.shape[1]}-dim, expected {dim}"
+        )
     m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
     init = rng.choice(len(m), size=min(n_centroids, len(m)), replace=False)

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from tgist_features_spark.operators.dedup import exact_dedup, minhash_lsh_pairs
+from tgist_features_spark.operators.dedup import minhash_lsh_pairs
 
 
 def dedup_corpus(
@@ -40,12 +40,15 @@ def dedup_corpus(
     ``drop_log`` columns: (doc_id, dup_of, reason in {'exact','near'},
     est_jaccard — null for exact drops).
     """
-    fp = exact_dedup(docs, id_col, text_col)  # (fp, n, keep_id)
-    with_fp = docs.select(
-        F.col(id_col), F.md5(F.col(text_col)).alias("fp")
-    ).join(fp.select("fp", "keep_id"), "fp")
+    # null-safe fingerprint: md5(NULL) is NULL, which an equi-join would
+    # silently drop — NULL-text docs must dedup against each other and be
+    # ACCOUNTED for in the drop log (kept + dropped partitions the input)
+    fp_expr = F.coalesce(F.md5(F.col(text_col)), F.lit("__null_text__"))
+    with_fp = docs.select(F.col(id_col), fp_expr.alias("fp"))
+    fp = with_fp.groupBy("fp").agg(F.min(id_col).alias("keep_id"))
     exact_drops = (
-        with_fp.filter(F.col(id_col) != F.col("keep_id"))
+        with_fp.join(fp, "fp")
+        .filter(F.col(id_col) != F.col("keep_id"))
         .select(
             F.col(id_col).alias("doc_id"),
             F.col("keep_id").alias("dup_of"),
@@ -67,19 +70,16 @@ def dedup_corpus(
         max_bucket=max_bucket,
     )
     # keep-first policy: for each near-dup pair (a < b) drop b; a doc that
-    # appears as b in several pairs keeps its smallest partner as dup_of
-    # (deterministic via the min aggregation)
+    # appears as b in several pairs logs its smallest partner as dup_of and
+    # THAT pair's est_jaccard (struct-min keeps the two fields consistent)
     near_drops = (
         pairs.groupBy(F.col("b").alias("doc_id"))
-        .agg(
-            F.min("a").alias("dup_of"),
-            F.max("est_jaccard").alias("est_jaccard"),
-        )
+        .agg(F.min(F.struct("a", "est_jaccard")).alias("best"))
         .select(
             "doc_id",
-            "dup_of",
+            F.col("best.a").alias("dup_of"),
             F.lit("near").alias("reason"),
-            "est_jaccard",
+            F.col("best.est_jaccard").alias("est_jaccard"),
         )
     )
     kept = exact_kept.join(near_drops.select("doc_id"), id_col, "left_anti")

@@ -22,6 +22,9 @@ once visibility through the manifest.
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -109,26 +112,40 @@ def run_incremental(
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
 
+    # a pending bucket with ZERO input rows is never touched by the dynamic
+    # partition overwrite, so a PRIOR snapshot's data could linger in its
+    # directory and pollute both read_features and the read-back stats —
+    # clear such directories explicitly (the Iceberg form of this is the
+    # REPLACE semantics of the snapshot commit)
+    pending_with_rows = [b for b in pending if rows_in_by_bucket.get(b, 0) > 0]
+    for b in pending:
+        if b not in rows_in_by_bucket:
+            pdir = os.path.join(io.path(FEATURES_TABLE), f"bucket={int(b)}")
+            if os.path.isdir(pdir):
+                shutil.rmtree(pdir)
+
     # manifest stats come from READING BACK the bucket partitions just
     # written (partition-pruned scan), not from re-running the feature plan:
     # the expensive plan executes exactly once (the sink write above), and
     # the manifest records what is actually on disk — no drift window.
     # explicit schema: when every pending bucket had zero input rows the
     # write produced no part files, and schema inference would fail
-    written = (
-        io.spark.read.schema(feats.schema)
-        .parquet(io.path(FEATURES_TABLE))
-        .filter(F.col("bucket").isin([int(b) for b in pending]))
-    )
-    stat_rows = {
-        int(r["bucket"]): r
-        for r in written.groupBy("bucket")
-        .agg(
-            F.count(F.lit(1)).alias("rows_out"),
-            F.max(us("ts")).alias("watermark_us"),
+    stat_rows: dict = {}
+    if pending_with_rows:
+        written = (
+            io.spark.read.schema(feats.schema)
+            .parquet(io.path(FEATURES_TABLE))
+            .filter(F.col("bucket").isin([int(b) for b in pending_with_rows]))
         )
-        .collect()
-    }
+        stat_rows = {
+            int(r["bucket"]): r
+            for r in written.groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("rows_out"),
+                F.max(us("ts")).alias("watermark_us"),
+            )
+            .collect()
+        }
     # every pending bucket gets a manifest row — including zero-input
     # buckets (rows_out=0, watermark NULL), which otherwise would be
     # re-selected as pending on every resume forever

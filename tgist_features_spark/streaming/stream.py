@@ -128,7 +128,10 @@ def _incr_fn(key: Any, pdfs, state: GroupState):
         if len(pdf) == 0:
             continue
         pdf = pdf.sort_values(["ts", "turn_idx"], kind="mergesort")
-        ts_us = (pdf["ts"].astype("int64") // 1000).to_numpy()
+        # pin the unit: astype("int64") on a datetime series returns its
+        # NATIVE resolution (ns today, us under arrow-backed dtypes) —
+        # convert to datetime64[us] first so ts_us is microseconds always
+        ts_us = pdf["ts"].to_numpy(dtype="datetime64[us]").astype("int64")
         chars = pdf["text"].str.len().fillna(0).astype("int64").to_numpy()
         gap = np.empty(len(pdf), dtype=np.float64)
         gap[1:] = (ts_us[1:] - ts_us[:-1]) / 1e6
