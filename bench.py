@@ -63,6 +63,16 @@ def _ensure_corpus() -> None:
     open(marker, "w").close()
 
 
+def _wait_for_quiet_host(threshold: float = 3.0, max_wait_s: int = 300) -> None:
+    """Co-tenant load inflates wide-run walls asymmetrically (BASELINE.md
+    'Host-noise note'); give each scaling attempt up to max_wait_s to start
+    in a quiet window, then proceed regardless (loadavg is recorded)."""
+    waited = 0
+    while os.getloadavg()[0] > threshold and waited < max_wait_s:
+        time.sleep(15)
+        waited += 15
+
+
 def _backfill(master: str) -> dict:
     env = dict(os.environ)
     env["SPARK_GRAFT_CPUS"] = master.split("[")[1].rstrip("]")
@@ -120,6 +130,7 @@ def main() -> None:
         # loadavg per attempt as evidence; every raw wall stays in the JSON.
         attempts = []
         for _ in range(2):
+            _wait_for_quiet_host()
             b2 = _backfill("local[2]")
             b8 = _backfill("local[8]")
             eff = b8["turns_per_sec"] / (4.0 * b2["turns_per_sec"])

@@ -84,10 +84,11 @@ def main() -> None:
         return time.perf_counter() - t0
 
     walls = [one_pass() for _ in range(max(1, args.repeat))]
-    warm = walls[1:] if len(walls) > 1 else walls
-    # best-of-warm: robust to host noise (co-tenant CPU steal); all raw
-    # walls are reported alongside for transparency
-    wall = min(warm)
+    # every pass is warm (the job pre-warms the scan, the Python workers and
+    # the codegen path before timing), so best-of-ALL is the honest
+    # steady-state wall and is robust to host noise (co-tenant CPU steal);
+    # all raw walls are reported alongside for transparency
+    wall = min(walls)
 
     print(
         json.dumps(
