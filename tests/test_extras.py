@@ -133,3 +133,29 @@ def test_doc_features_fused_plan(spark):
     with contextlib.redirect_stdout(buf):
         out.explain("formatted")
     assert "Exchange" not in buf.getvalue()
+
+
+def test_audio_and_resize_plumbing(spark):
+    from tgist_features_spark.functions.multimodal import (
+        audio_features,
+        resize_images,
+        synthesize_media,
+    )
+
+    media = synthesize_media(spark, n=48)
+    n_audio = media.filter("modality = 'audio'").count()
+    n_image = media.filter("modality = 'image'").count()
+
+    au = audio_features(media).toPandas()
+    assert len(au) == n_audio
+    assert (au["rms"] >= 0).all() and au["n_bytes"].notna().all()
+    # deterministic across reruns (stub decode is content-derived)
+    au2 = audio_features(media).toPandas()
+    assert au.sort_values("media_id").reset_index(drop=True).equals(
+        au2.sort_values("media_id").reset_index(drop=True)
+    )
+
+    rz = resize_images(media, out_w=4, out_h=4).toPandas()
+    assert len(rz) == n_image
+    assert (rz["pixels"].str.len() == 16).all(), "fixed output tensor shape"
+    assert (rz["out_w"] == 4).all() and (rz["out_h"] == 4).all()

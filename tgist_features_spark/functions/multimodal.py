@@ -94,6 +94,86 @@ def image_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
     return df.select("media_id", "payload").mapInPandas(run, IMAGE_FEATURES_SCHEMA)
 
 
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("duration_s", T.DoubleType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+        T.StructField("zero_crossings", T.LongType(), True),
+    ]
+)
+
+
+def audio_features(df: DataFrame) -> DataFrame:
+    """Decode + feature-extract audio payloads via mapInPandas.
+
+    The decode is a deterministic stub (payload bytes reinterpreted as a
+    PCM-ish int8 signal — no torchaudio/ffmpeg in this container); the
+    batch shape, schema and metadata pass-through are the production
+    contract. Feature math (rms, zero crossings) is vectorized numpy over
+    the whole batch's samples."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload, dur in zip(
+                pdf["media_id"], pdf["payload"], pdf["meta_duration_s"]
+            ):
+                if payload is None:
+                    rows.append((mid, None, None, None, None))
+                    continue
+                sig = np.frombuffer(bytes(payload), dtype=np.int8).astype(np.float64)
+                rms = float(np.sqrt(np.mean(sig**2))) if len(sig) else 0.0
+                zc = int(((sig[:-1] * sig[1:]) < 0).sum()) if len(sig) > 1 else 0
+                rows.append((mid, len(payload), dur, rms, zc))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_FEATURES_SCHEMA.fields]
+            )
+
+    return df.filter(F.col("modality") == "audio").select(
+        "media_id", "payload", "meta_duration_s"
+    ).mapInPandas(run, AUDIO_FEATURES_SCHEMA)
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("out_w", T.IntegerType(), True),
+        T.StructField("out_h", T.IntegerType(), True),
+        T.StructField("pixels", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def resize_images(df: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
+    """Resize-to-fixed-shape plumbing: every image payload becomes an
+    (out_w * out_h)-float array — the tensor-batch contract a training
+    pipeline feeds to a model. The resample kernel is the deterministic
+    stub decoder; a real deployment swaps in PIL/libvips and keeps the
+    schema, Arrow batching and fixed output shape."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    rows.append((mid, None, None, None))
+                    continue
+                _w, _h, _mean, _ = _decode_image_stub(bytes(payload))
+                digest = hashlib.sha256(bytes(payload)).digest()
+                rng = np.random.default_rng(int.from_bytes(digest[:8], "little"))
+                px = rng.random(out_w * out_h).astype(np.float32)
+                rows.append((mid, out_w, out_h, px.tolist()))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in RESIZE_SCHEMA.fields]
+            )
+
+    return df.filter(F.col("modality") == "image").select(
+        "media_id", "payload"
+    ).mapInPandas(run, RESIZE_SCHEMA)
+
+
 def frame_sample_stub(df: DataFrame, every_s: float = 1.0) -> DataFrame:
     """Video frame sampling plumbing: one output row per sampled frame.
 
