@@ -224,3 +224,34 @@ def test_asof_auto_partitions_equals_plain(spark, tiny_pdf):
     # estimate scales linearly in input bytes
     n = _auto_num_partitions(t)
     assert n == spark.sparkContext.defaultParallelism
+
+
+def test_partitions_for_size_rule():
+    from tgist_features_spark.operators.asof import (
+        ASOF_TARGET_PARTITION_BYTES,
+        _partitions_for_size,
+    )
+
+    floor = 8
+    assert _partitions_for_size(0, floor) == floor          # no stats
+    assert _partitions_for_size(-1, floor) == floor
+    assert _partitions_for_size(1 << 62, floor) == floor     # unknown sentinel
+    assert _partitions_for_size(1, floor) == floor           # tiny -> floor
+    gb64 = 64 * ASOF_TARGET_PARTITION_BYTES
+    assert _partitions_for_size(gb64, floor) == 65           # linear scaling
+    assert _partitions_for_size((1 << 59), floor) == 1 << 20  # hard cap
+
+
+def test_asof_num_partitions_rejects_bad_string(spark, tiny_pdf):
+    import pytest as _pytest
+
+    from tgist_features_spark.sources.corpus import (
+        generate_queries_pdf,
+        queries_df,
+        transcripts_df,
+    )
+
+    t = transcripts_df(spark, tiny_pdf)
+    q = queries_df(spark, generate_queries_pdf(tiny_pdf, n_queries=5))
+    with _pytest.raises(ValueError, match="auto"):
+        asof_join(q, t, value_cols=["ts"], num_partitions="Auto")

@@ -159,3 +159,21 @@ def test_audio_and_resize_plumbing(spark):
     assert len(rz) == n_image
     assert (rz["pixels"].str.len() == 16).all(), "fixed output tensor shape"
     assert (rz["out_w"] == 4).all() and (rz["out_h"] == 4).all()
+
+
+def test_audio_null_payload_passes_metadata_through(spark):
+    import pandas as pd
+
+    from tgist_features_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        audio_features,
+    )
+
+    pdf = pd.DataFrame(
+        [(1, "audio", None, "audio/wav", None, None, 300.0)],
+        columns=[f.name for f in MEDIA_SCHEMA.fields],
+    )
+    out = audio_features(spark.createDataFrame(pdf, MEDIA_SCHEMA)).toPandas()
+    assert len(out) == 1
+    assert out["duration_s"].iloc[0] == 300.0, "metadata must pass through"
+    assert pd.isna(out["rms"].iloc[0]) and pd.isna(out["n_bytes"].iloc[0])

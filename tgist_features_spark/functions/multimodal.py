@@ -121,7 +121,9 @@ def audio_features(df: DataFrame) -> DataFrame:
                 pdf["media_id"], pdf["payload"], pdf["meta_duration_s"]
             ):
                 if payload is None:
-                    rows.append((mid, None, None, None, None))
+                    # metadata passes through even when the payload is
+                    # undecodable — duration is source metadata, not derived
+                    rows.append((mid, None, dur, None, None))
                     continue
                 sig = np.frombuffer(bytes(payload), dtype=np.int8).astype(np.float64)
                 rms = float(np.sqrt(np.mean(sig**2))) if len(sig) else 0.0
@@ -160,7 +162,6 @@ def resize_images(df: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
                 if payload is None:
                     rows.append((mid, None, None, None))
                     continue
-                _w, _h, _mean, _ = _decode_image_stub(bytes(payload))
                 digest = hashlib.sha256(bytes(payload)).digest()
                 rng = np.random.default_rng(int.from_bytes(digest[:8], "little"))
                 px = rng.random(out_w * out_h).astype(np.float32)

@@ -53,6 +53,15 @@ _PANDAS_NULLABLE = {
 ASOF_TARGET_PARTITION_BYTES = 64 << 20
 
 
+def _partitions_for_size(size: int, floor: int) -> int:
+    """Pure sizing rule (unit-tested separately from the Py4J stats call)."""
+    if size <= 0 or size >= (1 << 60):
+        # no statistics (or the unknown-size sentinel, Long.MaxValue-ish):
+        # fall back to the cluster default rather than a huge shuffle
+        return floor
+    return max(floor, min(1 << 20, size // ASOF_TARGET_PARTITION_BYTES + 1))
+
+
 def _auto_num_partitions(u: DataFrame) -> int:
     """Partition count from Catalyst's size estimate of the unioned input —
     no extra jobs (statistics come from file sizes / plan estimation). Never
@@ -61,12 +70,7 @@ def _auto_num_partitions(u: DataFrame) -> int:
         size = int(u._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
     except Exception:
         size = 0
-    floor = u.sparkSession.sparkContext.defaultParallelism
-    if size <= 0 or size >= (1 << 60):
-        # no statistics (or the unknown-size sentinel, Long.MaxValue-ish):
-        # fall back to the cluster default rather than a huge shuffle
-        return floor
-    return max(floor, min(1 << 20, size // ASOF_TARGET_PARTITION_BYTES + 1))
+    return _partitions_for_size(size, u.sparkSession.sparkContext.defaultParallelism)
 
 
 def _null_dtype(spark_type: T.DataType) -> object:
@@ -257,7 +261,12 @@ def asof_join(
         *[F.col(t).alias(n) for t, n in zip(tb, tb_names)],
     )
     u = l.unionByName(r.select(*l.columns))
-    if num_partitions == "auto":
+    if isinstance(num_partitions, str):
+        if num_partitions != "auto":
+            raise ValueError(
+                f"num_partitions must be an int, None or 'auto' — got "
+                f"{num_partitions!r}"
+            )
         num_partitions = _auto_num_partitions(u)
     if num_partitions:
         u = u.repartitionByRange(num_partitions, *by_list)

@@ -225,10 +225,11 @@ def minhash_lsh_pairs(
     ~(1/64)^(1/2) = 0.125 Jaccard — generous recall, with precision
     restored by the ``min_est_jaccard`` filter on the full signature.
 
-    The returned DataFrame is materialized and persisted inside this call
-    (it is small — candidate pairs only) so the big signature cache can be
-    released before returning; callers may ``unpersist()`` the result when
-    done with it.
+    The returned DataFrame is eagerly materialized (localCheckpoint) inside
+    this call — it is small (candidate pairs only) — so the big signature
+    cache can be released before returning; the checkpoint blocks are
+    ContextCleaner-managed and free themselves when the result is no longer
+    referenced.
     """
     rows = n_hashes // bands
     sigs = minhash_signatures(
@@ -279,9 +280,13 @@ def minhash_lsh_pairs(
         cand.withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= min_est_jaccard)
         .select("a", "b", "est_jaccard")
-        .persist()
+        # eager localCheckpoint: materializes the (small) pair set while the
+        # signature cache is hot AND its blocks are ContextCleaner-managed —
+        # released when the returned DataFrame is garbage collected, unlike
+        # a CacheManager persist() that would outlive every caller
+        .localCheckpoint(eager=True)
     )
-    n_pairs = out.count()  # materialize while sigs are cached
+    n_pairs = out.count()  # cheap: counts the checkpointed blocks
     if max_bucket is not None and logger.isEnabledFor(logging.INFO):
         dropped = (
             banded_raw.groupBy("band", "bhash")

@@ -164,14 +164,10 @@ def lsh_ann_topk(
     vectors, so a degenerate bucket (many near-identical vectors) cannot go
     quadratic against the queries it contains — best-effort recall inside
     the cap instead of an unbounded blow-up."""
+    from tgist_features_spark.operators.dedup import cap_buckets
+
     base = _lsh_multi_buckets(df, dim, n_planes, n_tables, seed, id_col, vec_col)
-    if max_bucket is not None:
-        wb = Window.partitionBy("table", "bucket").orderBy(F.xxhash64("id"))
-        base = (
-            base.withColumn("_rn", F.row_number().over(wb))
-            .filter(F.col("_rn") <= max_bucket)
-            .drop("_rn")
-        )
+    base = cap_buckets(base, ["table", "bucket"], max_bucket)
     qsig = _lsh_multi_buckets(
         queries.select(F.col("q_id").alias(id_col), F.col("q_vec").alias(vec_col)),
         dim, n_planes, n_tables, seed, id_col, vec_col,
@@ -198,6 +194,20 @@ def lsh_ann_topk(
 # ------------------------------------------------------------------- IVF
 
 
+def _estimate_rows(df: DataFrame, dim: int) -> int:
+    """Row-count estimate for sample-modulus sizing: Catalyst sizeInBytes /
+    approximate row width (vector of ``dim`` floats + id + overhead). Only
+    the ORDER of magnitude matters — the sample stays within a small factor
+    of the target. Falls back to an exact count when stats are absent."""
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        size = 0
+    if 0 < size < (1 << 60):
+        return max(1, size // (4 * dim + 32))
+    return df.count()
+
+
 def fit_ivf_centroids(
     df: DataFrame,
     dim: int,
@@ -214,8 +224,12 @@ def fit_ivf_centroids(
     layout-independent, and bounded at ~``sample_target`` rows no matter
     the corpus size, so the driver-side fit stays O(sample) at 100 TB.
     Returns L2-normalized centroids, deterministic for a given seed.
+
+    The sampling modulus comes from Catalyst's size estimate (zero extra
+    jobs); when statistics are unavailable it falls back to one ``count()``
+    (which parquet serves from row-group metadata, not column data).
     """
-    n = df.count()
+    n = _estimate_rows(df, dim)
     s = max(1, n // max(sample_target, n_centroids))
     sample = (
         df.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(s)) == 0)

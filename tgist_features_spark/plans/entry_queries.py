@@ -1244,8 +1244,7 @@ FROM g
 # keys), so the flagship, the round-1-unchecked queries, and anything whose
 # semantics changed this round come FIRST; the tail holds queries whose
 # operator coverage is redundantly evidenced by earlier entries
-# (session_stats~sessionize, cumulative~ffill for W5, cube~rollup/grouping_sets
-# for A4, intersect~set_except for U2) and which were already hash-green in
+# (named per-entry at the tail below) and which were already hash-green in
 # CORRECTNESS_r01.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "feature_vector": q_feature_vector,
@@ -1294,12 +1293,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpeish_tokens": q_bpeish_tokens,
     "multimodal_bytes": q_multimodal_bytes,
     "dedup_exact": q_dedup_exact,
-    "cosine_topk": q_cosine_topk,
     "knn_brute": q_knn_brute,
     "sql_shipping": q_sql_shipping,
     "window_ranks": q_window_ranks,
-    # tail: already hash-green in CORRECTNESS_r01 with redundant coverage
     "string_funcs": q_string_funcs,
+    # tail: already hash-green in CORRECTNESS_r01 with redundant coverage —
+    # cosine_topk (single-query brute force) is a special case of knn_brute,
+    # session_stats ~ sessionize, cumulative ~ ffill (W5), cube ~ rollup +
+    # grouping_sets (A4), intersect ~ set_except (U2)
+    "cosine_topk": q_cosine_topk,
     "session_stats": q_session_stats,
     "cumulative": q_cumulative,
     "cube": q_cube,
