@@ -97,3 +97,37 @@ def test_bucket_day_layout_partition_pruning(spark, tiny_pdf, tmp_path):
     # and reading one bucket directory directly also works (layout contract)
     one = spark.read.parquet(io_.path("features") + "/bucket=3")
     assert one.count() == full.filter(F.col("bucket") == 3).count()
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tiny_pdf, tmp_path):
+    """Two tables bucketed on the same key/count must sort-merge join with
+    ZERO Exchange nodes — the co-located-join contract TableIO.write_bucketed
+    exists for (pay the layout once, join shuffle-free forever)."""
+    from tgist_features_spark.sources.table_io import TableIO
+
+    io_ = TableIO(spark, str(tmp_path), n_buckets=8)
+    t = transcripts_df(spark, tiny_pdf)
+    agg = t.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n_turns"))
+    tbl_a = io_.write_bucketed(t.select("conv_id", "turn_idx", "ts"), "turns",
+                               key="conv_id")
+    tbl_b = io_.write_bucketed(agg, "convstats", key="conv_id")
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the sort-merge path: at real scale neither side broadcasts,
+        # and THAT is the plan bucketing exists to de-shuffle
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        a, b = spark.table(tbl_a), spark.table(tbl_b)
+        joined = a.join(b, "conv_id")
+        p = _plan(joined)
+        assert "SortMergeJoin" in p, p[:2000]
+        assert "Exchange hashpartitioning" not in p, p[:2000]
+        assert "ShuffleExchange" not in p, p[:2000]
+        assert joined.count() == t.count()
+        # cross-check one value against the non-bucketed computation
+        got = joined.filter(F.col("n_turns") > 0).select("conv_id", "n_turns").distinct()
+        ref = agg
+        assert got.count() == ref.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.sql(f"DROP TABLE IF EXISTS {tbl_a}")
+        spark.sql(f"DROP TABLE IF EXISTS {tbl_b}")

@@ -182,3 +182,45 @@ def test_session_gap_exact_threshold_matches_batch(spark, tmp_path):
     # c1: exact-threshold gaps merge (1 session); c2: gap just over cuts (2)
     assert batch == {"c1": 1, "c2": 2}
     assert got == batch
+
+
+def test_stream_features_sink_matches_batch_layout(spark, corpus_dir, tiny_pdf, tmp_path):
+    """The streaming sink must land in the bucket(conv_id)-partitioned
+    feature layout with values equal to the batch/pandas oracle — one
+    consistent table whether rows arrived by backfill or by stream."""
+    import os
+
+    from tgist_features_spark.sources.table_io import TableIO
+    from tgist_features_spark.streaming.stream import (
+        STREAM_FEATURES_TABLE,
+        stream_features_writer,
+    )
+
+    io_ = TableIO(spark, str(tmp_path / "wh"))
+    stream = read_transcript_stream(spark, corpus_dir)
+    q = stream_features_writer(stream, io_, n_buckets=8).trigger(
+        availableNow=True
+    ).start()
+    q.awaitTermination(120)
+
+    root = io_.path(STREAM_FEATURES_TABLE)
+    assert any(d.startswith("bucket=") for d in os.listdir(root)), (
+        "sink must be bucket-partitioned like the batch feature table"
+    )
+    got = (
+        spark.read.parquet(root)
+        .select("conv_id", "turn_idx", "turn_no", "cum_chars")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    from tgist_features_spark.oracle.pandas_oracle import oracle_turn_features
+
+    ref = (
+        oracle_turn_features(tiny_pdf)[["conv_id", "turn_idx", "turn_no", "cum_chars"]]
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(ref)
+    assert (got["turn_no"].to_numpy() == ref["turn_no"].to_numpy()).all()
+    assert (got["cum_chars"].to_numpy() == ref["cum_chars"].to_numpy()).all()

@@ -68,6 +68,38 @@ class TableIO:
     def append(self, df: DataFrame, name: str) -> None:
         df.write.mode("append").parquet(self.path(name))
 
+    def write_bucketed(
+        self,
+        df: DataFrame,
+        name: str,
+        key: str = "conv_id",
+        n_buckets: int | None = None,
+        sort_cols: tuple[str, ...] = (),
+        mode: str = "overwrite",
+    ) -> str:
+        """Hash-bucketed table (Spark bucketing, catalog-registered): two
+        tables bucketed on the same key with the same bucket count join
+        WITHOUT a shuffle on either side — the co-located-join layout for
+        repeated large joins at the 100 TB point (pay the layout once at
+        write time, skip the exchange on every subsequent join). Returns
+        the catalog table name; read back with ``spark.table(...)``.
+
+        Iceberg's equivalent is the bucket(N, key) partition transform;
+        this is the builtin-catalog fallback, files under ``self.root``.
+        """
+        n = n_buckets or self.n_buckets
+        tbl = f"{name}_b{n}"
+        writer = (
+            df.write.mode(mode)
+            .bucketBy(n, key)
+            .option("path", self.path(tbl))
+            .format("parquet")
+        )
+        if sort_cols:
+            writer = writer.sortBy(*sort_cols)
+        writer.saveAsTable(tbl)
+        return tbl
+
     def read(self, name: str, drop_layout_cols: bool = True) -> DataFrame:
         df = self.spark.read.parquet(self.path(name))
         if drop_layout_cols:

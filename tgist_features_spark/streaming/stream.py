@@ -177,3 +177,43 @@ def incremental_turn_state(stream: DataFrame, delay: str = "30 minutes") -> Data
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+STREAM_FEATURES_TABLE = "stream_features"
+
+
+def stream_features_writer(
+    stream: DataFrame,
+    io,
+    n_buckets: int = 16,
+    delay: str = "30 minutes",
+    checkpoint: str | None = None,
+):
+    """T4 -> S3: sink the incremental per-conv features into the SAME
+    bucket(conv_id)-partitioned layout as the batch feature table, so the
+    maintenance path the module docstring promises is real: batch backfill
+    bootstraps, the stream keeps the table fresh, and any consumer (the
+    as-of serving join, the lineage reader) sees one consistent layout.
+
+    foreachBatch + append + checkpointLocation gives at-least-once writes
+    with exactly-once progress tracking (the upstream
+    ``dedup_within_watermark`` stage absorbs re-delivery). Returns the
+    DataStreamWriter — caller picks the trigger and calls ``start()``.
+    """
+    from pyspark.sql import functions as F  # noqa: PLC0415 (local alias)
+
+    feats = incremental_turn_state(stream, delay)
+
+    def sink(batch_df: DataFrame, _batch_id: int) -> None:
+        out = batch_df.withColumn(
+            "bucket", F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("long")
+        )
+        out.write.mode("append").partitionBy("bucket").parquet(
+            io.path(STREAM_FEATURES_TABLE)
+        )
+
+    return (
+        feats.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint or io.path("_stream_ckpt"))
+        .outputMode("append")
+    )
