@@ -242,3 +242,18 @@ def test_dedup_pipeline_end_to_end(spark):
     assert (near["est_jaccard"] >= 0.5).all()
     # invariant: kept + dropped partitions the input exactly
     assert len(dl) + len(kept_ids) == len(pdf)
+
+
+def test_cap_buckets_deterministic_across_layout(spark):
+    """The kept subset of an over-cap bucket must not depend on input
+    partitioning (retries/layout changes would otherwise change results)."""
+    from tgist_features_spark.operators.dedup import cap_buckets
+
+    rows = [(i, i % 3) for i in range(500)]
+    df = spark.createDataFrame(rows, "id: long, bucket: long")
+    a = cap_buckets(df, ["bucket"], 50).toPandas()
+    b = cap_buckets(df.repartition(13), ["bucket"], 50).toPandas()
+    ka = sorted(map(tuple, a[["bucket", "id"]].to_numpy()))
+    kb = sorted(map(tuple, b[["bucket", "id"]].to_numpy()))
+    assert ka == kb
+    assert len(a) == 150  # 3 buckets x cap
