@@ -257,3 +257,24 @@ def test_cap_buckets_deterministic_across_layout(spark):
     kb = sorted(map(tuple, b[["bucket", "id"]].to_numpy()))
     assert ka == kb
     assert len(a) == 150  # 3 buckets x cap
+
+
+def test_ngram_jaccard_score_matches_allpairs_on_candidates(spark):
+    """The candidate-scorer (the 100 TB composition: MinHash discovery ->
+    exact scoring) must agree exactly with the all-pairs operator on the
+    pairs both cover, and keep zero-overlap candidates at jaccard 0."""
+    from tgist_features_spark.operators.dedup import ngram_jaccard_score
+
+    pdf = _near_dup_corpus(n_base=20)
+    df = spark.createDataFrame(pdf)
+    allpairs = ngram_jaccard_pairs(df, n=3, min_intersection=1).toPandas()
+    cand = minhash_lsh_pairs(df, min_est_jaccard=0.25).select("a", "b")
+    scored = ngram_jaccard_score(df, cand, n=3).toPandas()
+    merged = scored.merge(allpairs, on=["a", "b"], suffixes=("", "_ref"))
+    assert len(merged) > 10
+    assert (merged["inter"] == merged["inter_ref"]).all()
+    np.testing.assert_allclose(merged["jaccard"], merged["jaccard_ref"])
+    # a fabricated no-overlap pair scores 0, not a dropped row
+    fake = spark.createDataFrame([(0, 2)], "a: long, b: long")  # unrelated docs
+    z = ngram_jaccard_score(df, fake, n=3).toPandas()
+    assert len(z) == 1

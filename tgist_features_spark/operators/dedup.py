@@ -389,6 +389,56 @@ def simhash_near_pairs(
 # ------------------------------------------------------- n-gram Jaccard
 
 
+def _distinct_grams(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    toks = F.split(F.col(text_col), " ")
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+                    lambda i: F.when(
+                        i + n <= F.size(toks),
+                        F.concat_ws(" ", F.slice(toks, i + 1, n)),
+                    ),
+                )
+            )
+        ).alias("g"),
+    ).filter(F.col("g").isNotNull())
+
+
+def ngram_jaccard_score(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard for GIVEN candidate pairs (a, b) — the 100 TB
+    composition: discovery via ``minhash_lsh_pairs`` (bounded LSH), exact
+    scoring here. Cost is O(|candidates| x grams-per-doc) through two
+    equi-joins — never an all-pairs self-join. Pairs sharing no gram score
+    jaccard 0 (left join keeps them)."""
+    grams = _distinct_grams(df, id_col, text_col, n)
+    counts = grams.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
+    p = pairs.select("a", "b")
+    inter = (
+        p.join(grams.select(F.col("id").alias("a"), "g"), "a")
+        .join(grams.select(F.col("id").alias("b"), "g"), ["b", "g"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        p.join(inter, ["a", "b"], "left")
+        .withColumn("inter", F.coalesce("inter", F.lit(0)))
+        .join(counts.select(F.col("id").alias("a"), F.col("n_grams").alias("na")), "a")
+        .join(counts.select(F.col("id").alias("b"), F.col("n_grams").alias("nb")), "b")
+    )
+    return out.withColumn(
+        "jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    ).select("a", "b", "inter", "jaccard")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -412,21 +462,7 @@ def ngram_jaccard_pairs(
     the strategy left to AQE — they grow with the corpus, so no broadcast
     hint.
     """
-    toks = F.split(F.col(text_col), " ")
-    grams = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-                    lambda i: F.when(
-                        i + n <= F.size(toks),
-                        F.concat_ws(" ", F.slice(toks, i + 1, n)),
-                    ),
-                )
-            )
-        ).alias("g"),
-    ).filter(F.col("g").isNotNull())
+    grams = _distinct_grams(df, id_col, text_col, n)
     if max_df is not None:
         # grams are distinct per doc, so count(*) per gram == doc frequency;
         # the over-cap gram list is the heavy-hitter tail — small, and AQE

@@ -856,8 +856,12 @@ FROM documents GROUP BY md5(text)
 
 def q_ngram_jaccard(spark, sf):
     # max_df=100: bigrams present in >100 docs (stopword grams) are dropped
-    # before the self-join on BOTH sides — the scale-safe form; Jaccard is
-    # over the capped gram universe (consistent intersection + union)
+    # before the self-join on BOTH sides; Jaccard is over the capped gram
+    # universe (consistent intersection + union). The DF cap bounds the
+    # hot-gram blowup only — exact all-pairs Jaccard output is inherently
+    # |true pairs| on a self-similar corpus, so the 100 TB discovery path
+    # is MinHash candidates (dedup_minhash) with this operator as the exact
+    # scorer over candidate pairs (operators/dedup.py docstring).
     pairs = ngram_jaccard_pairs(
         _t(spark, sf, "documents"), n=2, min_intersection=2, max_df=100
     )
