@@ -48,6 +48,8 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash",
     "cosine_topk",
+    "ann_lsh",
+    "ivf_ann",
 ]
 
 
