@@ -278,3 +278,26 @@ def test_ngram_jaccard_score_matches_allpairs_on_candidates(spark):
     fake = spark.createDataFrame([(0, 2)], "a: long, b: long")  # unrelated docs
     z = ngram_jaccard_score(df, fake, n=3).toPandas()
     assert len(z) == 1
+    assert z["inter"].iloc[0] == 0 and z["jaccard"].iloc[0] == 0.0
+
+
+def test_ngram_jaccard_score_short_docs_and_duplicate_pairs(spark):
+    """Docs shorter than n tokens have no n-grams — their candidate pairs
+    must still score (jaccard 0), not vanish; and duplicate input pairs
+    must not double the intersection."""
+    from tgist_features_spark.operators.dedup import ngram_jaccard_score
+
+    docs = spark.createDataFrame(
+        [(1, "hi there"), (2, "hi there"), (3, "a b c d e f"), (4, "a b c d e g")],
+        "doc_id: long, text: string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, 4), (3, 4)], "a: long, b: long"  # (3,4) duplicated
+    )
+    got = ngram_jaccard_score(docs, pairs, n=3).toPandas().sort_values("a")
+    assert len(got) == 2, "short-doc pair kept, duplicate pair deduped"
+    short = got[got["a"] == 1].iloc[0]
+    assert short["inter"] == 0 and short["jaccard"] == 0.0
+    real = got[got["a"] == 3].iloc[0]
+    # 3-grams: doc3 {abc,bcd,cde,def}, doc4 {abc,bcd,cde,deg} -> inter 3 of 5
+    assert real["inter"] == 3 and abs(real["jaccard"] - 3 / 5) < 1e-9

@@ -196,11 +196,10 @@ def test_stream_features_sink_matches_batch_layout(spark, corpus_dir, tiny_pdf, 
         stream_features_writer,
     )
 
-    io_ = TableIO(spark, str(tmp_path / "wh"))
+    io_ = TableIO(spark, str(tmp_path / "wh"), n_buckets=8)
     stream = read_transcript_stream(spark, corpus_dir)
-    q = stream_features_writer(stream, io_, n_buckets=8).trigger(
-        availableNow=True
-    ).start()
+    # bucket count comes from the TableIO — the one the batch table uses
+    q = stream_features_writer(stream, io_).trigger(availableNow=True).start()
     q.awaitTermination(120)
 
     root = io_.path(STREAM_FEATURES_TABLE)

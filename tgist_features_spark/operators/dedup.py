@@ -417,25 +417,33 @@ def ngram_jaccard_score(
     """Exact n-gram Jaccard for GIVEN candidate pairs (a, b) — the 100 TB
     composition: discovery via ``minhash_lsh_pairs`` (bounded LSH), exact
     scoring here. Cost is O(|candidates| x grams-per-doc) through two
-    equi-joins — never an all-pairs self-join. Pairs sharing no gram score
-    jaccard 0 (left join keeps them)."""
+    equi-joins — never an all-pairs self-join. EVERY input pair (deduped)
+    gets an output row: pairs sharing no gram — including docs shorter than
+    ``n`` tokens, which have no n-grams under this strict definition even
+    though MinHash gave them a whole-doc shingle — score jaccard 0."""
     grams = _distinct_grams(df, id_col, text_col, n)
     counts = grams.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
-    p = pairs.select("a", "b")
+    p = pairs.select("a", "b").distinct()  # duplicate pairs would double `inter`
     inter = (
         p.join(grams.select(F.col("id").alias("a"), "g"), "a")
         .join(grams.select(F.col("id").alias("b"), "g"), ["b", "g"])
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+    ca = counts.select(F.col("id").alias("a"), F.col("n_grams").alias("na"))
+    cb = counts.select(F.col("id").alias("b"), F.col("n_grams").alias("nb"))
     out = (
         p.join(inter, ["a", "b"], "left")
         .withColumn("inter", F.coalesce("inter", F.lit(0)))
-        .join(counts.select(F.col("id").alias("a"), F.col("n_grams").alias("na")), "a")
-        .join(counts.select(F.col("id").alias("b"), F.col("n_grams").alias("nb")), "b")
+        .join(ca, "a", "left")
+        .join(cb, "b", "left")
+        .withColumn("na", F.coalesce("na", F.lit(0)))
+        .withColumn("nb", F.coalesce("nb", F.lit(0)))
     )
+    denom = F.col("na") + F.col("nb") - F.col("inter")
     return out.withColumn(
-        "jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+        "jaccard",
+        F.when(denom > 0, F.col("inter") / denom).otherwise(F.lit(0.0)),
     ).select("a", "b", "inter", "jaccard")
 
 

@@ -88,7 +88,10 @@ class TableIO:
         this is the builtin-catalog fallback, files under ``self.root``.
         """
         n = n_buckets or self.n_buckets
-        tbl = f"{name}_b{n}"
+        # root-derived suffix: two TableIO instances with different roots in
+        # one session must not collide on the session-global catalog name
+        root_tag = hashlib.md5(self.root.encode()).hexdigest()[:6]
+        tbl = f"{name}_b{n}_{root_tag}"
         writer = (
             df.write.mode(mode)
             .bucketBy(n, key)

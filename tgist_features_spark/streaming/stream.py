@@ -164,19 +164,20 @@ def _incr_fn(key: Any, pdfs, state: GroupState):
     )
 
 
+def _apply_incremental(watermarked: DataFrame) -> DataFrame:
+    """The stateful operator itself — input must already carry a watermark."""
+    return watermarked.groupBy("conv_id").applyInPandasWithState(
+        _incr_fn,
+        outputStructType=INCR_OUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def incremental_turn_state(stream: DataFrame, delay: str = "30 minutes") -> DataFrame:
     """T4: applyInPandasWithState — incremental per-conv turn features."""
-    return (
-        stream.withWatermark("ts", delay)
-        .groupBy("conv_id")
-        .applyInPandasWithState(
-            _incr_fn,
-            outputStructType=INCR_OUT_SCHEMA,
-            stateStructType=STATE_SCHEMA,
-            outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
-        )
-    )
+    return _apply_incremental(stream.withWatermark("ts", delay))
 
 
 STREAM_FEATURES_TABLE = "stream_features"
@@ -185,32 +186,48 @@ STREAM_FEATURES_TABLE = "stream_features"
 def stream_features_writer(
     stream: DataFrame,
     io,
-    n_buckets: int = 16,
+    n_buckets: int | None = None,
     delay: str = "30 minutes",
     checkpoint: str | None = None,
 ):
     """T4 -> S3: sink the incremental per-conv features into the SAME
-    bucket(conv_id)-partitioned layout as the batch feature table, so the
-    maintenance path the module docstring promises is real: batch backfill
-    bootstraps, the stream keeps the table fresh, and any consumer (the
-    as-of serving join, the lineage reader) sees one consistent layout.
+    bucket(conv_id)-partitioned layout as the batch feature table (bucket
+    count defaults to ``io.n_buckets`` so the two surfaces cannot
+    diverge), so the maintenance path the module docstring promises is
+    real: batch backfill bootstraps, the stream keeps the table fresh, and
+    any consumer (the as-of serving join, the lineage reader) sees one
+    consistent layout.
 
-    foreachBatch + append + checkpointLocation gives at-least-once writes
-    with exactly-once progress tracking (the upstream
-    ``dedup_within_watermark`` stage absorbs re-delivery). Returns the
+    Delivery semantics: source re-delivery is absorbed by an explicit
+    ``dedup_within_watermark`` stage applied here (state would otherwise
+    double-count duplicates forever); sink retries are made idempotent with
+    a per-batch success marker — a foreachBatch re-run of an
+    already-COMMITTED batch id is a no-op. A crash in the narrow window
+    between the data append and the marker write re-appends that batch
+    (at-least-once there; the fully transactional form of this sink is an
+    Iceberg/Delta commit, which replaces the marker). Returns the
     DataStreamWriter — caller picks the trigger and calls ``start()``.
     """
-    from pyspark.sql import functions as F  # noqa: PLC0415 (local alias)
+    import os  # noqa: PLC0415
 
-    feats = incremental_turn_state(stream, delay)
+    n = n_buckets or getattr(io, "n_buckets", 16)
+    # the dedup stage sets THE watermark; the stateful operator reuses it
+    # (Spark disallows redefining a watermark mid-plan)
+    feats = _apply_incremental(dedup_within_watermark(stream, delay))
+    marker_dir = io.path("_stream_batch_markers")
 
-    def sink(batch_df: DataFrame, _batch_id: int) -> None:
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(marker_dir, f"batch_{batch_id}")
+        if os.path.exists(marker):
+            return  # retry of a committed batch — idempotent no-op
         out = batch_df.withColumn(
-            "bucket", F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("long")
+            "bucket", F.pmod(F.xxhash64("conv_id"), F.lit(n)).cast("long")
         )
         out.write.mode("append").partitionBy("bucket").parquet(
             io.path(STREAM_FEATURES_TABLE)
         )
+        os.makedirs(marker_dir, exist_ok=True)
+        open(marker, "w").close()
 
     return (
         feats.writeStream.foreachBatch(sink)
