@@ -606,12 +606,31 @@ FROM lineitem GROUP BY l_returnflag
 
 
 def q_approx_distinct(spark, sf):
-    # no SQL oracle: approx_count_distinct is engine-specific (HLL++)
+    """A3 with a SELF-BANDING oracle (same trick as approx_percentile):
+    the HLL++ sketch value itself is engine-specific, but the query emits a
+    boolean asserting it lands within the documented relative error of the
+    exact distinct count (default rsd 0.05 — band at 3x for slack), which
+    the DuckDB oracle matches as literal TRUE. A broken sketch now
+    hash-mismatches instead of passing a rows-only check."""
     e = _t(spark, sf, "events")
-    return e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
+    agg = e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("au"),
         F.count_distinct("user_id").alias("exact_users"),
     )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("au") - F.col("exact_users"))
+            <= F.lit(0.15) * F.col("exact_users")
+        ).alias("approx_ok"),
+    )
+
+
+SQL_APPROX_DISTINCT = """
+SELECT event_type, COUNT(DISTINCT user_id) AS exact_users, TRUE AS approx_ok
+FROM events GROUP BY event_type
+"""
 
 
 def q_set_except(spark, sf):
@@ -1338,6 +1357,7 @@ ORACLES: dict[str, str] = {
     "rollup": SQL_ROLLUP,
     "cube": SQL_CUBE,
     "distinct_agg": SQL_DISTINCT_AGG,
+    "approx_distinct": SQL_APPROX_DISTINCT,
     "approx_percentile": SQL_APPROX_PERCENTILE,
     "set_except": SQL_SET_EXCEPT,
     "union_counts": SQL_UNION_COUNTS,
