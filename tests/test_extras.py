@@ -68,11 +68,58 @@ def test_minhash_detects_near_dups(spark):
 
 
 def test_simhash_near_pairs(spark):
-    base = "alpha beta gamma delta epsilon zeta eta theta " * 4
-    near = base.replace("zeta", "zetaX")
-    pdf = pd.DataFrame({"doc_id": [1, 2], "text": [base, near]})
-    pairs = simhash_near_pairs(spark.createDataFrame(pdf), max_hamming=16).toPandas()
-    assert len(pairs) == 1 and pairs["hamming"].iloc[0] <= 16
+    # 60 shared tokens + 1 differing keeps the pair inside the 4x16-bit
+    # pigeonhole guarantee (hamming<=3 ==> >=1 band equal ==> candidate);
+    # larger hamming budgets are best-effort by design
+    base = " ".join(f"tok{i}" for i in range(60))
+    pdf = pd.DataFrame(
+        {"doc_id": [1, 2, 3], "text": [base + " s0", base + " s3", "unrelated words here"]}
+    )
+    pairs = simhash_near_pairs(spark.createDataFrame(pdf), max_hamming=3).toPandas()
+    assert len(pairs) == 1
+    assert (pairs["a"].iloc[0], pairs["b"].iloc[0]) == (1, 2)
+    assert pairs["hamming"].iloc[0] <= 3
+
+
+def test_simhash_signature_matches_duckdb(spark):
+    """Golden cross-engine pin: the md5-token SimHash must be bit-for-bit
+    reproducible by an independent SQL engine (this is what makes the
+    driver's exhaustive dedup_simhash oracle possible). Covers duplicate
+    tokens, empty text, and runs of spaces (string_split semantics)."""
+    import duckdb
+
+    from tgist_features_spark.operators.dedup import simhash_signatures
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog the the",
+        "one two three",
+        "",
+        "x  y",  # double space -> '' token under string_split semantics
+        "solo",
+    ]
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    got = (
+        simhash_signatures(spark.createDataFrame(pdf))
+        .toPandas()
+        .sort_values("id")["simhash"]
+        .to_numpy()
+    )
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    ref = con.sql(
+        """
+        WITH toks AS (SELECT doc_id, unnest(string_split(coalesce(text,''), ' ')) AS tok FROM docs),
+        h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS hv FROM toks),
+        bits AS (SELECT doc_id, j, SUM(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+                 FROM h, LATERAL (SELECT unnest(range(0, 64)) AS j) t(j) GROUP BY doc_id, j),
+        sig AS (SELECT doc_id, SUM(CASE WHEN acc > 0 THEN (1::UBIGINT << j)::HUGEINT ELSE 0 END) AS s
+                FROM bits GROUP BY doc_id)
+        SELECT doc_id, CAST(CASE WHEN s >= 9223372036854775808 THEN s - 18446744073709551616
+                                 ELSE s END AS BIGINT) AS sig
+        FROM sig ORDER BY doc_id
+        """
+    ).df()["sig"].to_numpy()
+    assert (got == ref).all(), f"{got} vs {ref}"
 
 
 def test_cosine_topk_selfsimilar(spark):

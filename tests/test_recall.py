@@ -135,11 +135,14 @@ def _degenerate_corpus(n_identical: int = 1000) -> pd.DataFrame:
     # 3-gram Jaccard ~0.9
     base_a = " ".join(f"alpha{i}" for i in range(60))
     base_b = " ".join(f"num{i}" for i in range(60))
+    # suffix tokens chosen so each pair's md5-simhash hamming is <=1
+    # (verified offline; one differing token flips only the bits whose
+    # shared-sum margin is zero, so the exact distance is hash-dependent)
     rows += [
         (n_identical + 0, base_a + " s0"),
-        (n_identical + 1, base_a + " s3"),
-        (n_identical + 2, base_b + " ten"),
-        (n_identical + 3, base_b + " eleven"),
+        (n_identical + 1, base_a + " s5"),
+        (n_identical + 2, base_b + " s11"),
+        (n_identical + 3, base_b + " s13"),
     ]
     return pd.DataFrame(rows, columns=["doc_id", "text"])
 

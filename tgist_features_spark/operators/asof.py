@@ -81,20 +81,17 @@ def _null_dtype(spark_type: T.DataType) -> object:
 
 def _coerce(pdf: pd.DataFrame, fields: list[T.StructField]) -> pd.DataFrame:
     """Nullable-dtype coercion so Arrow accepts missing ints/bools/arrays."""
-
-    def _nan_to_none(v):
-        import numpy as np
-
-        return None if (v is None or (isinstance(v, float) and np.isnan(v))) else v
-
     for f in fields:
         dt = _null_dtype(f.dataType)
         if f.name in pdf.columns:
             if dt is object:
-                if pdf[f.name].dtype == object:
-                    pdf[f.name] = pdf[f.name].map(_nan_to_none)
-                else:
-                    pdf[f.name] = pdf[f.name].astype(object).map(_nan_to_none)
+                # vectorized NaN/NA -> None (no per-element Python calls in
+                # the merge-scan hot path); Series.notna treats list/ndarray
+                # cell values as non-null, so array columns pass through
+                s = pdf[f.name]
+                if s.dtype != object:
+                    s = s.astype(object)
+                pdf[f.name] = s.where(s.notna(), None)
             elif str(pdf[f.name].dtype) != str(dt):
                 try:
                     pdf[f.name] = pdf[f.name].astype(dt)

@@ -29,6 +29,7 @@ All paths are shuffle-frugal by design for the 100 TB point:
 
 from __future__ import annotations
 
+import hashlib
 import logging
 
 import numpy as np
@@ -75,6 +76,15 @@ def cap_buckets(
     dedup can't touch it) still collapses among its kept subset; members
     outside the subset survive this pass (re-run after dropping, or raise
     the cap, for a full collapse — the conservative direction for dedup).
+
+    Straggler bound: the cap limits the JOIN OUTPUT, not the window input —
+    a degenerate bucket still routes all its rows through one partition's
+    sort before the filter, so the worst single task is O(B log B) in the
+    biggest bucket B (a sort, no pair blow-up). Accepted trade: a
+    pre-filter on a per-bucket ``xxhash64(id)`` quantile would need an
+    extra aggregation pass over the same shuffle to learn the thresholds,
+    costing every healthy bucket a second exchange to shave one
+    straggler's sort.
     """
     if max_bucket is None:
         return df
@@ -306,25 +316,104 @@ def minhash_lsh_pairs(
 # ------------------------------------------------------------------ SimHash
 
 
+_MD5_TOKEN_CACHE: dict = {}
+_MD5_CACHE_MAX = 1 << 20
+
+
+def _md5_token_hashes(uniq: np.ndarray) -> np.ndarray:
+    """64-bit token hashes: first 8 bytes (big-endian) of md5(utf-8).
+
+    md5 — not pandas' siphash — so the signature is reproducible in ANY
+    engine with an md5 builtin (the driver's DuckDB oracle recomputes it in
+    SQL and verifies hamming pairs exhaustively). The loop is O(new unique
+    tokens), memoized across batches per worker — not O(tokens), not
+    O(docs); the per-bit work in ``_simhash_batch`` is the hot part and is
+    fully vectorized.
+    """
+    if len(_MD5_TOKEN_CACHE) > _MD5_CACHE_MAX:
+        _MD5_TOKEN_CACHE.clear()
+    out = np.empty(len(uniq), dtype=np.uint64)
+    for i, tok in enumerate(uniq):
+        h = _MD5_TOKEN_CACHE.get(tok)
+        if h is None:
+            h = np.uint64(
+                int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[:8], "big")
+            )
+            _MD5_TOKEN_CACHE[tok] = h
+        out[i] = h
+    return out
+
+
+def _space_tokens(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """(flat_tokens, per-doc lens) splitting on the LITERAL single space —
+    the exact semantics of SQL ``string_split(text, ' ')`` (empty text
+    yields one '' token; runs of spaces yield '' tokens), so signatures
+    derived from these tokens are engine-reproducible. One C-level split
+    for the whole batch via a sentinel join; per-row fallback only on
+    sentinel collision."""
+    texts = texts.fillna("")
+    n = len(texts)
+    if n == 0:
+        return np.empty(0, dtype=object), np.empty(0, dtype=np.int64)
+    vals = texts.to_numpy(dtype=object)
+    if not texts.str.contains("\x01").any():
+        arr = np.array(" \x01 ".join(vals).split(" "), dtype=object)
+        sent = arr == "\x01"
+        row_id = np.cumsum(sent)
+        flat = arr[~sent]
+        lens = np.bincount(row_id[~sent], minlength=n).astype(np.int64)
+        return flat, lens
+    toks = [v.split(" ") for v in vals]  # slow path: sentinel collision
+    lens = np.array([len(t) for t in toks], dtype=np.int64)
+    return np.array([x for t in toks for x in t], dtype=object), lens
+
+
+def _simhash_batch(texts: pd.Series, chunk_tokens: int = 1 << 16) -> np.ndarray:
+    """Vectorized SimHash for one Arrow batch: flat single-space tokens ->
+    memoized md5 hashes -> (tokens x 64) ±1 bit matrix -> per-doc segment
+    sums via ``np.add.reduceat`` -> sign pack. No per-document Python loop;
+    chunked over docs so the bit matrix stays ~``chunk_tokens`` x 64."""
+    texts = texts.fillna("")
+    n = len(texts)
+    flat, lens = _space_tokens(texts)
+    starts = np.concatenate(([0], np.cumsum(lens)))
+    if len(flat):
+        uniq, inv = np.unique(flat, return_inverse=True)
+        fh = _md5_token_hashes(uniq)[inv]
+    else:
+        fh = np.empty(0, dtype=np.uint64)
+    shifts = np.arange(64, dtype=np.uint64)
+    weights = np.uint64(1) << shifts
+    sig = np.zeros(n, dtype=np.uint64)
+    d0 = 0
+    while d0 < n:
+        d1 = d0
+        while d1 < n and starts[d1 + 1] - starts[d0] <= chunk_tokens:
+            d1 += 1
+        d1 = max(d1, d0 + 1)  # always take >=1 doc even if oversized
+        seg = fh[starts[d0] : starts[d1]]
+        # every doc has >=1 token under single-space split, so the reduceat
+        # boundaries are strictly increasing; int32 bounds per-doc sums at
+        # 2^31 tokens, far above any chunk
+        bits = ((seg[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int32)
+        acc = np.add.reduceat(bits * 2 - 1, (starts[d0:d1] - starts[d0]), axis=0)
+        sig[d0:d1] = ((acc > 0).astype(np.uint64) * weights[None, :]).sum(axis=1)
+        d0 = d1
+    return sig.astype(np.int64)
+
+
 def simhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
+    """64-bit SimHash per doc: sign of the per-bit ±1 sums over md5 token
+    hashes. Tokens split on the literal single space (``string_split``
+    semantics) and hashed with md5 so the signature is bit-for-bit
+    reproducible outside Spark — the driver's DuckDB oracle recomputes it
+    in SQL. Fully vectorized per Arrow batch (see ``_simhash_batch``)."""
+
     @pandas_udf(T.LongType())
     def sh(texts: pd.Series) -> pd.Series:
-        shifts = np.arange(64, dtype=np.uint64)
-        weights = (np.uint64(1) << shifts).astype(np.uint64)
-        out = np.empty(len(texts), dtype=np.int64)
-        for i, text in enumerate(texts.fillna("")):
-            toks = text.split()
-            if not toks:
-                out[i] = 0
-                continue
-            h = pd.util.hash_array(np.asarray(toks, dtype=object)).astype(np.uint64)
-            bits = ((h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
-            acc = (2 * bits - 1).sum(axis=0)
-            sig = weights[acc > 0].sum(dtype=np.uint64)
-            out[i] = np.int64(sig.astype(np.int64))
-        return pd.Series(out)
+        return pd.Series(_simhash_batch(texts))
 
     return df.select(F.col(id_col).alias("id"), sh(F.col(text_col)).alias("simhash"))
 
@@ -378,7 +467,7 @@ def simhash_near_pairs(
         )
         .dropDuplicates(["a", "b"])
     )
-    hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("int")
     return (
         cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
@@ -389,22 +478,28 @@ def simhash_near_pairs(
 # ------------------------------------------------------- n-gram Jaccard
 
 
-def _distinct_grams(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+def _gram_array(text_col: str, n: int):
+    """Distinct word-n-gram array expression (pure Catalyst)."""
     toks = F.split(F.col(text_col), " ")
+    return F.array_distinct(
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+                lambda i: F.when(
+                    i + n <= F.size(toks),
+                    F.concat_ws(" ", F.slice(toks, i + 1, n)),
+                ),
+            ),
+            lambda g: g.isNotNull(),
+        )
+    )
+
+
+def _distinct_grams(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     return df.select(
         F.col(id_col).alias("id"),
-        F.explode(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-                    lambda i: F.when(
-                        i + n <= F.size(toks),
-                        F.concat_ws(" ", F.slice(toks, i + 1, n)),
-                    ),
-                )
-            )
-        ).alias("g"),
-    ).filter(F.col("g").isNotNull())
+        F.explode(_gram_array(text_col, n)).alias("g"),
+    )
 
 
 def ngram_jaccard_score(
@@ -416,29 +511,29 @@ def ngram_jaccard_score(
 ) -> DataFrame:
     """Exact n-gram Jaccard for GIVEN candidate pairs (a, b) — the 100 TB
     composition: discovery via ``minhash_lsh_pairs`` (bounded LSH), exact
-    scoring here. Cost is O(|candidates| x grams-per-doc) through two
-    equi-joins — never an all-pairs self-join. EVERY input pair (deduped)
-    gets an output row: pairs sharing no gram — including docs shorter than
-    ``n`` tokens, which have no n-grams under this strict definition even
-    though MinHash gave them a whole-doc shingle — score jaccard 0."""
-    grams = _distinct_grams(df, id_col, text_col, n)
-    counts = grams.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
+    scoring here. Gram ARRAYS are built only for docs that appear in a
+    candidate pair (left-semi join first) and the score is two equi-joins
+    plus one JVM-side ``array_intersect`` per pair — no gram explode, no
+    aggregation, so the whole scoring plan is candidate-bounded and never
+    touches the rest of the corpus. EVERY input pair (deduped) gets an
+    output row: pairs sharing no gram — including docs shorter than ``n``
+    tokens, which have no n-grams under this strict definition even though
+    MinHash gave them a whole-doc shingle — score jaccard 0."""
     p = pairs.select("a", "b").distinct()  # duplicate pairs would double `inter`
-    inter = (
-        p.join(grams.select(F.col("id").alias("a"), "g"), "a")
-        .join(grams.select(F.col("id").alias("b"), "g"), ["b", "g"])
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    cand_ids = (
+        p.select(F.col("a").alias(id_col))
+        .union(p.select(F.col("b").alias(id_col)))
+        .distinct()
     )
-    ca = counts.select(F.col("id").alias("a"), F.col("n_grams").alias("na"))
-    cb = counts.select(F.col("id").alias("b"), F.col("n_grams").alias("nb"))
+    docs_c = df.join(cand_ids, id_col, "left_semi").select(
+        F.col(id_col).alias("id"), _gram_array(text_col, n).alias("grams")
+    )
     out = (
-        p.join(inter, ["a", "b"], "left")
-        .withColumn("inter", F.coalesce("inter", F.lit(0)))
-        .join(ca, "a", "left")
-        .join(cb, "b", "left")
-        .withColumn("na", F.coalesce("na", F.lit(0)))
-        .withColumn("nb", F.coalesce("nb", F.lit(0)))
+        p.join(docs_c.select(F.col("id").alias("a"), F.col("grams").alias("ga")), "a")
+        .join(docs_c.select(F.col("id").alias("b"), F.col("grams").alias("gb")), "b")
+        .withColumn("inter", F.size(F.array_intersect("ga", "gb")).cast("long"))
+        .withColumn("na", F.size("ga"))
+        .withColumn("nb", F.size("gb"))
     )
     denom = F.col("na") + F.col("nb") - F.col("inter")
     return out.withColumn(

@@ -231,15 +231,26 @@ def fit_ivf_centroids(
     """
     n = _estimate_rows(df, dim)
     s = max(1, n // max(sample_target, n_centroids))
-    sample = (
-        df.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(s)) == 0)
-        .select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
-        .toPandas()
-        .sort_values("id")  # stable order regardless of partitioning
+    proj = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
+    # the modulus comes from a WIDTH-ESTIMATED row count: extra columns on
+    # df (text, metadata) inflate the estimate and can oversample-out a
+    # small corpus, so retry with a shrinking modulus before concluding the
+    # corpus is empty
+    while True:
+        sample = (
+            proj.filter(F.pmod(F.xxhash64(F.col("id")), F.lit(s)) == 0)
+            .toPandas()
+            .sort_values("id")  # stable order regardless of partitioning
+        )
+        if len(sample) >= min(n_centroids, sample_target) or s == 1:
+            break
+        s = max(1, s // 10)
     if len(sample) == 0:
         raise ValueError(
-            "fit_ivf_centroids: empty sample — the corpus has no rows"
+            "fit_ivf_centroids: no rows sampled even at modulus 1 — "
+            "the corpus is empty"
         )
     m = np.stack(sample["v"].to_numpy()).astype(np.float64)
     if m.shape[1] != dim:

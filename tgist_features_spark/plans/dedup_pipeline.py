@@ -81,7 +81,15 @@ def dedup_corpus(
             F.lit("near").alias("reason"),
             F.col("best.est_jaccard").alias("est_jaccard"),
         )
+        .persist()
     )
+    # near_drops is the ONLY consumer of the (persisted) candidate pairs:
+    # materialize it, then release the pair cache so repeated pipeline runs
+    # in one session don't accumulate pair sets. The residual cache is the
+    # near-drop log — strictly smaller, and both downstream outputs
+    # (kept, drop_log) read it twice.
+    near_drops.count()
+    pairs.unpersist()
     kept = exact_kept.join(near_drops.select("doc_id"), id_col, "left_anti")
     drop_log = exact_drops.unionByName(near_drops)
     return kept, drop_log

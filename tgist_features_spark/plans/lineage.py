@@ -22,9 +22,6 @@ once visibility through the manifest.
 
 from __future__ import annotations
 
-import os
-import shutil
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -120,9 +117,7 @@ def run_incremental(
     pending_with_rows = [b for b in pending if rows_in_by_bucket.get(b, 0) > 0]
     for b in pending:
         if b not in rows_in_by_bucket:
-            pdir = os.path.join(io.path(FEATURES_TABLE), f"bucket={int(b)}")
-            if os.path.isdir(pdir):
-                shutil.rmtree(pdir)
+            io.delete_partition(FEATURES_TABLE, f"bucket={int(b)}")
 
     # manifest stats come from READING BACK the bucket partitions just
     # written (partition-pruned scan), not from re-running the feature plan:

@@ -109,6 +109,23 @@ class TableIO:
             df = df.drop("bucket", "day")
         return df
 
+    def delete_partition(self, name: str, partition: str) -> None:
+        """Remove one partition directory (e.g. ``bucket=3``) from a table.
+
+        This is the REPLACE-semantics stand-in for zero-row partitions: a
+        dynamic partition overwrite never touches a partition it writes no
+        rows into, so a stale prior snapshot could linger there. With
+        Iceberg this is the snapshot commit's REPLACE; the parquet fallback
+        deletes the directory. Lives here — not in plan code — because the
+        local-FS assumption (os.path/shutil) is a property of THIS fallback
+        backend, not of the lineage plan; an HDFS/S3-backed TableIO
+        overrides only this seam."""
+        import shutil  # noqa: PLC0415
+
+        pdir = os.path.join(self.path(name), partition)
+        if os.path.isdir(pdir):
+            shutil.rmtree(pdir)
+
     def exists(self, name: str) -> bool:
         p = self.path(name)
         return os.path.isdir(p) and any(

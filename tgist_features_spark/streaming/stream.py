@@ -214,7 +214,14 @@ def stream_features_writer(
     # the dedup stage sets THE watermark; the stateful operator reuses it
     # (Spark disallows redefining a watermark mid-plan)
     feats = _apply_incremental(dedup_within_watermark(stream, delay))
-    marker_dir = io.path("_stream_batch_markers")
+    ckpt = checkpoint or io.path("_stream_ckpt")
+    # markers live UNDER the checkpoint so they share its identity: batch
+    # ids restart from 0 when a checkpoint is reset or a different
+    # checkpoint streams into this warehouse, and warehouse-global markers
+    # would then silently SKIP those batches (data loss). Scoped here, a
+    # reset checkpoint re-appends its batches (the documented
+    # at-least-once window) instead of dropping them.
+    marker_dir = os.path.join(ckpt, "_batch_markers")
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         marker = os.path.join(marker_dir, f"batch_{batch_id}")
@@ -231,6 +238,6 @@ def stream_features_writer(
 
     return (
         feats.writeStream.foreachBatch(sink)
-        .option("checkpointLocation", checkpoint or io.path("_stream_ckpt"))
+        .option("checkpointLocation", ckpt)
         .outputMode("append")
     )
