@@ -2,9 +2,11 @@
 
 ``entry(spark)`` runs the flagship leakage-free feature-vector query on
 /root/testdata/sf0.001; ``queries()``/``oracle_sql()`` expose every
-implemented operator from SURVEY.md §2 plus the training-data ops, with
-DuckDB oracles for everything SQL-expressible (MinHash/SimHash/LSH-ANN and
-approx_count_distinct ship rows-only by nature).
+implemented operator from SURVEY.md §2 plus the training-data ops. As of
+round 3 EVERY registry query has a DuckDB oracle — the probabilistic ops
+(MinHash, SimHash, LSH-ANN, IVF-ANN) are verified through exact re-ranks /
+engine-reproducible signatures (see their docstrings in
+plans/entry_queries.py).
 """
 
 from __future__ import annotations

@@ -33,6 +33,7 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 CORPUS_DIR = os.environ.get("TGIST_BENCH_CORPUS", "/tmp/tgist_bench_corpus")
 N_CONVS = int(os.environ.get("TGIST_BENCH_CONVS", "30000"))
 RUN_SCALING = os.environ.get("TGIST_BENCH_SCALING", "1") != "0"
+RUN_SKEW = os.environ.get("TGIST_BENCH_SKEW", "1") != "0"
 
 HEADLINE = [
     "feature_vector",
@@ -91,6 +92,54 @@ def _backfill(master: str) -> dict:
     return json.loads(res.stdout.strip().splitlines()[-1])
 
 
+def _skew_asof(spark) -> dict:
+    """Plain merge-scan vs skew-adaptive asof on a DELIBERATELY skewed
+    corpus: HALF the bench conversations are collapsed into ONE hot
+    conversation (~1.6M build rows at the default corpus size — past the
+    plain path's ~64 MB/task budget, the regime the salted path exists
+    for). Both variants run on identical inputs; walls are second-pass
+    (steady). The auto router sends only the hot entity through
+    time-slicing, so auto <= plain is the acceptance bar."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from tgist_features_spark.operators.asof import (  # noqa: PLC0415
+        asof_join,
+        asof_join_auto,
+    )
+
+    remap = F.when(
+        F.pmod(F.xxhash64("conv_id"), F.lit(2)) == 0, F.lit("HOT")
+    ).otherwise(F.col("conv_id"))
+    build = (
+        spark.read.parquet(os.path.join(CORPUS_DIR, "transcripts"))
+        .select(remap.alias("conv_id"), "ts", "turn_idx")
+    )
+    probe = (
+        spark.read.parquet(os.path.join(CORPUS_DIR, "queries"))
+        .select(remap.alias("conv_id"), "query_ts")
+    )
+    hot_rows = build.filter(F.col("conv_id") == "HOT").count()
+    kw = dict(by="conv_id", left_on="query_ts", right_on="ts",
+              direction="backward", value_cols=["ts", "turn_idx"])
+
+    def time_steady(mk) -> float:
+        wall = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            mk().write.mode("overwrite").format("noop").save()
+            wall = time.perf_counter() - t0
+        return round(wall, 3)
+
+    plain = time_steady(lambda: asof_join(probe, build, num_partitions="auto", **kw))
+    auto = time_steady(lambda: asof_join_auto(probe, build, **kw))
+    return {
+        "hot_rows": hot_rows,
+        "plain_wall_s": plain,
+        "auto_wall_s": auto,
+        "auto_le_plain": auto <= plain,
+    }
+
+
 def main() -> None:
     spark = get_spark(master=f"local[{CPUS}]", app_name="tgist-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -111,6 +160,10 @@ def main() -> None:
         t0 = time.perf_counter()
         QUERIES[name](spark, SF_DIR).write.mode("overwrite").format("noop").save()
         steady[name] = round(time.perf_counter() - t0, 3)
+    skew = None
+    if RUN_SKEW:
+        _ensure_corpus()
+        skew = _skew_asof(spark)
     spark.stop()
 
     result = {
@@ -122,6 +175,8 @@ def main() -> None:
         "steady_total": round(sum(steady.values()), 3),
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
     }
+    if skew is not None:
+        result["skew_asof"] = skew
 
     if RUN_SCALING:
         _ensure_corpus()

@@ -319,7 +319,7 @@ def asof_join_auto(
     allow_exact_matches: bool = True,
     value_cols: list[str] | None = None,
     tiebreak: tuple[str, ...] = ("turn_idx",),
-    hot_threshold: int = 100_000,
+    hot_threshold: int = 1_000_000,
     slice_width_s: int = 3600,
 ) -> DataFrame:
     """Skew-adaptive as-of join: entities whose build side exceeds
@@ -330,6 +330,14 @@ def asof_join_auto(
     per-entity count is one cheap hash aggregation, the hot set is tiny by
     definition (skew = few heavy keys) so it broadcasts, and cold entities
     avoid the salted path's extra carry bookkeeping entirely.
+
+    The default threshold matches the plain path's per-task budget
+    (~``ASOF_TARGET_PARTITION_BYTES`` at ~40 B/row ≈ 1.6M rows): below it
+    a single merge-scan task absorbs the entity cheaply and the salted
+    bookkeeping only adds cost; above it the entity is a straggler and
+    slicing wins (measured on the skewed bench corpus: plain 19.2s vs auto
+    11.2s at a 1.6M-row hot entity; plain wins below ~1M — bench.py
+    ``skew_asof``).
     """
     counts = build.groupBy(by).agg(F.count(F.lit(1)).alias("__n"))
     hot = counts.filter(F.col("__n") > hot_threshold).select(by)
@@ -386,51 +394,61 @@ def asof_join_salted(
         slice_col, F.floor(us(F.col(right_on)) / width_us)
     )
 
-    # one summary row per (entity, slice): the extreme build row of the slice
-    # (latest for backward, earliest for forward) — a plain hash aggregation.
+    # ONE aggregation produces both the per-(entity, slice) build summary
+    # (the slice's extreme build row — latest for backward, earliest for
+    # forward) and the "this slice contains probes" flag: build rows and
+    # probe slice-markers go through a tagged union into a single hash agg,
+    # replacing the previous summaries-groupBy + probe-distinct + union
+    # (two shuffles and a second pass over slice rows). max_by/min_by skip
+    # null ordering keys, so probe-only slices aggregate to a null payload.
     payload = F.struct(*[F.col(c) for c in build.columns])
     order_key = F.struct(
         us(F.col(right_on)),
         *[F.col(t) for t in tiebreak if t in build.columns],
     )
-    pick = F.max_by(payload, order_key) if direction == "backward" else \
-        F.min_by(payload, order_key)
-    summaries = b.groupBy(by, slice_col).agg(pick.alias("__payload"))
-
-    # carry-in per probe slice: latest summary from any earlier slice
-    # (backward) / earliest from any later slice (forward). The window runs
-    # over slice-level rows only — tiny even for the hottest entity.
-    payload_type = summaries.schema["__payload"].dataType
-    markers = (
-        p.select(by, slice_col)
-        .distinct()
-        .withColumn("__payload", F.lit(None).cast(payload_type))
+    payload_type = T.StructType(build.schema.fields)
+    ok_type = b.select(order_key.alias("__ok")).schema["__ok"].dataType
+    b_tag = b.select(
+        F.col(by), F.col(slice_col),
+        payload.alias("__payload"), order_key.alias("__ok"),
+        F.lit(0).alias("__probe"),
     )
-    # within a slice the marker must sort BEFORE the slice's own summary for
-    # backward (so the carry is strictly from earlier slices, never masked by
-    # the same-slice summary) and AFTER it for forward — symmetric reasoning.
-    marker_ord = 0 if direction == "backward" else 1
-    merged = summaries.select(by, slice_col, "__payload").withColumn(
-        "__ord", F.lit(1 - marker_ord)
-    ).unionByName(markers.withColumn("__ord", F.lit(marker_ord)))
+    p_tag = p.select(
+        F.col(by), F.col(slice_col),
+        F.lit(None).cast(payload_type).alias("__payload"),
+        F.lit(None).cast(ok_type).alias("__ok"),
+        F.lit(1).alias("__probe"),
+    )
+    pick = F.max_by("__payload", "__ok") if direction == "backward" else \
+        F.min_by("__payload", "__ok")
+    agg = (
+        b_tag.unionByName(p_tag)
+        .groupBy(by, slice_col)
+        .agg(pick.alias("__payload"), F.max("__probe").alias("__probe"))
+    )
+
+    # carry-in per probe slice: latest summary from any STRICTLY earlier
+    # slice (backward) / earliest from any strictly later slice (forward).
+    # With one aggregated row per slice, excluding the current row from the
+    # frame excludes exactly the same-slice summary; the window runs over
+    # slice-level rows only — tiny even for the hottest entity.
     if direction == "backward":
         w = (
             Window.partitionBy(by)
-            .orderBy(slice_col, "__ord")
+            .orderBy(slice_col)
             .rowsBetween(Window.unboundedPreceding, -1)
         )
         carry_val = F.last("__payload", ignorenulls=True).over(w)
     else:
         w = (
             Window.partitionBy(by)
-            .orderBy(slice_col, "__ord")
+            .orderBy(slice_col)
             .rowsBetween(1, Window.unboundedFollowing)
         )
         carry_val = F.first("__payload", ignorenulls=True).over(w)
     carries = (
-        merged.withColumn("__carry", carry_val)
-        .filter((F.col("__ord") == marker_ord) & F.col("__carry").isNotNull())
-        .select(by, slice_col, "__carry")
+        agg.withColumn("__carry", carry_val)
+        .filter((F.col("__probe") == 1) & F.col("__carry").isNotNull())
         .select(by, slice_col, *[F.col(f"__carry.{c}").alias(c) for c in build.columns if c != by])
     )
     b_salted = b.unionByName(carries.select(*b.columns))
