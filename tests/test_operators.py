@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pytest
 from pyspark.sql import functions as F
 
 from tgist_features_spark.functions.text import (
@@ -119,3 +120,77 @@ def test_lang_id(spark):
     )
     got = with_lang_id(spark.createDataFrame(pdf)).toPandas()
     assert got["lang_pred"].tolist() == ["en", "es", "und"]
+
+
+# ------------------------------------------------- sampling / splitting
+
+
+def test_deterministic_split_layout_independent(spark):
+    from tgist_features_spark.operators.sampling import deterministic_split
+
+    pdf = pd.DataFrame({"k": [f"u{i % 500}" for i in range(5000)],
+                        "v": range(5000)})
+    df = spark.createDataFrame(pdf)
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = deterministic_split(df, "k", w).toPandas().sort_values("v")
+    b = deterministic_split(df.repartition(17), "k", w).toPandas().sort_values("v")
+    assert a["split"].tolist() == b["split"].tolist()
+    # one key -> one split (all rows of a key together)
+    per_key = a.groupby("k")["split"].nunique()
+    assert (per_key == 1).all()
+    # fractions roughly honored over 500 keys
+    frac = a.drop_duplicates("k")["split"].value_counts(normalize=True)
+    assert abs(frac.get("train", 0) - 0.8) < 0.08
+    assert abs(frac.get("val", 0) - 0.1) < 0.06
+
+
+def test_deterministic_split_boundary_stability(spark):
+    """Growing one split only moves its boundary: every key assigned to
+    'train' at 70% stays in 'train' at 80%."""
+    from tgist_features_spark.operators.sampling import deterministic_split
+
+    pdf = pd.DataFrame({"k": [f"u{i}" for i in range(2000)]})
+    df = spark.createDataFrame(pdf)
+    a = deterministic_split(df, "k", {"train": 0.7, "rest": 0.3}).toPandas()
+    b = deterministic_split(df, "k", {"train": 0.8, "rest": 0.2}).toPandas()
+    m = a.merge(b, on="k", suffixes=("_70", "_80"))
+    assert ((m["split_70"] != "train") | (m["split_80"] == "train")).all()
+
+
+def test_deterministic_split_validation(spark):
+    from tgist_features_spark.operators.sampling import deterministic_split
+
+    df = spark.createDataFrame(pd.DataFrame({"k": ["a"]}))
+    with pytest.raises(ValueError):
+        deterministic_split(df, "k", {})
+    with pytest.raises(ValueError):
+        deterministic_split(df, "k", {"x": 0.0})
+
+
+def test_per_group_sample(spark):
+    from tgist_features_spark.operators.sampling import per_group_sample
+
+    pdf = pd.DataFrame({
+        "g": ["big"] * 100 + ["small"] * 2,
+        "id": list(range(100)) + [1000, 1001],
+    })
+    df = spark.createDataFrame(pdf)
+    got = per_group_sample(df, "g", 5, "id").toPandas()
+    counts = got.groupby("g")["id"].count()
+    assert counts["big"] == 5 and counts["small"] == 2  # quota + passthrough
+    again = per_group_sample(df.repartition(7), "g", 5, "id").toPandas()
+    assert sorted(got["id"]) == sorted(again["id"])  # layout-independent
+
+
+def test_tfidf_topk_ranks_distinctive_term(spark):
+    from tgist_features_spark.functions.text import tfidf_topk
+
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["common words plus zebra zebra",
+                 "common words plus yak",
+                 "common words plus xylophone"],
+    })
+    got = tfidf_topk(spark.createDataFrame(pdf), k=1).toPandas()
+    top = got.set_index("doc_id")["tok"].to_dict()
+    assert top == {1: "zebra", 2: "yak", 3: "xylophone"}

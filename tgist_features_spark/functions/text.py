@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
@@ -187,6 +187,43 @@ def with_ngram_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     for f in NGRAM_STRUCT.fields:
         out = out.withColumn(f.name, F.col(f"__nf.{f.name}"))
     return out.drop("__nf")
+
+
+# ----------------------------------------------------------- TF-IDF
+
+
+def tfidf_topk(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Top-k TF-IDF terms per document — pure Catalyst: one token explode,
+    two hash aggregations (term frequency, document frequency), idf from an
+    in-plan broadcast of the corpus count (no driver-side collect), one
+    rank window. idf = ln(N / df); rank orders by the ROUNDED score (then
+    term asc) so the ordering is reproducible across engines.
+
+    Scale shape: the explode shuffles on (id, tok) and (tok) — both
+    map-side combinable; df-per-term is vocabulary-sized; the corpus count
+    comes from parquet row-group metadata."""
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    )
+    tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "tok")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("tok"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "rank", "tok", "score")
+    )
 
 
 # ----------------------------------------------------------- language ID

@@ -1,0 +1,95 @@
+"""Deterministic sampling & splitting for training-data pipelines.
+
+Hash-based, seed(salt)-stable, layout-independent: a row's assignment
+depends only on its key, so reruns, repartitions, compactions, and
+incremental appends keep every row in the same split — the property that
+matters when a 100 TB corpus is split once and consumed by many training
+jobs over months. Everything is pure Catalyst (no UDFs, no sampling RNG
+state), so assignment fuses into whatever scan already runs.
+
+The hash is md5 — not xxhash64 — so assignments are reproducible OUTSIDE
+Spark: any engine with an md5 builtin (the driver's DuckDB oracle, a
+Python validator) derives identical splits. 60 bits of the digest are
+used, far past birthday range for per-bucket balance at any corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# md5-hex prefix length: 15 hex chars = 60 bits, fits a signed 64-bit int
+_HEX_CHARS = 15
+_N_BUCKETS = 1_000_000  # split granularity: fractions resolve to 1e-6
+
+
+def hash_bucket(col: str | Column, salt: str = "", n: int = _N_BUCKETS) -> Column:
+    """Deterministic bucket in [0, n) from md5(key || salt).
+
+    SQL equivalent (DuckDB): ``('0x' || substr(md5(key || salt), 1, 15))
+    ::UBIGINT % n`` — bit-identical, which is what makes split assignment
+    verifiable end-to-end by an external engine."""
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.conv(
+        F.substring(F.md5(F.concat(c.cast("string"), F.lit(salt))), 1, _HEX_CHARS),
+        16,
+        10,
+    ).cast("bigint")
+    return F.pmod(h, F.lit(n))
+
+
+def deterministic_split(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float],
+    salt: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split (e.g. train/val/test) by key hash.
+
+    ``weights`` are relative fractions (normalized internally); assignment
+    is by cumulative threshold over the hash bucket, so enlarging one split
+    later only MOVES the boundary — rows never shuffle between the splits
+    on either side of an untouched boundary. Keys equal ==> split equal
+    (all rows of one conversation/document land together).
+    """
+    if not weights:
+        raise ValueError("deterministic_split: weights must be non-empty")
+    total = float(sum(weights.values()))
+    if total <= 0:
+        raise ValueError("deterministic_split: weights must sum to > 0")
+    bucket = hash_bucket(key_col, salt)
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total
+        cond = bucket < int(round(acc * _N_BUCKETS))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    return df.withColumn(out_col, last if expr is None else expr.otherwise(last))
+
+
+def per_group_sample(
+    df: DataFrame,
+    group_col: str,
+    n_per_group: int,
+    key_col: str,
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic n-per-group sample: rank rows inside each group by
+    (hash(key), key) and keep the first ``n_per_group``.
+
+    Statistically a uniform without-replacement sample per group (the hash
+    order is pseudo-random in the key), but reproducible and
+    layout-independent — the reservoir-sampling use case without reservoir
+    state. One window over the group key; groups smaller than the quota
+    pass through whole."""
+    w = Window.partitionBy(group_col).orderBy(
+        hash_bucket(key_col, salt), F.col(key_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_per_group)
+        .drop("__rn")
+    )

@@ -1119,6 +1119,95 @@ def q_ivf_ann(spark, sf):
 SQL_IVF_ANN = _sql_ann_brute(query_mod_residue=50, k=3)
 
 
+# --------------------------------------------------------------------------
+# deterministic sampling / splitting & TF-IDF (training-data ops, round 3)
+# --------------------------------------------------------------------------
+
+
+def q_train_split(spark, sf):
+    """Deterministic md5-hash train/val/test split keyed on user_id (all of
+    a user's events land in one split — the grouping that prevents
+    train/test leakage through shared users); per-split row counts, user
+    counts and value sums. The oracle recomputes the identical md5 bucket
+    arithmetic in DuckDB — split assignment is verified row-for-row, not
+    just proportionally."""
+    from tgist_features_spark.operators.sampling import deterministic_split
+
+    e = _t(spark, sf, "events")
+    s = deterministic_split(
+        e, "user_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return s.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+SQL_TRAIN_SPLIT = """
+WITH b AS (
+  SELECT *, ('0x' || substr(md5(user_id::VARCHAR || 'split'), 1, 15))::UBIGINT
+            % 1000000 AS bk
+  FROM events),
+s AS (
+  SELECT *, CASE WHEN bk < 800000 THEN 'train'
+                 WHEN bk < 900000 THEN 'val'
+                 ELSE 'test' END AS split
+  FROM b)
+SELECT split, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users,
+       ROUND(SUM(value), 2) AS sum_value
+FROM s GROUP BY split
+"""
+
+
+def q_group_sample(spark, sf):
+    """Deterministic 3-per-user sample (hash-ordered rank — the
+    layout-independent reservoir-sample equivalent); md5 ordering is
+    recomputed by the oracle, so the exact sampled rows are verified."""
+    from tgist_features_spark.operators.sampling import per_group_sample
+
+    e = _t(spark, sf, "events")
+    return per_group_sample(e, "user_id", 3, "event_id").select(
+        "user_id", "event_id", "event_type", F.round("value", 2).alias("value")
+    )
+
+
+SQL_GROUP_SAMPLE = """
+SELECT user_id, event_id, event_type, ROUND(value, 2) AS value
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id
+    ORDER BY ('0x' || substr(md5(event_id::VARCHAR || 'sample'), 1, 15))::UBIGINT
+             % 1000000, event_id) AS rn
+  FROM events)
+WHERE rn <= 3
+"""
+
+
+def q_tfidf(spark, sf):
+    """Top-3 TF-IDF terms per document (text-analysis staple), ranked by
+    rounded score then term — fully hash-verified against the same
+    computation in DuckDB."""
+    from tgist_features_spark.functions.text import tfidf_topk
+
+    return tfidf_topk(_t(spark, sf, "documents"), k=3)
+
+
+SQL_TFIDF = """
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, tok, ROUND(tf * ln(n_docs::DOUBLE / df), 6) AS score
+  FROM tf JOIN dfreq USING (tok) CROSS JOIN n)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS INT) AS rank,
+       tok, score
+FROM scored QUALIFY rank <= 3
+"""
+
+
 def q_grouping_sets(spark, sf):
     """A4 via the SQL surface: GROUPING SETS over lineitem."""
     _t(spark, sf, "lineitem").createOrReplaceTempView("v_lineitem")
@@ -1416,6 +1505,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": q_dedup_simhash,
     "ann_lsh": q_ann_lsh,
     "ivf_ann": q_ivf_ann,
+    # new this round (sampling/splitting + TF-IDF):
+    "train_split": q_train_split,
+    "group_sample": q_group_sample,
+    "tfidf": q_tfidf,
     # rotated back into the checked window this round (tail of r02):
     "cosine_topk": q_cosine_topk,
     "session_stats": q_session_stats,
@@ -1452,15 +1545,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id": q_lang_id,
     "bpeish_tokens": q_bpeish_tokens,
     "multimodal_bytes": q_multimodal_bytes,
+    # tail (past the driver's 50-entry cap, unchecked this round): ALL
+    # hash-green in r02 (most also r01), untouched since, so nothing here
+    # is ever more than one round stale; coverage redundantly evidenced
+    # earlier — dedup_exact ~ the dedup pipeline tests + fingerprint,
+    # knn_brute ~ cosine_topk (same brute-force operator), sql_shipping ~
+    # grouping_sets (SQL surface), smj_join (J5) ~ sql_shipping's shuffle
+    # joins, tokenize (F1) ~ bpeish_tokens, quality ~ feature_vector's
+    # fused quality features, window_ranks (W2) ~ canonical_order +
+    # topk_per_user ranks, string_funcs (P1) ~ date_parts/fingerprint
     "dedup_exact": q_dedup_exact,
     "knn_brute": q_knn_brute,
     "sql_shipping": q_sql_shipping,
-    # tail (positions 51-55, unchecked this round): hash-green in BOTH r01
-    # and r02, untouched since, coverage redundantly evidenced earlier —
-    # smj_join (J5) ~ sql_shipping's shuffle joins, tokenize (F1) ~
-    # bpeish_tokens, quality ~ feature_vector's fused quality features,
-    # window_ranks (W2) ~ canonical_order + topk_per_user ranks,
-    # string_funcs (P1) ~ date_parts/fingerprint derivations
     "smj_join": q_smj_join,
     "tokenize": q_tokenize,
     "quality": q_quality,
@@ -1513,6 +1609,9 @@ ORACLES: dict[str, str] = {
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "ann_lsh": SQL_ANN_LSH,
     "ivf_ann": SQL_IVF_ANN,
+    "train_split": SQL_TRAIN_SPLIT,
+    "group_sample": SQL_GROUP_SAMPLE,
+    "tfidf": SQL_TFIDF,
     "cosine_topk": SQL_COSINE_TOPK,
     "knn_brute": SQL_KNN_BRUTE,
     "embed_near_dup": SQL_EMBED_NEAR_DUP,
