@@ -131,3 +131,24 @@ def test_bucketed_tables_join_without_shuffle(spark, tiny_pdf, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
         spark.sql(f"DROP TABLE IF EXISTS {tbl_a}")
         spark.sql(f"DROP TABLE IF EXISTS {tbl_b}")
+
+
+def test_deterministic_split_adds_no_exchange(spark):
+    """Split assignment is a pure projection — it must fuse into whatever
+    scan already runs (zero shuffles added at any corpus size)."""
+    from tgist_features_spark.operators.sampling import deterministic_split
+
+    df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    p = _plan(deterministic_split(df, "user_id", {"train": 0.8, "rest": 0.2}))
+    assert "Exchange" not in p, p[:1500]
+    assert "* Project" in p  # inside whole-stage codegen, no Python
+
+
+def test_tfidf_corpus_count_is_broadcast(spark):
+    """The idf denominator (corpus doc count) must join in as a broadcast
+    of a 1-row aggregate — never a shuffled join against the term table."""
+    from tgist_features_spark.functions.text import tfidf_topk
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p = _plan(tfidf_topk(df, k=3))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p, p[:2000]
