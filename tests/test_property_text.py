@@ -107,3 +107,56 @@ def test_minhash_segmented_matches_naive(docs):
     ref = _naive_minhash(docs, n_hashes=8, shingle=3, seed=9)
     for g, r in zip(got, ref):
         np.testing.assert_array_equal(np.asarray(g), r)
+
+
+# ------------------------------------------------- vectorized SimHash
+
+
+def _simhash_naive(text: str) -> int:
+    """Slow per-doc reference: the definition the vectorized batch must
+    reproduce (single-space split, md5 token hash, sign of ±1 bit sums)."""
+    import hashlib
+
+    toks = text.split(" ")
+    acc = [0] * 64
+    for t in toks:
+        h = int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8], "big")
+        for j in range(64):
+            acc[j] += 1 if (h >> j) & 1 else -1
+    sig = sum(1 << j for j in range(64) if acc[j] > 0)
+    return sig - (1 << 64) if sig >= (1 << 63) else sig
+
+
+@settings(max_examples=100, deadline=None)
+@given(texts)
+def test_simhash_batch_matches_naive(rows):
+    from tgist_features_spark.operators.dedup import _simhash_batch
+
+    s = pd.Series(rows, dtype=object).fillna("")
+    got = _simhash_batch(s)
+    ref = np.array([_simhash_naive(t) for t in s], dtype=np.int64)
+    assert (got == ref).all(), (got, ref)
+
+
+@settings(max_examples=100, deadline=None)
+@given(texts)
+def test_space_tokens_matches_str_split_space(rows):
+    from tgist_features_spark.operators.dedup import _space_tokens
+
+    s = pd.Series(rows, dtype=object).fillna("")
+    flat, lens = _space_tokens(s)
+    ref = [v.split(" ") for v in s]
+    assert lens.tolist() == [len(r) for r in ref]
+    assert flat.tolist() == [t for r in ref for t in r]
+
+
+def test_simhash_batch_chunking_invariant():
+    """Doc-chunked reduceat must give identical signatures whatever the
+    chunk budget (exercises multi-chunk and oversized-doc paths)."""
+    from tgist_features_spark.operators.dedup import _simhash_batch
+
+    rows = ["a b c d e f g h", "x", "", "lorem ipsum " * 30, "q r s"]
+    s = pd.Series(rows, dtype=object)
+    ref = _simhash_batch(s)
+    for budget in (1, 4, 64):
+        assert (_simhash_batch(s, chunk_tokens=budget) == ref).all()
