@@ -224,3 +224,72 @@ def test_audio_null_payload_passes_metadata_through(spark):
     assert len(out) == 1
     assert out["duration_s"].iloc[0] == 300.0, "metadata must pass through"
     assert pd.isna(out["rms"].iloc[0]) and pd.isna(out["n_bytes"].iloc[0])
+
+
+def test_ppm_roundtrip_and_real_image_decode(spark):
+    """Images decode for REAL: dims come from the PPM header (must equal
+    the source metadata), mean_intensity is the actual pixel mean, and the
+    thumb is an area-average of actual pixels (constant image -> constant
+    thumb)."""
+    import numpy as np
+
+    from tgist_features_spark.functions.multimodal import (
+        decode_ppm,
+        encode_ppm,
+        synthesize_media,
+    )
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(17, 23, 3), dtype=np.uint8)
+    assert (decode_ppm(encode_ppm(img)) == img).all()
+    assert decode_ppm(b"nonsense bytes") is None
+
+    media = synthesize_media(spark, n=30, seed=7)
+    out = image_features(media.filter("modality = 'image'")).toPandas()
+    meta = media.filter("modality = 'image'").select(
+        "media_id", "meta_w", "meta_h", "payload"
+    ).toPandas()
+    m = out.merge(meta, on="media_id")
+    assert (m["width"] == m["meta_w"]).all()
+    assert (m["height"] == m["meta_h"]).all()
+    for r in m.itertuples():
+        pix = decode_ppm(bytes(r.payload))
+        assert abs(r.mean_intensity - pix.mean(axis=2).mean()) < 1e-9
+
+    # constant image -> constant resize output (area-average correctness)
+    from tgist_features_spark.functions.multimodal import _resize_gray
+
+    const = np.full((13, 9), 100.0)
+    assert np.allclose(_resize_gray(const, 4, 4), 100.0)
+    assert np.allclose(_resize_gray(const, 20, 20), 100.0)  # upsample path
+
+
+def test_wav_roundtrip_and_real_audio_decode(spark):
+    """Audio decodes for REAL: duration must equal n_samples/rate from the
+    RIFF header (not the source metadata), and rms reflects the actual
+    signal amplitude."""
+    import numpy as np
+
+    from tgist_features_spark.functions.multimodal import (
+        audio_features,
+        decode_wav_pcm16,
+        encode_wav_pcm16,
+        synthesize_media,
+    )
+
+    sig = (np.sin(np.linspace(0, 40, 1600)) * 16000).astype(np.int16)
+    rate, back = decode_wav_pcm16(encode_wav_pcm16(sig, 8000))
+    assert rate == 8000 and (back == sig).all()
+    assert decode_wav_pcm16(b"RIFFjunk") is None
+
+    media = synthesize_media(spark, n=30, seed=7)
+    out = audio_features(media).toPandas()
+    meta = media.filter("modality = 'audio'").select(
+        "media_id", "payload"
+    ).toPandas()
+    m = out.merge(meta, on="media_id")
+    for r in m.itertuples():
+        rate, pcm = decode_wav_pcm16(bytes(r.payload))
+        assert abs(r.duration_s - len(pcm) / rate) < 1e-9
+        # synthesized signal is a 0.5-amplitude sine + noise: rms ~0.35
+        assert 0.2 < r.rms < 0.6

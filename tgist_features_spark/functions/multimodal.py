@@ -1,12 +1,21 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata.
 
-The decode libraries (PIL/ffmpeg/torchaudio) are not installed in this
-container, so the *decode kernels* are deterministic stubs — but the
-Spark-side plumbing is real and tested: schema, Arrow batch shape,
-mapInPandas partitioning, and the metadata contract are exactly what a
-production decode stage needs; swap ``_decode_image_stub`` for a real
-decoder and nothing else changes.
+Decode status (container constraint, re-checked every round):
+
+* **REAL decoders** for container-free formats, pure numpy — PPM (P6)
+  images and PCM16 mono WAV audio parse from raw bytes with no external
+  library; width/height/duration/intensity/rms are genuine, and the
+  resize is a true area-average (anti-aliased) downsample.
+* **Deterministic stubs** only where a codec is unavoidable (JPEG/PNG/MP4
+  — PIL/ffmpeg/libvips are not installed in this sandbox). The stub keeps
+  the exact kernel signature, so a real deployment swaps the codec in and
+  nothing else changes.
+
+The Spark side is production-shaped either way: Arrow binary batches into
+``mapInPandas`` (one Python call per batch, never per row — the per-payload
+loop inside the batch IS the decode kernel), typed output schemas, metadata
+pass-through, and fan-out handled distributed (video frame sampling).
 """
 
 from __future__ import annotations
@@ -32,6 +41,127 @@ MEDIA_SCHEMA = T.StructType(
     ]
 )
 
+# ------------------------------------------------------------- real codecs
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 -> binary PPM (P6)."""
+    h, w, _ = img.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + img.astype(np.uint8).tobytes()
+
+
+def decode_ppm(b: bytes) -> np.ndarray | None:
+    """Binary PPM (P6) -> (h, w, 3) uint8, or None if not a valid P6.
+    Pure bytes parsing + one zero-copy frombuffer — no codec library."""
+    if len(b) < 10 or b[:2] != b"P6":
+        return None
+    i, vals = 2, []
+    limit = min(len(b), 512)
+    while len(vals) < 3 and i < limit:
+        while i < limit and b[i : i + 1].isspace():
+            i += 1
+        if b[i : i + 1] == b"#":  # comment to end-of-line
+            while i < limit and b[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < limit and not b[j : j + 1].isspace():
+            j += 1
+        try:
+            vals.append(int(b[i:j]))
+        except ValueError:
+            return None
+        i = j
+    if len(vals) < 3 or i >= len(b):
+        return None
+    w, h, maxval = vals
+    if not (0 < w and 0 < h and maxval == 255):
+        return None
+    off = i + 1  # single whitespace after maxval
+    need = w * h * 3
+    if len(b) < off + need:
+        return None
+    return np.frombuffer(b, dtype=np.uint8, count=need, offset=off).reshape(h, w, 3)
+
+
+def encode_wav_pcm16(samples: np.ndarray, rate: int) -> bytes:
+    """Mono int16 samples -> minimal RIFF/WAVE PCM16 bytes."""
+    data = samples.astype("<i2").tobytes()
+    n = len(data)
+    hdr = (
+        b"RIFF" + (36 + n).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")          # PCM
+        + (1).to_bytes(2, "little")          # mono
+        + rate.to_bytes(4, "little")
+        + (rate * 2).to_bytes(4, "little")   # byte rate
+        + (2).to_bytes(2, "little")          # block align
+        + (16).to_bytes(2, "little")         # bits
+        + b"data" + n.to_bytes(4, "little")
+    )
+    return hdr + data
+
+
+def decode_wav_pcm16(b: bytes) -> tuple[int, np.ndarray] | None:
+    """RIFF/WAVE mono PCM16 -> (sample_rate, int16 samples), else None.
+    Chunk-walking parser, zero-copy frombuffer on the data chunk."""
+    if len(b) < 44 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    i, rate, data = 12, None, None
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        size = int.from_bytes(b[i + 4 : i + 8], "little")
+        body = b[i + 8 : i + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            fmt = int.from_bytes(body[0:2], "little")
+            ch = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+            if fmt != 1 or ch != 1 or bits != 16:
+                return None
+        elif cid == b"data":
+            data = body
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    if not rate or data is None:
+        return None
+    return rate, np.frombuffer(data[: len(data) // 2 * 2], dtype="<i2")
+
+
+def _resize_gray(gray: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Fixed-shape resize of a 2-D array: true area-average (anti-aliased)
+    when downsampling — box sums via two ``np.add.reduceat`` passes —
+    nearest-neighbor when upsampling. Pure numpy."""
+    h, w = gray.shape
+    if out_h <= h and out_w <= w:
+        ye = (np.arange(out_h) * h) // out_h
+        xe = (np.arange(out_w) * w) // out_w
+        s = np.add.reduceat(
+            np.add.reduceat(gray.astype(np.float64), ye, axis=0), xe, axis=1
+        )
+        yc = np.diff(np.append(ye, h))
+        xc = np.diff(np.append(xe, w))
+        return s / (yc[:, None] * xc[None, :])
+    iy = np.minimum((np.arange(out_h) * h) // out_h, h - 1)
+    ix = np.minimum((np.arange(out_w) * w) // out_w, w - 1)
+    return gray[iy][:, ix].astype(np.float64)
+
+
+# ------------------------------------------------------------ stub kernels
+
+
+def _decode_image_stub(payload: bytes) -> tuple[int, int, float, np.ndarray]:
+    """Deterministic fallback for codec formats (JPEG/PNG) this sandbox
+    cannot decode (no PIL/libvips — environment, not design). Same
+    signature as the real path; a deployment with codecs deletes it."""
+    digest = hashlib.sha256(payload).digest()
+    rng = np.random.default_rng(int.from_bytes(digest[:8], "little"))
+    w = 16 + digest[8] % 64
+    h = 16 + digest[9] % 64
+    mean = float(np.frombuffer(payload[:256] or b"\x00", dtype=np.uint8).mean())
+    thumb = rng.random(8, dtype=np.float64).astype(np.float32)
+    return w, h, mean, thumb
+
+
 IMAGE_FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -45,26 +175,13 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 )
 
 
-def _decode_image_stub(payload: bytes) -> tuple[int, int, float, np.ndarray]:
-    """Deterministic fake decoder. A real deployment replaces this with
-    PIL/libvips; the signature (bytes -> dims + stats + small tensor) is the
-    contract the rest of the pipeline depends on."""
-    digest = hashlib.sha256(payload).digest()
-    rng = np.random.default_rng(int.from_bytes(digest[:8], "little"))
-    w = 16 + digest[8] % 64
-    h = 16 + digest[9] % 64
-    mean = float(np.frombuffer(payload[:256] or b"\x00", dtype=np.uint8).mean())
-    thumb = rng.random(8, dtype=np.float64).astype(np.float32)
-    return w, h, mean, thumb
-
-
 def image_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
     """Decode + feature-extract image payloads via mapInPandas.
 
-    Arrow streams binary batches into the Python worker; one call per batch
-    (never per row). Output is a flat typed frame — ready to join back or
-    sink as its own table.
-    """
+    PPM payloads decode for REAL (dims, mean intensity and the 8-float
+    grayscale thumb all come from actual pixels); codec formats fall back
+    to the deterministic stub. Arrow streams binary batches into the
+    Python worker; one call per batch, never per row."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -74,7 +191,16 @@ def image_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
                     rows.append((mid, None, None, None, None, None, None))
                     continue
                 b = bytes(payload)
-                w, h, mean, thumb = _decode_image_stub(b)
+                img = decode_ppm(b)
+                if img is not None:
+                    gray = img.mean(axis=2)
+                    w, h = img.shape[1], img.shape[0]
+                    mean = float(gray.mean())
+                    thumb = (
+                        _resize_gray(gray, 2, 4).ravel() / 255.0
+                    ).astype(np.float32)
+                else:
+                    w, h, mean, thumb = _decode_image_stub(b)
                 rows.append(
                     (
                         mid,
@@ -108,11 +234,10 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
 def audio_features(df: DataFrame) -> DataFrame:
     """Decode + feature-extract audio payloads via mapInPandas.
 
-    The decode is a deterministic stub (payload bytes reinterpreted as a
-    PCM-ish int8 signal — no torchaudio/ffmpeg in this container); the
-    batch shape, schema and metadata pass-through are the production
-    contract. Feature math (rms, zero crossings) is vectorized numpy over
-    the whole batch's samples."""
+    PCM16 WAV payloads decode for REAL: duration = n_samples/rate from the
+    RIFF header (overriding the source metadata), rms and zero-crossings
+    over the actual samples (normalized to [-1, 1]). Non-WAV payloads keep
+    the stub path (bytes as an int8 signal) with the metadata duration."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -125,10 +250,17 @@ def audio_features(df: DataFrame) -> DataFrame:
                     # undecodable — duration is source metadata, not derived
                     rows.append((mid, None, dur, None, None))
                     continue
-                sig = np.frombuffer(bytes(payload), dtype=np.int8).astype(np.float64)
+                b = bytes(payload)
+                wav = decode_wav_pcm16(b)
+                if wav is not None:
+                    rate, pcm = wav
+                    sig = pcm.astype(np.float64) / 32768.0
+                    dur = len(sig) / rate
+                else:
+                    sig = np.frombuffer(b, dtype=np.int8).astype(np.float64)
                 rms = float(np.sqrt(np.mean(sig**2))) if len(sig) else 0.0
                 zc = int(((sig[:-1] * sig[1:]) < 0).sum()) if len(sig) > 1 else 0
-                rows.append((mid, len(payload), dur, rms, zc))
+                rows.append((mid, len(b), dur, rms, zc))
             yield pd.DataFrame(
                 rows, columns=[f.name for f in AUDIO_FEATURES_SCHEMA.fields]
             )
@@ -149,11 +281,11 @@ RESIZE_SCHEMA = T.StructType(
 
 
 def resize_images(df: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
-    """Resize-to-fixed-shape plumbing: every image payload becomes an
+    """Resize-to-fixed-shape: every image payload becomes an
     (out_w * out_h)-float array — the tensor-batch contract a training
-    pipeline feeds to a model. The resample kernel is the deterministic
-    stub decoder; a real deployment swaps in PIL/libvips and keeps the
-    schema, Arrow batching and fixed output shape."""
+    pipeline feeds to a model. PPM payloads go through the REAL
+    area-average resample of their actual pixels (grayscale, [0, 1]);
+    codec formats fall back to the deterministic stub tensor."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -162,9 +294,19 @@ def resize_images(df: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
                 if payload is None:
                     rows.append((mid, None, None, None))
                     continue
-                digest = hashlib.sha256(bytes(payload)).digest()
-                rng = np.random.default_rng(int.from_bytes(digest[:8], "little"))
-                px = rng.random(out_w * out_h).astype(np.float32)
+                b = bytes(payload)
+                img = decode_ppm(b)
+                if img is not None:
+                    px = (
+                        _resize_gray(img.mean(axis=2), out_h, out_w).ravel()
+                        / 255.0
+                    ).astype(np.float32)
+                else:
+                    digest = hashlib.sha256(b).digest()
+                    rng = np.random.default_rng(
+                        int.from_bytes(digest[:8], "little")
+                    )
+                    px = rng.random(out_w * out_h).astype(np.float32)
                 rows.append((mid, out_w, out_h, px.tolist()))
             yield pd.DataFrame(
                 rows, columns=[f.name for f in RESIZE_SCHEMA.fields]
@@ -178,10 +320,10 @@ def resize_images(df: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
 def frame_sample_stub(df: DataFrame, every_s: float = 1.0) -> DataFrame:
     """Video frame sampling plumbing: one output row per sampled frame.
 
-    The decoder is stubbed (deterministic frame count from duration); the
-    explode + per-frame schema is the real scale concern: a 2-hour video at
-    1 fps is 7200 rows from one input row — mapInPandas handles the fan-out
-    without materializing all frames driver-side.
+    The decoder is stubbed (deterministic frame count from duration — MP4
+    needs ffmpeg, absent here); the explode + per-frame schema is the real
+    scale concern: a 2-hour video at 1 fps is 7200 rows from one input row
+    — handled distributed, never materialized driver-side.
     """
     n_frames = F.greatest(
         F.lit(1), F.floor(F.coalesce(F.col("meta_duration_s"), F.lit(0.0)) / every_s)
@@ -198,21 +340,47 @@ def frame_sample_stub(df: DataFrame, every_s: float = 1.0) -> DataFrame:
 
 
 def synthesize_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table for tests (payload = seeded bytes)."""
+    """Deterministic media table for tests: REAL binary formats where the
+    engine has real decoders — images are valid P6 PPMs, audio is valid
+    PCM16 WAV (sine + noise) — and opaque bytes for video (codec-stubbed).
+    """
     rng = np.random.default_rng(seed)
     rows = []
     for i in range(n):
         modality = ["image", "audio", "video"][i % 3]
-        payload = rng.bytes(64 + int(rng.integers(0, 256)))
+        meta_w = meta_h = None
+        duration = None
+        if modality == "image":
+            meta_w = int(rng.integers(4, 48))
+            meta_h = int(rng.integers(4, 48))
+            img = rng.integers(0, 256, size=(meta_h, meta_w, 3), dtype=np.uint8)
+            payload = encode_ppm(img)
+        elif modality == "audio":
+            rate = 8000
+            n_samp = int(rng.integers(80, 2400))
+            t = np.arange(n_samp) / rate
+            freq = float(rng.integers(100, 1000))
+            sig = 0.5 * np.sin(2 * np.pi * freq * t) + 0.05 * rng.standard_normal(n_samp)
+            payload = encode_wav_pcm16(
+                np.clip(sig * 32767, -32768, 32767).astype(np.int16), rate
+            )
+            duration = n_samp / rate
+        else:
+            payload = rng.bytes(64 + int(rng.integers(0, 256)))
+            duration = float(rng.integers(1, 600))
         rows.append(
             (
                 i,
                 modality,
                 bytearray(payload),
-                {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[modality],
-                int(rng.integers(16, 512)) if modality == "image" else None,
-                int(rng.integers(16, 512)) if modality == "image" else None,
-                float(rng.integers(1, 600)) if modality != "image" else None,
+                {
+                    "image": "image/x-portable-pixmap",
+                    "audio": "audio/wav",
+                    "video": "video/mp4",
+                }[modality],
+                meta_w,
+                meta_h,
+                duration,
             )
         )
     pdf = pd.DataFrame(
