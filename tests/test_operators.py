@@ -194,3 +194,71 @@ def test_tfidf_topk_ranks_distinctive_term(spark):
     got = tfidf_topk(spark.createDataFrame(pdf), k=1).toPandas()
     top = got.set_index("doc_id")["tok"].to_dict()
     assert top == {1: "zebra", 2: "yak", 3: "xylophone"}
+
+
+# ------------------------------------------------- connected components
+
+
+def _union_find_ref(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp = {}
+    for n in parent:
+        comp[n] = find(n)
+    return comp
+
+
+def test_connected_components_vs_union_find(spark):
+    """Distributed min-label propagation + pointer jumping must match a
+    driver-side union-find on a graph with chains (multi-iteration),
+    cycles, and singleton pairs."""
+    from tgist_features_spark.operators.components import connected_components
+
+    pairs = (
+        [(i, i + 1) for i in range(0, 20)]          # long chain 0..20
+        + [(100, 101), (101, 102), (102, 100)]       # cycle
+        + [(200, 201)]                               # isolated pair
+        + [(300, 310), (310, 305), (305, 300)]       # another cycle
+        + [(400, 500), (450, 500), (400, 450)]
+    )
+    pdf = pd.DataFrame(pairs, columns=["a", "b"])
+    got = (
+        connected_components(spark.createDataFrame(pdf))
+        .toPandas()
+        .set_index("id")["comp"]
+        .to_dict()
+    )
+    ref = _union_find_ref(pairs)
+    assert got == ref
+
+
+def test_connected_components_random_graph(spark):
+    import numpy as np
+
+    from tgist_features_spark.operators.components import connected_components
+
+    rng = np.random.default_rng(11)
+    pairs = [
+        (int(a), int(b))
+        for a, b in rng.integers(0, 150, size=(120, 2))
+        if a != b
+    ]
+    pdf = pd.DataFrame(pairs, columns=["a", "b"])
+    got = (
+        connected_components(spark.createDataFrame(pdf))
+        .toPandas()
+        .set_index("id")["comp"]
+        .to_dict()
+    )
+    assert got == _union_find_ref(pairs)

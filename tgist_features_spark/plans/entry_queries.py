@@ -987,6 +987,53 @@ WHERE bit_count(xor(x.s, y.s)) <= 3
 """
 
 
+def q_dup_clusters(spark, sf):
+    """Duplicate CLUSTERS: SimHash near-dup pairs (hamming<=3, the
+    driver-verified generator) closed into connected components via
+    iterative min-label propagation with pointer jumping
+    (operators/components.py). cluster_id = min doc_id per component. The
+    oracle computes the same pairs and closes them with a recursive CTE —
+    the distributed iterative algorithm is verified against a SQL
+    fixpoint."""
+    from tgist_features_spark.operators.components import connected_components
+
+    pairs = simhash_near_pairs(
+        _t(spark, sf, "documents"), max_hamming=3, max_bucket=None
+    )
+    return connected_components(pairs).select(
+        F.col("id").alias("doc_id"), F.col("comp").alias("cluster_id")
+    )
+
+
+SQL_DUP_CLUSTERS = """
+WITH RECURSIVE
+toks AS (SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS tok
+         FROM documents),
+h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS hv FROM toks),
+bits AS (SELECT doc_id, j,
+                SUM(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+         FROM h, LATERAL (SELECT unnest(range(0, 64)) AS j) t(j)
+         GROUP BY doc_id, j),
+sig AS (SELECT doc_id,
+               SUM(CASE WHEN acc > 0 THEN (1::UBIGINT << j)::HUGEINT
+                        ELSE 0 END)::UBIGINT AS s
+        FROM bits GROUP BY doc_id),
+pairs AS (SELECT x.doc_id AS a, y.doc_id AS b
+          FROM sig x JOIN sig y ON x.doc_id < y.doc_id
+          WHERE bit_count(xor(x.s, y.s)) <= 3),
+e AS (SELECT a AS s, b AS d FROM pairs UNION SELECT b, a FROM pairs),
+reach(s, d) AS (
+  SELECT s, d FROM e
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN e ON r.d = e.s
+),
+nodes AS (SELECT DISTINCT s AS id FROM e)
+SELECT n.id AS doc_id, LEAST(n.id, MIN(r.d)) AS cluster_id
+FROM nodes n LEFT JOIN reach r ON r.s = n.id
+GROUP BY n.id
+"""
+
+
 def q_cosine_topk(spark, sf):
     emb = _t(spark, sf, "embeddings")
     return cosine_topk(emb, queries_from_ids(emb, [0]), k=10)
@@ -1509,6 +1556,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "train_split": q_train_split,
     "group_sample": q_group_sample,
     "tfidf": q_tfidf,
+    "dup_clusters": q_dup_clusters,
     # rotated back into the checked window this round (tail of r02):
     "cosine_topk": q_cosine_topk,
     "session_stats": q_session_stats,
@@ -1544,16 +1592,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_stats": q_ngram_stats,
     "lang_id": q_lang_id,
     "bpeish_tokens": q_bpeish_tokens,
-    "multimodal_bytes": q_multimodal_bytes,
     # tail (past the driver's 50-entry cap, unchecked this round): ALL
     # hash-green in r02 (most also r01), untouched since, so nothing here
     # is ever more than one round stale; coverage redundantly evidenced
-    # earlier — dedup_exact ~ the dedup pipeline tests + fingerprint,
+    # earlier — multimodal_bytes ~ the real-decode pytest suite
+    # (test_extras), dedup_exact ~ the dedup pipeline tests + fingerprint,
     # knn_brute ~ cosine_topk (same brute-force operator), sql_shipping ~
     # grouping_sets (SQL surface), smj_join (J5) ~ sql_shipping's shuffle
     # joins, tokenize (F1) ~ bpeish_tokens, quality ~ feature_vector's
     # fused quality features, window_ranks (W2) ~ canonical_order +
     # topk_per_user ranks, string_funcs (P1) ~ date_parts/fingerprint
+    "multimodal_bytes": q_multimodal_bytes,
     "dedup_exact": q_dedup_exact,
     "knn_brute": q_knn_brute,
     "sql_shipping": q_sql_shipping,
@@ -1612,6 +1661,7 @@ ORACLES: dict[str, str] = {
     "train_split": SQL_TRAIN_SPLIT,
     "group_sample": SQL_GROUP_SAMPLE,
     "tfidf": SQL_TFIDF,
+    "dup_clusters": SQL_DUP_CLUSTERS,
     "cosine_topk": SQL_COSINE_TOPK,
     "knn_brute": SQL_KNN_BRUTE,
     "embed_near_dup": SQL_EMBED_NEAR_DUP,
