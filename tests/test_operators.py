@@ -262,3 +262,21 @@ def test_connected_components_random_graph(spark):
         .to_dict()
     )
     assert got == _union_find_ref(pairs)
+
+
+def test_bm25_ranks_term_dense_docs(spark):
+    from tgist_features_spark.functions.text import bm25_topk
+
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            "hash hash hash join",          # dense in the query term
+            "hash join scan",               # one hit
+            "scan filter sort",             # no hit
+            "hash join " + "scan filter sort " * 40,  # one hit, long doc (penalized)
+        ],
+    })
+    got = bm25_topk(spark.createDataFrame(pdf), ["hash"], k=3).toPandas()
+    assert got["doc_id"].iloc[0] == 1          # densest short doc wins
+    assert 3 not in set(got["doc_id"])         # no-hit doc never appears
+    assert (got["bm25"] > 0).all()

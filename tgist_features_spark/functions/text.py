@@ -226,6 +226,60 @@ def tfidf_topk(
     )
 
 
+# ----------------------------------------------------------------- BM25
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k documents by BM25 for a fixed query-term list — the retrieval
+    scorer a training-data curation pipeline uses to pull topical slices
+    out of a corpus. Pure Catalyst: the token explode is filtered to the
+    query terms BEFORE any aggregation (the only per-corpus pass is the
+    scan itself), corpus stats (N, avg doc length) ride in as a 1-row
+    broadcast, and the final top-k is a TakeOrdered — no full sort.
+
+    idf = ln(1 + (N - df + 0.5) / (df + 0.5)); score rounded to 6dp for
+    cross-engine reproducibility (verified against the same formula in
+    DuckDB by the driver oracle)."""
+    toks_arr = F.split(F.col(text_col), " ")
+    terms = F.array(*[F.lit(t) for t in query_terms])
+    toks = df.select(
+        F.col(id_col),
+        F.size(toks_arr).alias("dl"),
+        F.explode(toks_arr).alias("tok"),
+    ).filter(F.array_contains(terms, F.col("tok")))
+    tf = toks.groupBy(id_col, "tok").agg(
+        F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
+    )
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    stats = df.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.size(toks_arr)).alias("avg_dl"),
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    w = idf * (
+        F.col("tf") * (k1 + 1.0)
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avg_dl")))
+    )
+    scored = (
+        tf.join(dfreq, "tok")
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(F.round(F.sum(w), 6).alias("bm25"))
+    )
+    return scored.orderBy(F.desc("bm25"), F.asc(id_col)).limit(k)
+
+
 # ----------------------------------------------------------- language ID
 
 _LANG_MARKERS = {

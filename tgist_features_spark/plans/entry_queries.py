@@ -987,6 +987,41 @@ WHERE bit_count(xor(x.s, y.s)) <= 3
 """
 
 
+_BM25_TERMS = ["hash", "merge", "window"]
+
+
+def q_bm25(spark, sf):
+    """Top-10 docs by BM25 for a fixed 3-term query (retrieval scoring for
+    corpus curation) — hash-verified against the identical formula in
+    DuckDB."""
+    from tgist_features_spark.functions.text import bm25_topk
+
+    return bm25_topk(_t(spark, sf, "documents"), _BM25_TERMS, k=10)
+
+
+SQL_BM25 = f"""
+WITH toks AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+         unnest(string_split(text, ' ')) AS tok
+  FROM documents),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf, ANY_VALUE(dl) AS dl
+       FROM toks WHERE tok IN ('hash', 'merge', 'window') GROUP BY 1, 2),
+dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+stats AS (SELECT COUNT(*) AS n_docs,
+                 AVG(len(string_split(text, ' '))) AS avg_dl
+          FROM documents),
+scored AS (
+  SELECT doc_id,
+         ROUND(SUM(
+           ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+           * (tf * 2.2 / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avg_dl)))
+         ), 6) AS bm25
+  FROM tf JOIN dfreq USING (tok) CROSS JOIN stats
+  GROUP BY doc_id)
+SELECT doc_id, bm25 FROM scored ORDER BY bm25 DESC, doc_id LIMIT 10
+"""
+
+
 def q_dup_clusters(spark, sf):
     """Duplicate CLUSTERS: SimHash near-dup pairs (hamming<=3, the
     driver-verified generator) closed into connected components via
@@ -1557,6 +1592,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "group_sample": q_group_sample,
     "tfidf": q_tfidf,
     "dup_clusters": q_dup_clusters,
+    "bm25": q_bm25,
     # rotated back into the checked window this round (tail of r02):
     "cosine_topk": q_cosine_topk,
     "session_stats": q_session_stats,
@@ -1591,17 +1627,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fingerprint": q_fingerprint,
     "ngram_stats": q_ngram_stats,
     "lang_id": q_lang_id,
-    "bpeish_tokens": q_bpeish_tokens,
     # tail (past the driver's 50-entry cap, unchecked this round): ALL
     # hash-green in r02 (most also r01), untouched since, so nothing here
     # is ever more than one round stale; coverage redundantly evidenced
-    # earlier — multimodal_bytes ~ the real-decode pytest suite
+    # earlier — bpeish_tokens + tokenize (F1) ~ the tokenize-heavy text
+    # queries still in-window (ngram_stats, tfidf, bm25, lang_id),
+    # multimodal_bytes ~ the real-decode pytest suite
     # (test_extras), dedup_exact ~ the dedup pipeline tests + fingerprint,
     # knn_brute ~ cosine_topk (same brute-force operator), sql_shipping ~
     # grouping_sets (SQL surface), smj_join (J5) ~ sql_shipping's shuffle
-    # joins, tokenize (F1) ~ bpeish_tokens, quality ~ feature_vector's
-    # fused quality features, window_ranks (W2) ~ canonical_order +
-    # topk_per_user ranks, string_funcs (P1) ~ date_parts/fingerprint
+    # joins, quality ~ feature_vector's fused quality features,
+    # window_ranks (W2) ~ canonical_order + topk_per_user ranks,
+    # string_funcs (P1) ~ date_parts/fingerprint
+    "bpeish_tokens": q_bpeish_tokens,
     "multimodal_bytes": q_multimodal_bytes,
     "dedup_exact": q_dedup_exact,
     "knn_brute": q_knn_brute,
@@ -1662,6 +1700,7 @@ ORACLES: dict[str, str] = {
     "group_sample": SQL_GROUP_SAMPLE,
     "tfidf": SQL_TFIDF,
     "dup_clusters": SQL_DUP_CLUSTERS,
+    "bm25": SQL_BM25,
     "cosine_topk": SQL_COSINE_TOPK,
     "knn_brute": SQL_KNN_BRUTE,
     "embed_near_dup": SQL_EMBED_NEAR_DUP,
