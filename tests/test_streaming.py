@@ -223,3 +223,50 @@ def test_stream_features_sink_matches_batch_layout(spark, corpus_dir, tiny_pdf, 
     assert len(got) == len(ref)
     assert (got["turn_no"].to_numpy() == ref["turn_no"].to_numpy()).all()
     assert (got["cum_chars"].to_numpy() == ref["cum_chars"].to_numpy()).all()
+
+
+def test_stream_dedup_sink_exactly_once_unique(spark, tmp_path):
+    """Ingest-time dedup: duplicates within a batch, across batches, and
+    across RESTARTS (second availableNow run over the same source) must
+    all collapse — the corpus table ends up with one row per distinct
+    text (smallest doc_id kept), and the rerun is a no-op."""
+    import pandas as pd
+
+    from tgist_features_spark.sources.table_io import TableIO
+    from tgist_features_spark.streaming.stream import (
+        DEDUP_DOCS_TABLE,
+        stream_dedup_writer,
+    )
+
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    # file 1: in-batch duplicate (1, 2 same text); file 2: cross-batch
+    # duplicate of doc 1 plus a fresh doc
+    pd.DataFrame(
+        {"doc_id": [2, 1, 3], "text": ["alpha beta", "alpha beta", "unique one"]}
+    ).to_parquet(src / "f1.parquet")
+    pd.DataFrame(
+        {"doc_id": [10, 11], "text": ["alpha beta", "another text"]}
+    ).to_parquet(src / "f2.parquet")
+
+    io_ = TableIO(spark, str(tmp_path / "wh"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+
+    def run_once():
+        q = stream_dedup_writer(stream, io_).trigger(availableNow=True).start()
+        q.awaitTermination(120)
+        return (
+            spark.read.parquet(io_.path(DEDUP_DOCS_TABLE))
+            .toPandas()
+            .sort_values("doc_id")
+        )
+
+    got = run_once()
+    assert got["doc_id"].tolist() == [1, 3, 11]
+    assert got["text"].is_unique
+    again = run_once()  # restart over the same source: no re-ingest
+    assert again["doc_id"].tolist() == [1, 3, 11]

@@ -175,6 +175,71 @@ def _apply_incremental(watermarked: DataFrame) -> DataFrame:
     )
 
 
+DEDUP_DOCS_TABLE = "dedup_docs"
+DEDUP_FP_TABLE = "dedup_fingerprints"
+
+
+def stream_dedup_writer(
+    stream: DataFrame,
+    io,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    checkpoint: str | None = None,
+):
+    """Ingest-time exact dedup: every micro-batch drops rows whose
+    md5(text) fingerprint was already ingested — earlier in the SAME batch
+    (keep the smallest id) or by any PREVIOUS batch (anti-join against the
+    persistent fingerprint table) — then appends survivors to the corpus
+    table and their fingerprints to the fingerprint table.
+
+    This is the streaming face of the batch dedup pipeline: a corpus built
+    through this sink never needs the exact stage of ``dedup_corpus`` (the
+    near-dup stage still runs batch-side — banding needs the whole
+    corpus). The fingerprint table is exactly the state a 100 TB ingest
+    keeps anyway, and the anti-join is fingerprint-vs-fingerprint (16
+    bytes/row moves, never text). Retries are idempotent via per-batch
+    markers under the checkpoint (same at-least-once window as
+    ``stream_features_writer``). Returns the DataStreamWriter.
+    """
+    import os  # noqa: PLC0415
+
+    ckpt = checkpoint or io.path("_dedup_ckpt")
+    marker_dir = os.path.join(ckpt, "_batch_markers")
+    fp_expr = F.coalesce(F.md5(F.col(text_col)), F.lit("__null_text__"))
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(marker_dir, f"batch_{batch_id}")
+        if os.path.exists(marker):
+            return
+        spark = batch_df.sparkSession
+        with_fp = batch_df.withColumn("fp", fp_expr)
+        # within-batch keep-first (smallest id per fingerprint)
+        keep = with_fp.groupBy("fp").agg(F.min(id_col).alias(id_col))
+        fresh = with_fp.join(keep, ["fp", id_col], "left_semi")
+        # cross-batch: drop fingerprints any previous batch ingested
+        if io.exists(DEDUP_FP_TABLE):
+            seen = spark.read.parquet(io.path(DEDUP_FP_TABLE)).select("fp")
+            fresh = fresh.join(seen, "fp", "left_anti")
+        fresh = fresh.persist()
+        try:
+            fresh.drop("fp").write.mode("append").parquet(
+                io.path(DEDUP_DOCS_TABLE)
+            )
+            fresh.select("fp").write.mode("append").parquet(
+                io.path(DEDUP_FP_TABLE)
+            )
+        finally:
+            fresh.unpersist()
+        os.makedirs(marker_dir, exist_ok=True)
+        open(marker, "w").close()
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+    )
+
+
 def incremental_turn_state(stream: DataFrame, delay: str = "30 minutes") -> DataFrame:
     """T4: applyInPandasWithState — incremental per-conv turn features."""
     return _apply_incremental(stream.withWatermark("ts", delay))
