@@ -10,7 +10,11 @@ propagation distance per round — convergence in O(log diameter)
 iterations instead of O(diameter). Each iteration ends in an eager
 ``localCheckpoint`` so the plan is truncated (iterative DataFrame loops
 otherwise stack lineage and re-plan the whole history every round — the
-classic Spark iterative-algorithm trap).
+classic Spark iterative-algorithm trap). Measured on the sf0.1 SimHash
+pair set: 6.5-9s with per-round checkpoints vs 96-103s with persist()
+(cache hits, but the nested logical plan makes analysis + AQE re-planning
+quadratic in rounds) — truncation is the load-bearing choice here, worth
+the per-round materialization cost many times over.
 
 Scale posture: every iteration is two equi-joins + one aggregation keyed
 on node/label ids — all shuffle-partitioned, nothing driver-side except
