@@ -255,3 +255,32 @@ def test_asof_num_partitions_rejects_bad_string(spark, tiny_pdf):
     q = queries_df(spark, generate_queries_pdf(tiny_pdf, n_queries=5))
     with _pytest.raises(ValueError, match="auto"):
         asof_join(q, t, value_cols=["ts"], num_partitions="Auto")
+
+
+@pytest.mark.parametrize("direction", ["nearest"])
+def test_nearest(spark, feats, oracle_feats, queries_pdf, direction):
+    """J-family completeness: direction='nearest' (closest row on either
+    side) through the same merge-scan, vs the pandas oracle."""
+    q = queries_df(spark, queries_pdf)
+    got = asof_join(
+        q,
+        feats.select("conv_id", "ts", "turn_idx", "feature_vec"),
+        by="conv_id",
+        left_on="query_ts",
+        right_on="ts",
+        direction=direction,
+        value_cols=["ts", "turn_idx", "feature_vec"],
+    ).toPandas()
+    _check(got, oracle_backfill(oracle_feats, queries_pdf, direction=direction))
+
+
+def test_nearest_rejected_by_salted(spark, feats, queries_pdf):
+    from tgist_features_spark.operators.asof import asof_join_salted
+
+    q = queries_df(spark, queries_pdf)
+    with pytest.raises(AssertionError, match="nearest"):
+        asof_join_salted(
+            q, feats.select("conv_id", "ts", "turn_idx"),
+            by="conv_id", left_on="query_ts", right_on="ts",
+            direction="nearest", value_cols=["ts", "turn_idx"],
+        )

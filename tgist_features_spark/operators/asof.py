@@ -176,7 +176,7 @@ def asof_join_cogrouped(
     call per group — use ``asof_join`` (merge-scan) unless the key is
     composite. The salted path reuses this on (entity, slice) sub-keys.
     """
-    assert direction in ("backward", "forward")
+    assert direction in ("backward", "forward", "nearest")
     by, value_cols, rename, carried, out_schema = _plan(
         probe, build, by, left_on, right_on, value_cols
     )
@@ -206,6 +206,8 @@ def asof_join(
     num_partitions: int | str | None = None,
 ) -> DataFrame:
     """Point-in-time join: probe (entity, query_ts) x build (entity, ts).
+    ``direction``: 'backward' (latest row at or before), 'forward'
+    (earliest at or after), or 'nearest' (closest on either side).
 
     Merge-scan physical plan (the north_star shape): tag both sides, union,
     ONE ``repartitionByRange`` on the entity key (equal keys never split),
@@ -224,7 +226,7 @@ def asof_join(
     bigger than a healthy partition is the *skew* case — route through
     ``asof_join_auto``.
     """
-    assert direction in ("backward", "forward")
+    assert direction in ("backward", "forward", "nearest")
     by_list = [by] if isinstance(by, str) else list(by)
     _, value_cols, rename, carried, out_schema = _plan(
         probe, build, by_list, left_on, right_on, value_cols
@@ -378,7 +380,12 @@ def asof_join_salted(
     Identical results to ``asof_join`` (tested); group size per cogroup task
     is bounded by rows-per-(entity, slice) instead of rows-per-entity.
     """
-    assert direction in ("backward", "forward")
+    assert direction in ("backward", "forward"), (
+        "the salted path's carry-in replication is direction-specific; "
+        "'nearest' would need carries from BOTH sides of every slice — "
+        "route nearest joins through the plain merge-scan (hot entities "
+        "at 'nearest' semantics are rare enough not to earn that code)"
+    )
     slice_col = "__slice"
     width_us = slice_width_s * 1_000_000
 

@@ -55,6 +55,8 @@ def deterministic_split(
     """
     if not weights:
         raise ValueError("deterministic_split: weights must be non-empty")
+    if any(w < 0 for w in weights.values()):
+        raise ValueError("deterministic_split: weights must be non-negative")
     total = float(sum(weights.values()))
     if total <= 0:
         raise ValueError("deterministic_split: weights must sum to > 0")
