@@ -341,6 +341,10 @@ def asof_join_auto(
     11.2s at a 1.6M-row hot entity; plain wins below ~1M — bench.py
     ``skew_asof``).
     """
+    assert direction in ("backward", "forward"), (
+        "asof_join_auto routes hot entities through the salted path, "
+        "which is direction-specific — use asof_join for 'nearest'"
+    )
     counts = build.groupBy(by).agg(F.count(F.lit(1)).alias("__n"))
     hot = counts.filter(F.col("__n") > hot_threshold).select(by)
     kw = dict(
