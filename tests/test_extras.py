@@ -293,3 +293,64 @@ def test_wav_roundtrip_and_real_audio_decode(spark):
         assert abs(r.duration_s - len(pcm) / rate) < 1e-9
         # synthesized signal is a 0.5-amplitude sine + noise: rms ~0.35
         assert 0.2 < r.rms < 0.6
+
+
+def test_read_jsonl_quarantines_corrupt_lines(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from tgist_features_spark.sources.jsonl import read_jsonl, write_jsonl
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "alpha"}\n'
+        'not json at all\n'
+        '{"doc_id": 2, "text": "beta"}\n'
+        '{"doc_id": "oops-not-long", "text": 3}\n'
+    )
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    clean, corrupt = read_jsonl(spark, str(p), schema)
+    got = clean.toPandas().sort_values("doc_id")
+    assert got["doc_id"].tolist() == [1, 2]
+    assert got["text"].tolist() == ["alpha", "beta"]
+    assert corrupt.count() == 2  # the non-JSON line AND the type-mismatch line
+
+    # round trip
+    out = tmp_path / "export"
+    write_jsonl(clean, str(out))
+    back, bad = read_jsonl(spark, str(out), schema)
+    assert bad.count() == 0
+    assert sorted(r["doc_id"] for r in back.collect()) == [1, 2]
+
+
+def test_table_io_compact_preserves_data_and_layout(spark, tiny_pdf, tmp_path):
+    """Compaction must collapse many small files into few, keep the
+    bucket=/day= directory layout, and change NOTHING about the rows."""
+    import os
+
+    from tgist_features_spark.sources.corpus import transcripts_df
+
+    io_ = TableIO(spark, str(tmp_path), n_buckets=4)
+    t = transcripts_df(spark, tiny_pdf)
+    # simulate a streaming sink: many tiny appends
+    for i in range(5):
+        io_.write(t.limit(200), "t", mode="append" if i else "overwrite")
+    src = io_.path("t")
+    before_files = sum(
+        1 for _dp, _d, fs in os.walk(src) for f in fs if f.endswith(".parquet")
+    )
+    before = (
+        spark.read.parquet(src).toPandas()
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    after_files = io_.compact("t", target_file_mb=128)
+    assert after_files < before_files
+    assert any(d.startswith("bucket=") for d in os.listdir(src))
+    after = (
+        spark.read.parquet(src).toPandas()
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    assert len(after) == len(before)
+    assert (after["conv_id"].to_numpy() == before["conv_id"].to_numpy()).all()
+    assert (after["text"].to_numpy() == before["text"].to_numpy()).all()

@@ -109,6 +109,45 @@ class TableIO:
             df = df.drop("bucket", "day")
         return df
 
+    def compact(self, name: str, target_file_mb: int = 128) -> int:
+        """Rewrite a table's files at ~``target_file_mb`` each — the
+        maintenance companion of the streaming sinks, which append one
+        small file per micro-batch and partition until the scan is
+        metadata-bound. Preserves the partition directory layout
+        (bucket=/day= columns are re-derived from the hive-read columns).
+        Atomic at the table level: rewrite into a sibling temp dir, then
+        swap directories (the Iceberg form is a rewrite-data-files commit).
+        Returns the new file count."""
+        import shutil  # noqa: PLC0415
+
+        src = self.path(name)
+        df = self.spark.read.parquet(src)  # hive-partition cols come back
+        part_cols = [c for c in ("bucket", "day") if c in df.columns]
+        size = sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _d, fs in os.walk(src)
+            for f in fs
+            if not f.startswith(("_", "."))
+        )
+        n_files = max(1, size // (target_file_mb << 20) + 1)
+        tmp = src + "__compacting"
+        writer = df.repartition(int(n_files), *part_cols) if part_cols else \
+            df.repartition(int(n_files))
+        w = writer.write.mode("overwrite")
+        if part_cols:
+            w = w.partitionBy(*part_cols)
+        w.parquet(tmp)
+        old = src + "__precompact"
+        os.rename(src, old)
+        os.rename(tmp, src)
+        shutil.rmtree(old)
+        return sum(
+            1
+            for _dp, _d, fs in os.walk(src)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
     def delete_partition(self, name: str, partition: str) -> None:
         """Remove one partition directory (e.g. ``bucket=3``) from a table.
 
