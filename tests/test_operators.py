@@ -280,3 +280,156 @@ def test_bm25_ranks_term_dense_docs(spark):
     assert got["doc_id"].iloc[0] == 1          # densest short doc wins
     assert 3 not in set(got["doc_id"])         # no-hit doc never appears
     assert (got["bm25"] > 0).all()
+
+
+# ---------------------------------------------------------- sequence packing
+
+
+def _naive_pack(weights: dict[int, int], c: int) -> list[tuple[int, int, int, int]]:
+    """(key, chunk_id, offset_in_chunk, n_in_chunk) by literal concat-walk."""
+    out, cum = [], 0
+    for k in sorted(weights):
+        w = weights[k]
+        if w <= 0:
+            continue
+        prev, cum = cum, cum + w
+        for chunk in range(prev // c, (cum - 1) // c + 1):
+            b, e = max(prev, chunk * c), min(cum, (chunk + 1) * c)
+            out.append((k, chunk, b - chunk * c, e - b))
+    return out
+
+
+def test_pack_chunks_matches_naive_and_is_layout_independent(spark):
+    from tgist_features_spark.operators.packing import pack_chunks
+
+    rng = np.random.default_rng(7)
+    weights = {int(k): int(w) for k, w in enumerate(rng.integers(0, 120, 200))}
+    pdf = pd.DataFrame({"k": list(weights), "w": list(weights.values())})
+    df = spark.createDataFrame(pdf)
+    want = pd.DataFrame(
+        _naive_pack(weights, 64),
+        columns=["k", "chunk_id", "offset_in_chunk", "n_in_chunk"],
+    )
+
+    for variant in (
+        pack_chunks(df, "k", "w", 64, n_parts=1),
+        pack_chunks(df, "k", "w", 64, n_parts=5),
+        pack_chunks(df.repartition(13), "k", "w", 64, n_parts=5),
+    ):
+        got = (
+            variant.toPandas()
+            .sort_values(["k", "chunk_id"])
+            .reset_index(drop=True)
+        )
+        assert got["n_tokens"].tolist() == [
+            weights[k] for k in got["k"]
+        ]
+        g = got[["k", "chunk_id", "offset_in_chunk", "n_in_chunk"]]
+        w2 = want.sort_values(["k", "chunk_id"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            g.astype("int64"), w2.astype("int64"), check_names=False
+        )
+        # every chunk but the last is exactly full
+        per_chunk = got.groupby("chunk_id")["n_in_chunk"].sum()
+        assert (per_chunk.iloc[:-1] == 64).all()
+
+
+def test_pack_chunks_edge_cases(spark):
+    from tgist_features_spark.operators.packing import pack_chunks
+
+    with pytest.raises(ValueError):
+        pack_chunks(
+            spark.createDataFrame(pd.DataFrame({"k": [1], "w": [1]})), "k", "w", 0
+        )
+    empty = spark.createDataFrame(pd.DataFrame({"k": [1], "w": [1]})).filter("k < 0")
+    out = pack_chunks(empty, "k", "w", 16)
+    assert out.count() == 0
+    assert set(out.columns) == {
+        "k", "n_tokens", "chunk_id", "offset_in_chunk", "n_in_chunk",
+    }
+    # one doc spanning many chunks
+    one = spark.createDataFrame(pd.DataFrame({"k": [5], "w": [1000]}))
+    got = pack_chunks(one, "k", "w", 64).toPandas().sort_values("chunk_id")
+    assert got["chunk_id"].tolist() == list(range(16))
+    assert got["n_in_chunk"].sum() == 1000
+
+
+# ------------------------------------------------------- repetition filters
+
+
+def test_repetition_features_match_naive(spark):
+    from tgist_features_spark.functions.text import with_repetition_features
+
+    docs = [
+        "spam spam spam spam spam spam",
+        "the quick brown fox jumps over a lazy dog while two birds watch"
+        " from an old oak tree nearby",
+        "a b a b a b a b",
+        "one",
+        "x y",
+    ]
+    got = (
+        with_repetition_features(
+            spark.createDataFrame(pd.DataFrame({"doc_id": range(5), "text": docs}))
+        )
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    def naive(text):
+        tk = text.split(" ")
+        n = len(tk)
+        big = [" ".join(tk[i : i + 2]) for i in range(n - 1)]
+        tri = [" ".join(tk[i : i + 3]) for i in range(n - 2)]
+        best = max((big.count(g) for g in set(big)), default=0)
+        return (
+            n,
+            round(len(set(tk)) / n, 6),
+            round(2 * best / n, 6),
+            round(1 - len(set(tri)) / len(tri), 6) if tri else 0.0,
+        )
+
+    for i, text in enumerate(docs):
+        n, ttr, tbf, dtf = naive(text)
+        row = got.iloc[i]
+        assert row.n_tokens == n
+        assert row.ttr == pytest.approx(ttr, abs=0)
+        assert row.top_bigram_frac == pytest.approx(tbf, abs=0)
+        assert row.dup_trigram_frac == pytest.approx(dtf, abs=0)
+    # the spam docs are junk, the fox doc is clean
+    assert not got.iloc[0].keep and not got.iloc[2].keep
+    assert bool(got.iloc[1].keep)
+
+
+# ---------------------------------------------------- temperature resampling
+
+
+def test_temperature_resample_exact_and_fractional(spark):
+    from tgist_features_spark.operators.sampling import temperature_resample
+
+    rows = (
+        [("a", i) for i in range(64)]
+        + [("b", 100 + i) for i in range(16)]
+        + [("c", 200 + i) for i in range(4)]
+        + [("d", 300 + i) for i in range(32)]
+    )
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["g", "id"]))
+    out = temperature_resample(df, "g", "id", tau=0.5, cap=3.0).toPandas()
+    by_g = out.groupby("g").size()
+    # exact multipliers: a->1, b->sqrt(4)=2, c->sqrt(16)=4 capped at 3
+    assert by_g["a"] == 64 and by_g["b"] == 32 and by_g["c"] == 12
+    # fractional: d -> sqrt(2) ~ 1.414: between floor and ceil, deterministic
+    assert 32 <= by_g["d"] <= 64
+    again = temperature_resample(df.repartition(11), "g", "id", tau=0.5, cap=3.0)
+    assert again.toPandas().groupby("g").size()["d"] == by_g["d"]
+    # copy_idx enumerates 1..n_copies
+    mx = out.groupby("id")[["copy_idx", "n_copies"]].max()
+    assert (mx["copy_idx"] == mx["n_copies"]).all()
+    # tau=0 -> no resampling at all
+    flat = temperature_resample(df, "g", "id", tau=0.0)
+    assert flat.count() == len(rows)
+    with pytest.raises(ValueError):
+        temperature_resample(df, "g", "id", tau=-1)
+    with pytest.raises(ValueError):
+        temperature_resample(df, "g", "id", cap=0.5)

@@ -152,3 +152,26 @@ def test_tfidf_corpus_count_is_broadcast(spark):
     df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     p = _plan(tfidf_topk(df, k=3))
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p, p[:2000]
+
+
+def test_pack_chunks_prefix_sum_is_partitioned(spark):
+    """The global running token count must be the two-phase prefix sum:
+    the corpus-side window partitions by __part (parallel), the only
+    SinglePartition exchange feeds the tiny per-partition-totals window,
+    and the offsets come back via broadcast — never a global sort of the
+    corpus."""
+    from tgist_features_spark.operators.packing import pack_chunks
+
+    d = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .withColumn("n_toks", F.size(F.split("text", " ")).cast("bigint"))
+    )
+    p = _plan(pack_chunks(d, "doc_id", "n_toks", 256, n_parts=8))
+    assert "BroadcastHashJoin" in p, "offsets must broadcast-join back"
+    # exactly one SinglePartition exchange: the n_parts-row totals window
+    assert len(re.findall(r"SinglePartition", p)) == 1, p[:1500]
+    # the big window shuffles by __part, so the prefix sum runs in parallel
+    assert len(re.findall(r"hashpartitioning\(__part", p)) >= 1, p[:1500]
+    # column pruning: the scan reads only (doc_id, text)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    assert m and set(m.group(1).split(",")) == {"doc_id:bigint", "text:string"}

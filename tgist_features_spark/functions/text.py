@@ -81,6 +81,79 @@ def with_quality_features(
     )
 
 
+def with_repetition_features(
+    df: DataFrame,
+    text_col: str = "text",
+    min_ttr: float = 0.35,
+    max_top_bigram: float = 0.15,
+    max_dup_trigram: float = 0.02,
+) -> DataFrame:
+    """Gopher/RefinedWeb-style repetition filters, adapted to token streams:
+    type-token ratio, fraction of tokens covered by the single most frequent
+    bigram, fraction of duplicated trigram instances, plus the composite
+    ``keep`` decision. These are the "junk detector" half of quality
+    filtering (`with_quality_features` is the surface-statistics half).
+
+    Everything is per-row higher-order-function arithmetic — ZERO shuffle,
+    fuses into whatever scan already runs (the naive explode-ngrams +
+    groupBy(doc, gram) plan would shuffle tokens x docs rows; within-doc
+    stats never need to leave the row). The most-frequent-bigram count is
+    an `array_sort` + one `aggregate` run-length scan, O(k log k) per doc.
+    """
+    toks = tokenize(text_col)
+    out = df.withColumn("__tk", toks)
+    n = F.size("__tk")
+    big = (
+        "IF(size(__tk) >= 2,"
+        " transform(sequence(0, size(__tk)-2), i -> concat(__tk[i], ' ', __tk[i+1])),"
+        " array())"
+    )
+    tri = (
+        "IF(size(__tk) >= 3,"
+        " transform(sequence(0, size(__tk)-3),"
+        "   i -> concat(__tk[i], ' ', __tk[i+1], ' ', __tk[i+2])),"
+        " array())"
+    )
+    # longest equal-run over the sorted bigram array == max bigram count
+    best_bigram = F.expr(
+        "aggregate(array_sort(__big),"
+        " named_struct('p', cast(null as string), 'r', 0L, 'b', 0L),"
+        " (a, x) -> named_struct('p', x,"
+        "   'r', IF(x <=> a.p, a.r + 1L, 1L),"
+        "   'b', greatest(a.b, IF(x <=> a.p, a.r + 1L, 1L))),"
+        " a -> a.b)"
+    )
+    out = (
+        out.withColumn("__big", F.expr(big))
+        .withColumn("__tri", F.expr(tri))
+        .withColumn("n_tokens", n.cast("long"))
+        .withColumn(
+            "ttr",
+            F.round(F.size(F.array_distinct("__tk")) / F.greatest(n, F.lit(1)), 6),
+        )
+        .withColumn(
+            "top_bigram_frac",
+            F.round(F.lit(2) * best_bigram / F.greatest(n, F.lit(1)), 6),
+        )
+        .withColumn(
+            "dup_trigram_frac",
+            F.when(F.size("__tri") == 0, F.lit(0.0)).otherwise(
+                F.round(
+                    F.lit(1.0)
+                    - F.size(F.array_distinct("__tri")) / F.size("__tri"),
+                    6,
+                )
+            ),
+        )
+    )
+    keep = (
+        (F.col("ttr") >= min_ttr)
+        & (F.col("top_bigram_frac") <= max_top_bigram)
+        & (F.col("dup_trigram_frac") <= max_dup_trigram)
+    )
+    return out.withColumn("keep", keep).drop("__tk", "__big", "__tri")
+
+
 # ------------------------------------------------------- F6 vectorized n-gram
 
 NGRAM_STRUCT = T.StructType(

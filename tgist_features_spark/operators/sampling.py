@@ -72,6 +72,63 @@ def deterministic_split(
     return df.withColumn(out_col, last if expr is None else expr.otherwise(last))
 
 
+def temperature_resample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    tau: float = 0.5,
+    cap: float = 4.0,
+    salt: str = "resample",
+) -> DataFrame:
+    """Temperature-based mixture rebalancing: upsample under-represented
+    groups (languages, sources) toward the largest one, the standard
+    multilingual-pretraining move (sampling probability ∝ count^tau).
+
+    Each group's multiplier is ``min(cap, (max_count / count)^tau)`` —
+    always >= 1 (upsampling only; downsampling is ``deterministic_split``'s
+    job). Rows are emitted ``floor(m)`` times plus one extra copy when
+    ``hash_bucket(key) < frac(m)·1e6``, so the realized group sizes hit the
+    target in expectation AND every copy decision is layout-independent
+    and reproducible by an external engine. ``tau=0.5`` routes through
+    ``sqrt`` (IEEE correctly-rounded in every engine — bitwise-identical
+    multipliers in the DuckDB oracle); other taus use ``pow``, whose last
+    ulp is libm-dependent.
+
+    Plan shape: a partial-agg group count (tiny), a 1-row max broadcast,
+    a broadcast join of the per-group multiplier, and an in-row
+    ``explode(sequence)`` — no shuffle of the corpus itself.
+
+    Output = input columns + ``n_copies`` + ``copy_idx`` (1-based).
+    """
+    if tau < 0:
+        raise ValueError("temperature_resample: tau must be >= 0")
+    if cap < 1:
+        raise ValueError("temperature_resample: cap must be >= 1")
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    mx = counts.agg(F.max("__cnt").alias("__mx"))
+    ratio = F.col("__mx").cast("double") / F.col("__cnt").cast("double")
+    m = F.sqrt(ratio) if tau == 0.5 else F.pow(ratio, F.lit(float(tau)))
+    mults = counts.crossJoin(F.broadcast(mx)).select(
+        group_col, F.least(F.lit(float(cap)), m).alias("__mult")
+    )
+    base = F.floor("__mult").cast("bigint")
+    frac_micro = F.round((F.col("__mult") - F.floor("__mult")) * _N_BUCKETS).cast(
+        "bigint"
+    )
+    n_copies = base + F.when(
+        hash_bucket(key_col, salt) < frac_micro, F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        df.join(F.broadcast(mults), group_col)
+        .withColumn("n_copies", n_copies)
+        .drop("__mult")
+        .withColumn(
+            "copy_idx",
+            F.explode(F.sequence(F.lit(1).cast("bigint"), F.col("n_copies"))),
+        )
+    )
+
+
 def per_group_sample(
     df: DataFrame,
     group_col: str,

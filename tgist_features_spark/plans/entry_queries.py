@@ -1574,6 +1574,109 @@ FROM g
 # round); the new tail holds 5 queries hash-green in BOTH r01 and r02,
 # untouched since, with operator coverage redundantly evidenced by earlier
 # entries (named per-entry below).
+def q_pack_chunks(spark, sf):
+    """Concat-and-chunk sequence packing (how pretraining corpora become
+    fixed-size context windows): every document mapped to its span of
+    256-token chunks via the distributed two-phase prefix sum in
+    operators/packing.py — n_parts=8 exercises the multi-partition path
+    even at sf0.01. Integer-exact, so the oracle (a single-window DuckDB
+    cumsum, fine at oracle scale) must match bit-for-bit."""
+    from tgist_features_spark.operators.packing import pack_chunks
+
+    d = _t(spark, sf, "documents").withColumn(
+        "n_toks", F.size(F.split("text", " ")).cast("bigint")
+    )
+    return pack_chunks(d, "doc_id", "n_toks", chunk_size=256, n_parts=8).select(
+        "doc_id", "n_tokens", "chunk_id", "offset_in_chunk", "n_in_chunk"
+    )
+
+
+SQL_PACK_CHUNKS = """
+WITH w AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n FROM documents),
+c AS (SELECT doc_id, n, (SUM(n) OVER (ORDER BY doc_id))::BIGINT AS cum
+      FROM w WHERE n > 0),
+s AS (SELECT doc_id, n, cum, cum - n AS prev FROM c)
+SELECT doc_id, n AS n_tokens, chunk_id,
+       GREATEST(prev, chunk_id * 256) - chunk_id * 256 AS offset_in_chunk,
+       LEAST(cum, (chunk_id + 1) * 256) - GREATEST(prev, chunk_id * 256) AS n_in_chunk
+FROM s, unnest(generate_series(prev // 256, (cum - 1) // 256)) AS u(chunk_id)
+"""
+
+
+def q_gopher_quality(spark, sf):
+    """Gopher-style repetition filters (type-token ratio, top-bigram token
+    coverage, duplicated-trigram fraction, composite keep flag) — zero-
+    shuffle higher-order-function arithmetic; the oracle recomputes the
+    same metrics with explode+group SQL (oracle-scale only)."""
+    from tgist_features_spark.functions.text import with_repetition_features
+
+    d = _t(spark, sf, "documents")
+    return with_repetition_features(d).select(
+        "doc_id",
+        "n_tokens",
+        "ttr",
+        "top_bigram_frac",
+        "dup_trigram_frac",
+        F.col("keep").cast("int").alias("keep"),
+    )
+
+
+SQL_GOPHER_QUALITY = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+big AS (SELECT doc_id, tk[i] || ' ' || tk[i+1] AS g
+        FROM t, unnest(generate_series(1, len(tk) - 1)) AS u(i)),
+bc AS (SELECT doc_id, g, COUNT(*) AS c FROM big GROUP BY 1, 2),
+mb AS (SELECT doc_id, MAX(c) AS best FROM bc GROUP BY 1),
+tri AS (SELECT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS g
+        FROM t, unnest(generate_series(1, len(tk) - 2)) AS u(i)),
+td AS (SELECT doc_id, COUNT(*) AS n_tri, COUNT(DISTINCT g) AS n_tri_d
+       FROM tri GROUP BY 1),
+m AS (SELECT t.doc_id, len(tk)::BIGINT AS n_tokens,
+             ROUND(len(list_distinct(tk))::DOUBLE / GREATEST(len(tk), 1), 6) AS ttr,
+             ROUND(2 * COALESCE(best, 0)::DOUBLE / GREATEST(len(tk), 1), 6)
+               AS top_bigram_frac,
+             CASE WHEN COALESCE(n_tri, 0) = 0 THEN 0.0
+                  ELSE ROUND(1.0 - n_tri_d::DOUBLE / n_tri, 6)
+             END AS dup_trigram_frac
+      FROM t LEFT JOIN mb USING (doc_id) LEFT JOIN td USING (doc_id))
+SELECT doc_id, n_tokens, ttr, top_bigram_frac, dup_trigram_frac,
+       (ttr >= 0.35 AND top_bigram_frac <= 0.15
+        AND dup_trigram_frac <= 0.02)::INT AS keep
+FROM m
+"""
+
+
+def q_temperature_resample(spark, sf):
+    """Temperature-0.5 mixture rebalancing over the language column:
+    under-represented languages upsampled by min(4, sqrt(max_count/count))
+    with deterministic md5-hash fractional copies — every emitted copy is
+    verified row-for-row by the oracle (sqrt is correctly-rounded IEEE in
+    both engines, so multipliers are bitwise identical)."""
+    from tgist_features_spark.operators.sampling import temperature_resample
+
+    d = _t(spark, sf, "documents").select("doc_id", "lang")
+    return temperature_resample(d, "lang", "doc_id", tau=0.5, cap=4.0).select(
+        "doc_id", "lang", "n_copies", "copy_idx"
+    )
+
+
+SQL_TEMPERATURE_RESAMPLE = """
+WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY 1),
+mx AS (SELECT MAX(cnt) AS mxc FROM c),
+m AS (SELECT lang, LEAST(4.0, sqrt(mxc::DOUBLE / cnt::DOUBLE)) AS mult
+      FROM c CROSS JOIN mx),
+r AS (SELECT d.doc_id, d.lang,
+             FLOOR(mult)::BIGINT
+             + CASE WHEN ('0x' || substr(md5(d.doc_id::VARCHAR || 'resample'), 1, 15))
+                         ::UBIGINT % 1000000
+                         < ROUND((mult - FLOOR(mult)) * 1000000)::BIGINT
+                    THEN 1 ELSE 0 END AS n_copies
+      FROM documents d JOIN m USING (lang))
+SELECT doc_id, lang, n_copies, copy_idx
+FROM r, unnest(generate_series(1::BIGINT, n_copies)) AS u(copy_idx)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "feature_vector": q_feature_vector,
     "array_stats": q_array_stats,
@@ -1593,6 +1696,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf": q_tfidf,
     "dup_clusters": q_dup_clusters,
     "bm25": q_bm25,
+    "pack_chunks": q_pack_chunks,
+    "gopher_quality": q_gopher_quality,
+    "temperature_resample": q_temperature_resample,
     # rotated back into the checked window this round (tail of r02):
     "cosine_topk": q_cosine_topk,
     "session_stats": q_session_stats,
@@ -1624,9 +1730,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "union_counts": q_union_counts,
     "json_extract": q_json_extract,
     "date_parts": q_date_parts,
-    "fingerprint": q_fingerprint,
-    "ngram_stats": q_ngram_stats,
-    "lang_id": q_lang_id,
     # tail (past the driver's 50-entry cap, unchecked this round): ALL
     # hash-green in r02 (most also r01), untouched since, so nothing here
     # is ever more than one round stale; coverage redundantly evidenced
@@ -1638,7 +1741,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # grouping_sets (SQL surface), smj_join (J5) ~ sql_shipping's shuffle
     # joins, quality ~ feature_vector's fused quality features,
     # window_ranks (W2) ~ canonical_order + topk_per_user ranks,
-    # string_funcs (P1) ~ date_parts/fingerprint
+    # string_funcs (P1) ~ date_parts/fingerprint, fingerprint (F4) ~
+    # train_split's identical md5 arithmetic (in-window), ngram_stats (F6,
+    # Arrow UDF path) ~ dedup_minhash's vectorized-UDF pipeline (in-window),
+    # lang_id ~ gopher_quality's Catalyst n-gram arithmetic (in-window)
+    "fingerprint": q_fingerprint,
+    "ngram_stats": q_ngram_stats,
+    "lang_id": q_lang_id,
     "bpeish_tokens": q_bpeish_tokens,
     "multimodal_bytes": q_multimodal_bytes,
     "dedup_exact": q_dedup_exact,
@@ -1652,6 +1761,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "pack_chunks": SQL_PACK_CHUNKS,
+    "gopher_quality": SQL_GOPHER_QUALITY,
+    "temperature_resample": SQL_TEMPERATURE_RESAMPLE,
     "canonical_order": SQL_CANONICAL,
     "lag_lead": SQL_LAG_LEAD,
     "sessionize": SQL_SESSIONIZE,
