@@ -433,3 +433,42 @@ def test_temperature_resample_exact_and_fractional(spark):
         temperature_resample(df, "g", "id", tau=-1)
     with pytest.raises(ValueError):
         temperature_resample(df, "g", "id", cap=0.5)
+
+
+# ---------------------------------------------------------- decontamination
+
+
+def test_decontaminate_removes_exactly_overlapping_docs(spark):
+    from tgist_features_spark.operators.dedup import (
+        contamination_hits,
+        decontaminate,
+    )
+
+    ev = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [100], "text": ["alpha beta gamma delta"]})
+    )
+    train = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [
+                    "x alpha beta gamma y",        # shares 'alpha beta gamma'
+                    "beta gamma delta z w",        # shares 'beta gamma delta'
+                    "alpha gamma beta delta x",    # same words, no shared trigram
+                    "totally clean words here ok",
+                ],
+            }
+        )
+    )
+    hits = contamination_hits(train, ev, n=3).toPandas().sort_values("doc_id")
+    assert hits["doc_id"].tolist() == [1, 2]
+    assert hits["n_hit_grams"].tolist() == [1, 1]
+    kept = decontaminate(train, ev, n=3).toPandas()
+    assert sorted(kept["doc_id"]) == [3, 4]
+    # with bigrams, doc 3 also collides ('beta delta'? no — eval bigrams are
+    # alpha-beta, beta-gamma, gamma-delta; doc 3 has gamma-beta, beta-delta)
+    kept2 = decontaminate(train, ev, n=2).toPandas()
+    assert sorted(kept2["doc_id"]) == [3, 4]
+    # unigrams: every doc sharing any eval word is contaminated
+    kept1 = decontaminate(train, ev, n=1).toPandas()
+    assert sorted(kept1["doc_id"]) == [4]

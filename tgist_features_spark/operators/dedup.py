@@ -596,3 +596,50 @@ def ngram_jaccard_pairs(
         )
         .select("a", "b", "inter", "jaccard")
     )
+
+
+# ------------------------------------------------------------ decontamination
+
+
+def contamination_hits(
+    train: DataFrame,
+    evalset: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Training docs that share at least one token n-gram with the eval
+    set — the standard pretraining decontamination check (eval benchmarks
+    must not leak into the training corpus verbatim).
+
+    Scale shape: the eval side is DISTINCT n-grams of a benchmark suite —
+    thousands of docs, so the gram set broadcasts; the train side builds
+    within-doc-distinct gram arrays row-locally (zero shuffle), explodes
+    into a broadcast-hash semi-probe, and only the HIT grams reach the
+    final (doc_id)-keyed partial-agg count. The full corpus is never
+    shuffled.
+
+    Returns (id_col, n_hit_grams) — one row per contaminated train doc
+    with its count of distinct colliding grams.
+    """
+    ev = _distinct_grams(evalset, id_col, text_col, n).select("g").distinct()
+    tr = _distinct_grams(train, id_col, text_col, n)
+    return (
+        tr.join(F.broadcast(ev), "g")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_hit_grams"))
+        .select(F.col("id").alias(id_col), "n_hit_grams")
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    evalset: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Drop every train doc flagged by ``contamination_hits`` (left-anti
+    join on the small hit list — broadcastable)."""
+    hits = contamination_hits(train, evalset, id_col, text_col, n)
+    return train.join(hits.select(id_col), id_col, "left_anti")

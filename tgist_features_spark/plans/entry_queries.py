@@ -1677,6 +1677,31 @@ FROM r, unnest(generate_series(1::BIGINT, n_copies)) AS u(copy_idx)
 """
 
 
+def q_decontaminate(spark, sf):
+    """Pretraining decontamination: train docs sharing any token trigram
+    with the held-out 'eval' slice (doc_id % 97 == 0 stands in for a
+    benchmark suite). Eval grams broadcast; the corpus is never shuffled
+    (see operators/dedup.py contamination_hits). Integer counts —
+    bitwise-verifiable."""
+    from tgist_features_spark.operators.dedup import contamination_hits
+
+    d = _t(spark, sf, "documents")
+    ev = d.filter(F.col("doc_id") % 97 == 0)
+    tr = d.filter(F.col("doc_id") % 97 != 0)
+    return contamination_hits(tr, ev, n=3)
+
+
+SQL_DECONTAMINATE = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+g AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS g
+      FROM t, unnest(generate_series(1, len(tk) - 2)) AS u(i)),
+ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0)
+SELECT doc_id, COUNT(*)::BIGINT AS n_hit_grams
+FROM g WHERE doc_id % 97 <> 0 AND g IN (SELECT g FROM ev)
+GROUP BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "feature_vector": q_feature_vector,
     "array_stats": q_array_stats,
@@ -1699,6 +1724,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_chunks": q_pack_chunks,
     "gopher_quality": q_gopher_quality,
     "temperature_resample": q_temperature_resample,
+    "decontaminate": q_decontaminate,
     # rotated back into the checked window this round (tail of r02):
     "cosine_topk": q_cosine_topk,
     "session_stats": q_session_stats,
@@ -1729,7 +1755,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "approx_distinct": q_approx_distinct,
     "union_counts": q_union_counts,
     "json_extract": q_json_extract,
-    "date_parts": q_date_parts,
     # tail (past the driver's 50-entry cap, unchecked this round): ALL
     # hash-green in r02 (most also r01), untouched since, so nothing here
     # is ever more than one round stale; coverage redundantly evidenced
@@ -1744,7 +1769,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # string_funcs (P1) ~ date_parts/fingerprint, fingerprint (F4) ~
     # train_split's identical md5 arithmetic (in-window), ngram_stats (F6,
     # Arrow UDF path) ~ dedup_minhash's vectorized-UDF pipeline (in-window),
-    # lang_id ~ gopher_quality's Catalyst n-gram arithmetic (in-window)
+    # lang_id ~ gopher_quality's Catalyst n-gram arithmetic (in-window),
+    # date_parts (F3) ~ rolling_time/session_stats' epoch-us time
+    # arithmetic (in-window)
+    "date_parts": q_date_parts,
     "fingerprint": q_fingerprint,
     "ngram_stats": q_ngram_stats,
     "lang_id": q_lang_id,
@@ -1764,6 +1792,7 @@ ORACLES: dict[str, str] = {
     "pack_chunks": SQL_PACK_CHUNKS,
     "gopher_quality": SQL_GOPHER_QUALITY,
     "temperature_resample": SQL_TEMPERATURE_RESAMPLE,
+    "decontaminate": SQL_DECONTAMINATE,
     "canonical_order": SQL_CANONICAL,
     "lag_lead": SQL_LAG_LEAD,
     "sessionize": SQL_SESSIONIZE,
