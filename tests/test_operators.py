@@ -472,3 +472,32 @@ def test_decontaminate_removes_exactly_overlapping_docs(spark):
     # unigrams: every doc sharing any eval word is contaminated
     kept1 = decontaminate(train, ev, n=1).toPandas()
     assert sorted(kept1["doc_id"]) == [4]
+
+
+def test_deterministic_shuffle_ranks(spark):
+    from tgist_features_spark.operators.packing import deterministic_shuffle
+    from tgist_features_spark.operators.sampling import hash_bucket  # noqa: F401
+
+    import hashlib
+
+    pdf = pd.DataFrame({"k": range(500)})
+    df = spark.createDataFrame(pdf)
+    got = deterministic_shuffle(df, "k", n_parts=8).toPandas()
+    # ranks are a permutation of 0..n-1
+    assert sorted(got["shuffle_rank"]) == list(range(500))
+
+    def bucket(k, salt="shuffle"):
+        return int(hashlib.md5(f"{k}{salt}".encode()).hexdigest()[:15], 16) % 1_000_000
+
+    want = sorted(range(500), key=lambda k: (bucket(k), k))
+    by_rank = got.sort_values("shuffle_rank")["k"].tolist()
+    assert by_rank == want
+    # layout independence + epoch independence
+    again = deterministic_shuffle(df.repartition(13), "k", n_parts=4).toPandas()
+    m = got.merge(again, on="k", suffixes=("_a", "_b"))
+    assert (m["shuffle_rank_a"] == m["shuffle_rank_b"]).all()
+    epoch2 = deterministic_shuffle(df, "k", salt="epoch2", n_parts=8).toPandas()
+    m2 = got.merge(epoch2, on="k", suffixes=("_a", "_b"))
+    assert (m2["shuffle_rank_a"] != m2["shuffle_rank_b"]).any()
+    with pytest.raises(ValueError):
+        deterministic_shuffle(df, "k", n_parts=0)

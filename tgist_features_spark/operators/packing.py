@@ -123,3 +123,43 @@ def pack_chunks(
             ).alias("n_in_chunk"),
         )
     )
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    key_col: str,
+    salt: str = "shuffle",
+    n_parts: int = 32,
+) -> DataFrame:
+    """Reproducible pseudo-random global training order: every row gets a
+    0-based ``shuffle_rank`` by (md5-hash bucket, key) — the order a
+    training loader should read the corpus in. ``orderBy(rand())`` is
+    wrong twice at scale (nondeterministic across retries AND a global
+    single-task sort); this is deterministic, layout-independent (depends
+    only on key+salt), and parallel: the hash space [0, 1e6) splits into
+    ``n_parts`` contiguous ranges, per-range counts broadcast their
+    offsets back, and ranks finish with per-range window numbering — the
+    same two-phase prefix sum as ``pack_chunks``, with counts for
+    weights. Change ``salt`` to draw an independent epoch order.
+    """
+    from tgist_features_spark.operators.sampling import _N_BUCKETS, hash_bucket
+
+    if n_parts <= 0:
+        raise ValueError("deterministic_shuffle: n_parts must be positive")
+    parted = df.withColumn("__b", hash_bucket(key_col, salt)).withColumn(
+        "__part", F.expr(f"__b * {int(n_parts)} div {_N_BUCKETS}")
+    )
+    totals = parted.groupBy("__part").agg(F.count(F.lit(1)).alias("__tot"))
+    off_w = Window.orderBy("__part").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(  # n_parts rows: single-task window is fine
+        "__part", F.coalesce(F.sum("__tot").over(off_w), F.lit(0)).alias("__off")
+    )
+    in_w = Window.partitionBy("__part").orderBy("__b", key_col)
+    return (
+        parted.join(F.broadcast(offsets), "__part")
+        .withColumn(
+            "shuffle_rank",
+            (F.col("__off") + F.row_number().over(in_w) - 1).cast("bigint"),
+        )
+        .drop("__b", "__part", "__off")
+    )

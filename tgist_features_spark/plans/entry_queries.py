@@ -1702,6 +1702,29 @@ GROUP BY doc_id
 """
 
 
+def q_shuffle_order(spark, sf):
+    """Deterministic training-order shuffle: 0-based global rank in
+    md5-hash order via the two-phase prefix sum (n_parts=8 exercises the
+    multi-range path). The oracle recomputes the identical rank with a
+    single DuckDB window — every rank verified row-for-row."""
+    from tgist_features_spark.operators.packing import deterministic_shuffle
+
+    d = _t(spark, sf, "documents").select("doc_id", "lang")
+    return deterministic_shuffle(d, "doc_id", n_parts=8).select(
+        "doc_id", "lang", "shuffle_rank"
+    )
+
+
+SQL_SHUFFLE_ORDER = """
+SELECT doc_id, lang,
+       (row_number() OVER (
+          ORDER BY ('0x' || substr(md5(doc_id::VARCHAR || 'shuffle'), 1, 15))
+                   ::UBIGINT % 1000000,
+                   doc_id) - 1)::BIGINT AS shuffle_rank
+FROM documents
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "feature_vector": q_feature_vector,
     "array_stats": q_array_stats,
@@ -1725,6 +1748,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gopher_quality": q_gopher_quality,
     "temperature_resample": q_temperature_resample,
     "decontaminate": q_decontaminate,
+    "shuffle_order": q_shuffle_order,
     # rotated back into the checked window this round (tail of r02):
     "cosine_topk": q_cosine_topk,
     "session_stats": q_session_stats,
@@ -1753,7 +1777,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "grouping_sets": q_grouping_sets,
     "distinct_agg": q_distinct_agg,
     "approx_distinct": q_approx_distinct,
-    "union_counts": q_union_counts,
     "json_extract": q_json_extract,
     # tail (past the driver's 50-entry cap, unchecked this round): ALL
     # hash-green in r02 (most also r01), untouched since, so nothing here
@@ -1771,7 +1794,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Arrow UDF path) ~ dedup_minhash's vectorized-UDF pipeline (in-window),
     # lang_id ~ gopher_quality's Catalyst n-gram arithmetic (in-window),
     # date_parts (F3) ~ rolling_time/session_stats' epoch-us time
-    # arithmetic (in-window)
+    # arithmetic (in-window), union_counts (U1) ~ set_except/intersect's
+    # set-operation plans (in-window)
+    "union_counts": q_union_counts,
     "date_parts": q_date_parts,
     "fingerprint": q_fingerprint,
     "ngram_stats": q_ngram_stats,
@@ -1793,6 +1818,7 @@ ORACLES: dict[str, str] = {
     "gopher_quality": SQL_GOPHER_QUALITY,
     "temperature_resample": SQL_TEMPERATURE_RESAMPLE,
     "decontaminate": SQL_DECONTAMINATE,
+    "shuffle_order": SQL_SHUFFLE_ORDER,
     "canonical_order": SQL_CANONICAL,
     "lag_lead": SQL_LAG_LEAD,
     "sessionize": SQL_SESSIONIZE,
