@@ -34,6 +34,17 @@ CORPUS_DIR = os.environ.get("TGIST_BENCH_CORPUS", "/tmp/tgist_bench_corpus")
 N_CONVS = int(os.environ.get("TGIST_BENCH_CONVS", "30000"))
 RUN_SCALING = os.environ.get("TGIST_BENCH_SCALING", "1") != "0"
 RUN_SKEW = os.environ.get("TGIST_BENCH_SKEW", "1") != "0"
+RUN_TRAINING = os.environ.get("TGIST_BENCH_TRAINING", "1") != "0"
+
+# round-3 additions, reported in their own section (NOT in the headline
+# total: the 15-key headline stays comparable across rounds)
+TRAINING_OPS = [
+    "pack_chunks",
+    "gopher_quality",
+    "temperature_resample",
+    "decontaminate",
+    "shuffle_order",
+]
 
 HEADLINE = [
     "feature_vector",
@@ -162,6 +173,14 @@ def main() -> None:
         t0 = time.perf_counter()
         QUERIES[name](spark, SF_DIR).write.mode("overwrite").format("noop").save()
         steady[name] = round(time.perf_counter() - t0, 3)
+    training: dict[str, float] | None = None
+    if RUN_TRAINING:
+        training = {}
+        for name in TRAINING_OPS:  # warm pass, then steady wall
+            QUERIES[name](spark, SF_DIR).write.mode("overwrite").format("noop").save()
+            t0 = time.perf_counter()
+            QUERIES[name](spark, SF_DIR).write.mode("overwrite").format("noop").save()
+            training[name] = round(time.perf_counter() - t0, 3)
     skew = None
     if RUN_SKEW:
         _ensure_corpus()
@@ -177,6 +196,8 @@ def main() -> None:
         "steady_total": round(sum(steady.values()), 3),
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
     }
+    if training is not None:
+        result["training_ops_steady"] = training
     if skew is not None:
         result["skew_asof"] = skew
 

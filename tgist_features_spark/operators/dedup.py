@@ -478,9 +478,17 @@ def simhash_near_pairs(
 # ------------------------------------------------------- n-gram Jaccard
 
 
-def _gram_array(text_col: str, n: int):
-    """Distinct word-n-gram array expression (pure Catalyst)."""
-    toks = F.split(F.col(text_col), " ")
+def _gram_array_from_tokens(tok_col: str, n: int):
+    """Distinct word-n-gram array from a MATERIALIZED token-array column.
+
+    The token column must come from its own projection (see ``_gram_array``)
+    — inlining ``split(text)`` here would re-execute the split for every
+    element of the transform (Catalyst does not CSE inside lambda bodies),
+    turning an O(tokens) expression into O(tokens^2) per row. At sf0.1's
+    ~54-token docs that's only ~12% of the decontamination wall (measured
+    4.04s -> 3.60s steady), but the quadratic term dominates for the long
+    documents a real 100 TB corpus contains."""
+    toks = F.col(tok_col)
     return F.array_distinct(
         F.filter(
             F.transform(
@@ -495,10 +503,18 @@ def _gram_array(text_col: str, n: int):
     )
 
 
-def _distinct_grams(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+def _with_grams(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, grams) with the tokenize step in its OWN projection so the
+    split runs once per row: the gram expression references the array many
+    times, which blocks CollapseProject from inlining it back."""
     return df.select(
-        F.col(id_col).alias("id"),
-        F.explode(_gram_array(text_col, n)).alias("g"),
+        F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("__tk")
+    ).select("id", _gram_array_from_tokens("__tk", n).alias("grams"))
+
+
+def _distinct_grams(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    return _with_grams(df, id_col, text_col, n).select(
+        "id", F.explode("grams").alias("g")
     )
 
 
@@ -525,9 +541,7 @@ def ngram_jaccard_score(
         .union(p.select(F.col("b").alias(id_col)))
         .distinct()
     )
-    docs_c = df.join(cand_ids, id_col, "left_semi").select(
-        F.col(id_col).alias("id"), _gram_array(text_col, n).alias("grams")
-    )
+    docs_c = _with_grams(df.join(cand_ids, id_col, "left_semi"), id_col, text_col, n)
     out = (
         p.join(docs_c.select(F.col("id").alias("a"), F.col("grams").alias("ga")), "a")
         .join(docs_c.select(F.col("id").alias("b"), F.col("grams").alias("gb")), "b")
