@@ -36,6 +36,10 @@ def main() -> None:
                     help="min MinHash-estimated Jaccard to call a near-dup")
     ap.add_argument("--max-bucket", type=int, default=200,
                     help="LSH bucket cap (degenerate-bucket guard)")
+    ap.add_argument("--eval-input", default=None,
+                    help="eval/benchmark docs parquet: drop kept docs "
+                         "sharing any token n-gram with this set")
+    ap.add_argument("--decontam-ngram", type=int, default=8)
     ap.add_argument("--transitive", action="store_true",
                     help="close near-dup pairs into connected components "
                          "and keep one doc per cluster (instead of the "
@@ -51,10 +55,12 @@ def main() -> None:
     n_in = docs.count()  # warm the scan before timing
     warm_python_workers(spark)
 
+    eval_docs = spark.read.parquet(args.eval_input) if args.eval_input else None
     t0 = time.perf_counter()
     kept, drop_log = dedup_corpus(
         docs, min_est_jaccard=args.threshold, max_bucket=args.max_bucket,
-        transitive=args.transitive,
+        transitive=args.transitive, eval_docs=eval_docs,
+        decontam_ngram=args.decontam_ngram,
     )
     if args.output == "noop":
         # count() materializes the whole DAG — a separate noop write would
@@ -74,6 +80,7 @@ def main() -> None:
         "docs_dropped": n_in - n_kept,
         "threshold": args.threshold,
         "transitive": args.transitive,
+        "decontaminated": args.eval_input is not None,
         "wall_s": round(wall, 3),
         "docs_per_sec": round(n_in / wall, 1),
     }))

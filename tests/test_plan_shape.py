@@ -175,3 +175,26 @@ def test_pack_chunks_prefix_sum_is_partitioned(spark):
     # column pruning: the scan reads only (doc_id, text)
     m = re.search(r"ReadSchema: struct<([^>]*)>", p)
     assert m and set(m.group(1).split(",")) == {"doc_id:bigint", "text:string"}
+
+
+def test_gopher_quality_is_zero_shuffle(spark):
+    """Repetition filters are per-row higher-order-function arithmetic —
+    the whole feature pass must fuse into the scan with NO Exchange."""
+    from tgist_features_spark.functions.text import with_repetition_features
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p = _plan(with_repetition_features(d))
+    assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 0, p[:1500]
+
+
+def test_temperature_resample_never_shuffles_corpus(spark):
+    """The corpus side flows scan -> broadcast join -> explode; the only
+    exchanges belong to the tiny per-group count aggregation (rows =
+    n_groups), and both joins broadcast."""
+    from tgist_features_spark.operators.sampling import temperature_resample
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p = _plan(temperature_resample(d.select("doc_id", "lang"), "lang", "doc_id"))
+    assert "SortMergeJoin" not in p
+    assert len(re.findall(r"BroadcastHashJoin", p)) == 2, p[:1500]
+    assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) <= 3, p[:1500]

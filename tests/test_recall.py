@@ -337,3 +337,31 @@ def test_dedup_pipeline_transitive_policy(spark):
     dt = drops_t.toPandas()
     near = dt[dt["reason"] == "near"]
     assert (near["dup_of"] == 1).all()  # cluster representative
+
+
+def test_dedup_pipeline_with_decontamination(spark):
+    """The optional third stage: kept docs sharing a token n-gram with the
+    eval set are dropped with reason='contaminated'; kept + drop_log still
+    partitions the input exactly."""
+    import pandas as pd  # noqa: PLC0415
+
+    from tgist_features_spark.plans.dedup_pipeline import dedup_corpus
+
+    pdf = _degenerate_corpus()
+    # doc 1000 starts with alpha0..alpha7 — the eval doc reuses that 8-gram
+    ev = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [1], "text": [" ".join(f"alpha{i}" for i in range(8))]}
+        )
+    )
+    df = spark.createDataFrame(pdf)
+    kept, drops = dedup_corpus(df, min_est_jaccard=0.5, eval_docs=ev,
+                               decontam_ngram=8)
+    kept_ids = sorted(r["doc_id"] for r in kept.select("doc_id").collect())
+    # doc 1000 survives dedup (near-dup keep-first) but is contaminated
+    assert kept_ids == [0, 1002], kept_ids
+    dl = drops.toPandas()
+    contam = dl[dl["reason"] == "contaminated"]
+    assert contam["doc_id"].tolist() == [1000]
+    assert contam["dup_of"].isna().all()
+    assert len(dl) + len(kept_ids) == len(pdf)

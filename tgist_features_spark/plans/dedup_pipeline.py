@@ -35,11 +35,18 @@ def dedup_corpus(
     bands: int = 64,
     max_bucket: int | None = 200,
     transitive: bool = False,
+    eval_docs: DataFrame | None = None,
+    decontam_ngram: int = 8,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (kept_docs, drop_log).
 
-    ``drop_log`` columns: (doc_id, dup_of, reason in {'exact','near'},
-    est_jaccard — null for exact drops).
+    ``drop_log`` columns: (doc_id, dup_of, reason in {'exact','near',
+    'contaminated'}, est_jaccard — null except pairwise near drops).
+
+    ``eval_docs`` adds the third corpus-prep stage: any surviving doc that
+    shares a token ``decontam_ngram``-gram with the eval set is dropped
+    (operators/dedup.py ``contamination_hits`` — broadcast eval-gram
+    probe). Runs AFTER dedup so the gram probe scans the smallest corpus.
 
     ``transitive=True`` closes the near-dup pairs into connected
     components (operators/components.py) and keeps exactly the minimum id
@@ -120,4 +127,20 @@ def dedup_corpus(
     pairs.unpersist()
     kept = exact_kept.join(near_drops.select("doc_id"), id_col, "left_anti")
     drop_log = exact_drops.unionByName(near_drops)
+    if eval_docs is not None:
+        from tgist_features_spark.operators.dedup import (  # noqa: PLC0415
+            contamination_hits,
+        )
+
+        hits = contamination_hits(
+            kept, eval_docs, id_col=id_col, text_col=text_col, n=decontam_ngram
+        )
+        contam = hits.select(
+            F.col(id_col).alias("doc_id"),
+            F.lit(None).cast(docs.schema[id_col].dataType).alias("dup_of"),
+            F.lit("contaminated").alias("reason"),
+            F.lit(None).cast("double").alias("est_jaccard"),
+        )
+        kept = kept.join(hits.select(id_col), id_col, "left_anti")
+        drop_log = drop_log.unionByName(contam)
     return kept, drop_log
