@@ -501,3 +501,64 @@ def test_deterministic_shuffle_ranks(spark):
     assert (m2["shuffle_rank_a"] != m2["shuffle_rank_b"]).any()
     with pytest.raises(ValueError):
         deterministic_shuffle(df, "k", n_parts=0)
+
+
+# ------------------------------------------------ redaction / window chunking
+
+
+def test_with_redaction_counts_and_scrubs(spark):
+    from tgist_features_spark.functions.text import with_redaction
+
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [
+            "mail a@b.co and c.d+e@f-g.example.org now",
+            "go to https://x.y/z?a=1 or http://q.r ssn 123-45-6789",
+            "nothing sensitive",
+        ],
+    })
+    got = (
+        with_redaction(spark.createDataFrame(pdf))
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert got["n_email"].tolist() == [2, 0, 0]
+    assert got["n_url"].tolist() == [0, 2, 0]
+    assert got["n_ssn"].tolist() == [0, 1, 0]
+    assert got["redacted"][0] == "mail <EMAIL> and <EMAIL> now"
+    assert got["redacted"][1] == "go to <URL> or <URL> ssn <SSN>"
+    assert got["redacted"][2] == "nothing sensitive"
+
+
+def test_chunk_windows_match_naive(spark):
+    from tgist_features_spark.functions.text import chunk_windows
+
+    texts = {
+        1: " ".join(f"t{i}" for i in range(10)),   # > size: multiple windows
+        2: " ".join(f"u{i}" for i in range(4)),    # == size: one window
+        3: "solo",                                  # < size: one short window
+        4: " ".join(f"v{i}" for i in range(9)),    # last window short
+    }
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    )
+    got = (
+        chunk_windows(df, size=4, stride=2)
+        .toPandas().sort_values(["doc_id", "win_idx"]).reset_index(drop=True)
+    )
+    want = []
+    for k, t in texts.items():
+        tk = t.split(" ")
+        n = len(tk)
+        last = (n - 4 + 1) // 2 if n > 4 else 0
+        for i in range(last + 1):
+            w = tk[i * 2 : i * 2 + 4]
+            want.append((k, i, " ".join(w), len(w)))
+    want_df = pd.DataFrame(
+        want, columns=["doc_id", "win_idx", "window_text", "n_window_tokens"]
+    ).sort_values(["doc_id", "win_idx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype({"win_idx": "int64", "n_window_tokens": "int64"}),
+        want_df.astype({"win_idx": "int64", "n_window_tokens": "int64"}),
+    )
+    with pytest.raises(ValueError):
+        chunk_windows(df, size=0)

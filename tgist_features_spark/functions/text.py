@@ -154,6 +154,78 @@ def with_repetition_features(
     return out.withColumn("keep", keep).drop("__tk", "__big", "__tri")
 
 
+# PII patterns chosen from the regex subset where Java (Spark) and RE2
+# (DuckDB/Go tooling) agree — plain character classes, no backrefs or
+# lookarounds — so redaction is reproducible across engines (parity is
+# oracle-verified). Order matters: emails before the bare-domain URL rule.
+REDACTION_RULES: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("url", r"https?://[^ ]+", "<URL>"),
+    ("ssn", r"[0-9]{3}-[0-9]{2}-[0-9]{4}", "<SSN>"),
+)
+
+
+def with_redaction(
+    df: DataFrame,
+    text_col: str = "text",
+    rules: tuple[tuple[str, str, str], ...] = REDACTION_RULES,
+    out_col: str = "redacted",
+) -> DataFrame:
+    """PII scrubbing for training corpora: apply each (name, pattern,
+    replacement) rule in order and count matches per rule (``n_<name>``
+    columns) so the pipeline can both clean and AUDIT. Pure Catalyst
+    (regexp_replace / regexp_extract_all) — fuses into the scan, zero
+    shuffle, and the counts come from the PRE-redaction text so
+    overlapping rules don't hide each other's hits."""
+    out = df
+    red = F.col(text_col)
+    for name, pat, repl in rules:
+        out = out.withColumn(
+            f"n_{name}",
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0)))
+            .cast("long"),
+        )
+        red = F.regexp_replace(red, pat, repl)
+    return out.withColumn(out_col, red)
+
+
+def chunk_windows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 64,
+    stride: int = 32,
+) -> DataFrame:
+    """Sliding-window chunking (RAG/embedding-index style): one row per
+    (doc, window) with the window's token span rejoined as text. Windows
+    start every ``stride`` tokens; the final window may be short; a doc
+    with <= ``size`` tokens yields exactly one window. Per-row explode
+    arithmetic — zero shuffle (contrast ``pack_chunks``, which packs
+    ACROSS documents and needs the global prefix sum)."""
+    if size <= 0 or stride <= 0:
+        raise ValueError("chunk_windows: size and stride must be positive")
+    toks = F.split(F.col(text_col), " ")
+    base = df.select(
+        F.col(id_col), toks.alias("__tk"), F.size(toks).alias("__n")
+    )
+    n_extra = F.expr(f"(__n - {size} + {stride} - 1) div {stride}")
+    last_i = F.when(F.col("__n") > size, n_extra).otherwise(F.lit(0))
+    win = F.explode(F.sequence(F.lit(0), last_i))
+    return (
+        base.select(F.col(id_col), "__tk", "__n", win.alias("win_idx"))
+        .select(
+            F.col(id_col),
+            F.col("win_idx").cast("long").alias("win_idx"),
+            F.concat_ws(
+                " ", F.slice("__tk", F.col("win_idx") * stride + 1, size)
+            ).alias("window_text"),
+            F.least(
+                F.lit(size), F.col("__n") - F.col("win_idx") * stride
+            ).cast("long").alias("n_window_tokens"),
+        )
+    )
+
+
 # ------------------------------------------------------- F6 vectorized n-gram
 
 NGRAM_STRUCT = T.StructType(

@@ -1725,6 +1725,71 @@ FROM documents
 """
 
 
+def q_redact(spark, sf):
+    """PII scrubbing audit: deterministic synthetic PII (email/URL/SSN
+    built from existing columns) injected into every doc, then redacted +
+    counted per rule. Patterns live in the Java∩RE2 regex subset, so the
+    oracle replays the identical regexp_replace chain in DuckDB —
+    redacted text verified byte-for-byte."""
+    from tgist_features_spark.functions.text import with_redaction
+
+    d = _t(spark, sf, "documents").withColumn(
+        "text",
+        F.concat(
+            "text",
+            F.lit(" contact "),
+            "source",
+            F.lit("@example.com or https://"),
+            "lang",
+            F.lit(".example.org/x id 123-45-6789"),
+        ),
+    )
+    return with_redaction(d).select(
+        "doc_id", "n_email", "n_url", "n_ssn", "redacted"
+    )
+
+
+SQL_REDACT = """
+WITH d AS (SELECT doc_id,
+                  text || ' contact ' || source || '@example.com or https://'
+                       || lang || '.example.org/x id 123-45-6789' AS text
+           FROM documents)
+SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::BIGINT AS n_email,
+       len(regexp_extract_all(text, 'https?://[^ ]+'))::BIGINT AS n_url,
+       len(regexp_extract_all(text, '[0-9]{3}-[0-9]{2}-[0-9]{4}'))::BIGINT AS n_ssn,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           'https?://[^ ]+', '<URL>', 'g'),
+         '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g') AS redacted
+FROM d
+"""
+
+
+def q_chunk_windows(spark, sf):
+    """Sliding-window chunking (size 48, stride 24) — zero-shuffle per-doc
+    explode; window text and token counts verified byte-for-byte against
+    the same slice arithmetic in DuckDB."""
+    from tgist_features_spark.functions.text import chunk_windows
+
+    return chunk_windows(_t(spark, sf, "documents"), size=48, stride=24)
+
+
+SQL_CHUNK_WINDOWS = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk, len(string_split(text, ' ')) AS n
+           FROM documents),
+w AS (SELECT doc_id, tk, n,
+             CASE WHEN n > 48 THEN (n - 48 + 24 - 1) // 24 ELSE 0 END AS last_i
+      FROM t)
+SELECT doc_id, i::BIGINT AS win_idx,
+       array_to_string(tk[i * 24 + 1 : i * 24 + 48], ' ') AS window_text,
+       LEAST(48, n - i * 24)::BIGINT AS n_window_tokens
+FROM w, unnest(generate_series(0, last_i)) AS u(i)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "feature_vector": q_feature_vector,
     "array_stats": q_array_stats,
@@ -1749,6 +1814,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "temperature_resample": q_temperature_resample,
     "decontaminate": q_decontaminate,
     "shuffle_order": q_shuffle_order,
+    "redact": q_redact,
+    "chunk_windows": q_chunk_windows,
     # rotated back into the checked window this round (tail of r02):
     "cosine_topk": q_cosine_topk,
     "session_stats": q_session_stats,
@@ -1762,7 +1829,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rolling_time": q_rolling_time,
     "ffill": q_ffill,
     "topk_per_user": q_topk_per_user,
-    "global_topk": q_global_topk,
     "asof_backward": q_asof_backward,
     "asof_forward": q_asof_forward,
     "asof_tolerance": q_asof_tolerance,
@@ -1773,7 +1839,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "per_user_agg": q_per_user_agg,
     "pivot_counts": q_pivot_counts,
     "tpch_q1": q_tpch_q1,
-    "rollup": q_rollup,
     "grouping_sets": q_grouping_sets,
     "distinct_agg": q_distinct_agg,
     "approx_distinct": q_approx_distinct,
@@ -1793,9 +1858,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # train_split's identical md5 arithmetic (in-window), ngram_stats (F6,
     # Arrow UDF path) ~ dedup_minhash's vectorized-UDF pipeline (in-window),
     # lang_id ~ gopher_quality's Catalyst n-gram arithmetic (in-window),
+    # rollup (A4) ~ cube + grouping_sets (in-window, same GROUPING SETS
+    # exec), global_topk (O2) ~ bm25's TakeOrderedAndProject (in-window),
     # date_parts (F3) ~ rolling_time/session_stats' epoch-us time
     # arithmetic (in-window), union_counts (U1) ~ set_except/intersect's
     # set-operation plans (in-window)
+    "rollup": q_rollup,
+    "global_topk": q_global_topk,
     "union_counts": q_union_counts,
     "date_parts": q_date_parts,
     "fingerprint": q_fingerprint,
@@ -1819,6 +1888,8 @@ ORACLES: dict[str, str] = {
     "temperature_resample": SQL_TEMPERATURE_RESAMPLE,
     "decontaminate": SQL_DECONTAMINATE,
     "shuffle_order": SQL_SHUFFLE_ORDER,
+    "redact": SQL_REDACT,
+    "chunk_windows": SQL_CHUNK_WINDOWS,
     "canonical_order": SQL_CANONICAL,
     "lag_lead": SQL_LAG_LEAD,
     "sessionize": SQL_SESSIONIZE,
