@@ -349,8 +349,13 @@ def tfidf_topk(
     Scale shape: the explode shuffles on (id, tok) and (tok) — both
     map-side combinable; df-per-term is vocabulary-sized; the corpus count
     comes from parquet row-group metadata."""
-    toks = df.select(
-        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    # explode_outer, not explode: a plain explode makes Catalyst infer a
+    # size(split(text)) > 0 filter that re-runs the split once more per row
+    # (InferFiltersFromGenerate — see operators/dedup.py _distinct_grams)
+    toks = (
+        df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__tk"))
+        .select(F.col(id_col), F.explode_outer("__tk").alias("tok"))
+        .filter(F.col("tok").isNotNull())
     )
     tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
@@ -393,20 +398,28 @@ def bm25_topk(
     idf = ln(1 + (N - df + 0.5) / (df + 0.5)); score rounded to 6dp for
     cross-engine reproducibility (verified against the same formula in
     DuckDB by the driver oracle)."""
-    toks_arr = F.split(F.col(text_col), " ")
     terms = F.array(*[F.lit(t) for t in query_terms])
-    toks = df.select(
-        F.col(id_col),
-        F.size(toks_arr).alias("dl"),
-        F.explode(toks_arr).alias("tok"),
-    ).filter(F.array_contains(terms, F.col("tok")))
+    # token array materialized in its OWN projection (multi-referenced by
+    # dl and the explode, so CollapseProject keeps it — one split per row
+    # instead of three: dl, explode, and the explode's inferred filter)
+    toks = (
+        df.select(
+            F.col(id_col), F.split(F.col(text_col), " ").alias("__tk")
+        )
+        .select(
+            F.col(id_col),
+            F.size("__tk").alias("dl"),
+            F.explode_outer("__tk").alias("tok"),
+        )
+        .filter(F.array_contains(terms, F.col("tok")))
+    )
     tf = toks.groupBy(id_col, "tok").agg(
         F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
     )
     dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     stats = df.agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.avg(F.size(toks_arr)).alias("avg_dl"),
+        F.avg(F.size(F.split(F.col(text_col), " "))).alias("avg_dl"),
     )
     idf = F.log(
         F.lit(1.0)

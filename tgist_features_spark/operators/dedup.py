@@ -513,8 +513,17 @@ def _with_grams(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
 
 
 def _distinct_grams(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    return _with_grams(df, id_col, text_col, n).select(
-        "id", F.explode("grams").alias("g")
+    """explode_outer + null-filter, NOT plain explode: Catalyst's
+    InferFiltersFromGenerate rule turns a plain explode into an implicit
+    ``size(grams) > 0`` predicate that gets pushed below the token
+    projection, re-inlining and re-evaluating the ENTIRE gram expression
+    (split included) once more per row — measured 4.4s -> 0.8s on the
+    sf0.1 decontamination gram scan. The rule exempts outer generates,
+    and the post-filter on the generated column is a cheap column ref."""
+    return (
+        _with_grams(df, id_col, text_col, n)
+        .select("id", F.explode_outer("grams").alias("g"))
+        .filter(F.col("g").isNotNull())
     )
 
 

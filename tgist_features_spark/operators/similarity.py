@@ -317,11 +317,14 @@ def ivf_ann_topk(
         F.col(vec_col).alias("v"),
         cell_of(F.col(vec_col).cast("array<double>")).alias("cell"),
     )
+    # probe_cells in its own projection + explode_outer: a plain explode
+    # makes Catalyst infer size(probe_cells(...)) > 0, which would invoke
+    # the Arrow UDF a second time per query row (InferFiltersFromGenerate)
     qcells = queries.select(
         "q_id",
         F.col("q_vec").alias("qv"),
-        F.explode(probe_cells(F.col("q_vec").cast("array<double>"))).alias("cell"),
-    )
+        probe_cells(F.col("q_vec").cast("array<double>")).alias("__cells"),
+    ).select("q_id", "qv", F.explode_outer("__cells").alias("cell"))
     cand = base.join(F.broadcast(qcells), on="cell").filter(
         F.col("id") != F.col("q_id")
     )
