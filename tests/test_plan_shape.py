@@ -198,3 +198,20 @@ def test_temperature_resample_never_shuffles_corpus(spark):
     assert "SortMergeJoin" not in p
     assert len(re.findall(r"BroadcastHashJoin", p)) == 2, p[:1500]
     assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) <= 3, p[:1500]
+
+
+def test_gram_explode_not_reevaluated_by_inferred_filter(spark):
+    """Regression guard for InferFiltersFromGenerate: a plain explode of
+    the gram array makes Catalyst infer size(grams) > 0 and push it below
+    the token projection, re-evaluating the whole gram expression per row
+    (measured 4.4s -> 1.3s at sf0.1 when fixed). With explode_outer the
+    gram expression must appear in the plan EXACTLY once."""
+    from tgist_features_spark.operators.dedup import _distinct_grams
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p = _plan(_distinct_grams(d, "doc_id", "text", 3))
+    assert p.count("array_distinct") == 1, p[:2000]
+    # and the tokenize step survives as its own projection (split once)
+    assert p.count("split(") <= 2, p[:2000]  # expr text appears in its
+    # defining Project and nowhere else (a second count comes from the
+    # Generate's child column listing at most)
