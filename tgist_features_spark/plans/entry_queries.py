@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tgist_features_spark.functions.text import (
@@ -48,6 +48,35 @@ from tgist_features_spark.functions.timeu import us as _US  # noqa: E402
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+
+def _stable_round(col: Column | str, dp: int):
+    """Engine-neutral half-up rounding: floor(x*10^dp + 0.5)/10^dp in plain
+    double arithmetic. Spark's ROUND (BigDecimal HALF_UP over the double's
+    exact binary expansion) and DuckDB's ROUND (float multiply) disagree at
+    exact decimal ties — e.g. avg of 2-decimal data hit 5/1500 such ties at
+    sf0.1. The same floor formula on both sides is bitwise-identical by
+    construction (non-negative inputs) — PROVIDED the input double is
+    itself bitwise-identical across engines. Averages of double columns
+    are NOT (partial-aggregation sum order differs), so those first go
+    through ``_cents`` to make the sum an order-independent integer."""
+    c = F.col(col) if isinstance(col, str) else col
+    p = 10 ** dp
+    return F.floor(c * p + F.lit(0.5)) / float(p)
+
+
+def _cents(col: str) -> Column:
+    """Exact integer cents of a 2-decimal double column: per-row round to
+    the nearest integer of value*100 (within an ulp of integral, never
+    near .5, so both engines agree), summed as BIGINT — an ORDER-
+    INDEPENDENT aggregate. Double sums differ by an ulp between Spark's
+    partial aggregation and DuckDB's sequential fold; when a group's true
+    average sits exactly on a decimal tie (common: 2-decimal data, power-
+    of-two group sizes), that ulp flips any rounding rule. Integer sums
+    cannot. (Exact while total cents < 2^53 per group — far past any real
+    corpus.)"""
+    return F.round(F.col(col) * 100).cast("bigint")
 
 
 def _events_w():
@@ -495,14 +524,21 @@ def q_per_user_agg(spark, sf):
         _US(F.max("ts")).alias("last_us"),
         F.count_distinct("event_type").alias("n_types"),
         F.round(F.sum("value"), 2).alias("sum_value"),
-        F.round(F.avg("value"), 4).alias("avg_value"),
+        (
+            F.floor(
+                F.sum(_cents("value")).cast("double") * 100
+                / F.count("value") + 0.5
+            ) / 10000.0
+        ).alias("avg_value"),
     )
 
 
 SQL_PER_USER_AGG = """
 SELECT user_id, COUNT(*) AS n_events, epoch_us(MIN(ts)) AS first_us,
        epoch_us(MAX(ts)) AS last_us, COUNT(DISTINCT event_type) AS n_types,
-       ROUND(SUM(value), 2) AS sum_value, ROUND(AVG(value), 4) AS avg_value
+       ROUND(SUM(value), 2) AS sum_value,
+       FLOOR((SUM(CAST(ROUND(value * 100) AS BIGINT)))::DOUBLE * 100
+             / COUNT(value) + 0.5) / 10000.0 AS avg_value
 FROM events GROUP BY user_id
 """
 
@@ -544,8 +580,18 @@ def q_tpch_q1(spark, sf):
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
             .cast("long")
             .alias("sum_disc"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            (
+                F.floor(
+                    F.sum(_cents("l_quantity")).cast("double") * 100
+                    / F.count("l_quantity") + 0.5
+                ) / 10000.0
+            ).alias("avg_qty"),
+            (
+                F.floor(
+                    F.sum(_cents("l_extendedprice")).cast("double")
+                    / F.count("l_extendedprice") + 0.5
+                ) / 100.0
+            ).alias("avg_price"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -556,8 +602,10 @@ SELECT l_returnflag, l_linestatus,
        CAST(ROUND(SUM(l_quantity)) AS BIGINT) AS sum_qty,
        CAST(ROUND(SUM(l_extendedprice)) AS BIGINT) AS sum_base,
        CAST(ROUND(SUM(l_extendedprice * (1 - l_discount))) AS BIGINT) AS sum_disc,
-       ROUND(AVG(l_quantity), 4) AS avg_qty,
-       ROUND(AVG(l_extendedprice), 2) AS avg_price,
+       FLOOR((SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)))::DOUBLE * 100
+             / COUNT(l_quantity) + 0.5) / 10000.0 AS avg_qty,
+       FLOOR((SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)))::DOUBLE
+             / COUNT(l_extendedprice) + 0.5) / 100.0 AS avg_price,
        COUNT(*) AS count_order
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
@@ -679,14 +727,15 @@ def q_json_extract(spark, sf):
     k = F.get_json_object("props", "$.k").cast("int")
     return e.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.avg(k), 4).alias("avg_k"),
+        _stable_round(F.avg(k), 4).alias("avg_k"),
         F.sum(k).cast("long").alias("sum_k"),
     )
 
 
 SQL_JSON_EXTRACT = """
 SELECT event_type, COUNT(*) AS n,
-       ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k,
+       FLOOR(AVG(CAST(json_extract_string(props, '$.k') AS INT)) * 10000 + 0.5)
+         / 10000.0 AS avg_k,
        CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k
 FROM events GROUP BY event_type
 """
