@@ -270,3 +270,43 @@ def test_stream_dedup_sink_exactly_once_unique(spark, tmp_path):
     assert got["text"].is_unique
     again = run_once()  # restart over the same source: no re-ingest
     assert again["doc_id"].tolist() == [1, 3, 11]
+
+
+def test_doc_feature_fns_are_stream_compatible(spark, tmp_path):
+    """The per-row doc operators (repetition filters, redaction, window
+    chunking) are stateless projections, so they must run unchanged on a
+    streaming scan and agree with the batch engine row-for-row — the
+    property that lets the ingest pipeline quality-filter and scrub
+    at stream time."""
+    import pandas as pd
+
+    from tgist_features_spark.functions.text import (
+        chunk_windows,
+        with_redaction,
+        with_repetition_features,
+    )
+
+    pdf = pd.DataFrame({
+        "doc_id": range(20),
+        "text": [
+            f"doc {i} mail u{i}@x.co " + " ".join(f"w{j % (i + 2)}" for j in range(30))
+            for i in range(20)
+        ],
+    })
+    src = str(tmp_path / "docs")
+    df = spark.createDataFrame(pdf)
+    df.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+
+    for fn in (
+        lambda d: with_repetition_features(d).drop("text"),
+        lambda d: with_redaction(d).drop("text"),
+        lambda d: chunk_windows(d, size=8, stride=4),
+    ):
+        name = _run_to_memory(fn(stream), "append")
+        got = spark.sql(f"SELECT * FROM {name}").toPandas()
+        want = fn(df).toPandas()
+        cols = sorted(want.columns)
+        got = got[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
+        want = want[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want)
