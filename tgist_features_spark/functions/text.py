@@ -103,16 +103,18 @@ def with_repetition_features(
     toks = tokenize(text_col)
     out = df.withColumn("__tk", toks)
     n = F.size("__tk")
+    # chained zip_with against shifted copies (not an indexed transform —
+    # ~1.7x per row; see operators/dedup.py _gram_array_from_tokens). The
+    # zip_with null-padding makes the tail entries null; the slice drops
+    # exactly those, and the size<n case degenerates to an empty slice.
     big = (
-        "IF(size(__tk) >= 2,"
-        " transform(sequence(0, size(__tk)-2), i -> concat(__tk[i], ' ', __tk[i+1])),"
-        " array())"
+        "slice(zip_with(__tk, slice(__tk, 2, greatest(size(__tk)-1, 0)),"
+        " (a, b) -> concat(a, ' ', b)), 1, greatest(size(__tk)-1, 0))"
     )
     tri = (
-        "IF(size(__tk) >= 3,"
-        " transform(sequence(0, size(__tk)-3),"
-        "   i -> concat(__tk[i], ' ', __tk[i+1], ' ', __tk[i+2])),"
-        " array())"
+        "slice(zip_with(zip_with(__tk, slice(__tk, 2, greatest(size(__tk)-1, 0)),"
+        " (a, b) -> concat(a, ' ', b)), slice(__tk, 3, greatest(size(__tk)-2, 0)),"
+        " (ab, c) -> concat(ab, ' ', c)), 1, greatest(size(__tk)-2, 0))"
     )
     # longest equal-run over the sorted bigram array == max bigram count
     best_bigram = F.expr(
