@@ -1209,18 +1209,22 @@ FROM s QUALIFY rank <= {k}
 
 def q_ann_lsh(spark, sf):
     """LSH-bucketed approximate NN, driver-verified end-to-end: on the
-    planted-cluster corpus (``_clustered_embeddings``) 8 tables x 8
+    planted-cluster corpus (``_clustered_embeddings``) 12 tables x 8
     hyperplanes recover the exact top-3 (within-cluster neighbors are
-    near-parallel, so they collide in >=1 table with overwhelming margin),
-    and the result hash-matches the DuckDB brute-force oracle. Thin-margin
-    recall behavior is gated separately in tests/test_recall.py;
-    max_bucket guards degenerate buckets (never binds here)."""
+    near-parallel, so they collide in >=1 table with overwhelming margin)
+    at BOTH sf0.01 and sf0.1 — the full-registry sweep is bitwise at 10x
+    the driver scale (8 tables sufficed at sf0.01 but missed 12/60
+    neighbors at sf0.1; 10 is the measured minimum, 12 adds margin for
+    ~0.6s steady). Result hash-matches the DuckDB brute-force oracle.
+    Thin-margin recall behavior is gated separately in
+    tests/test_recall.py; max_bucket guards degenerate buckets (never
+    binds here)."""
     emb = _clustered_embeddings(_t(spark, sf, "embeddings"))
     q = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
     return lsh_ann_topk(
-        emb, q, dim=64 + _ANN_CLUSTERS, k=3, n_planes=8, n_tables=8,
+        emb, q, dim=64 + _ANN_CLUSTERS, k=3, n_planes=8, n_tables=12,
         max_bucket=4096,
     )
 
