@@ -747,13 +747,23 @@ def q_date_parts(spark, sf):
         e.withColumn("hr", F.hour("ts").cast("long"))
         .withColumn("dom", F.dayofmonth("ts").cast("long"))
         .groupBy("hr", "dom")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.floor(
+                    F.sum(_cents("value")).cast("double") * 100
+                    / F.count("value") + 0.5
+                ) / 10000.0
+            ).alias("avg_value"),
+        )
     )
 
 
 SQL_DATE_PARTS = """
 SELECT CAST(hour(ts) AS BIGINT) AS hr, CAST(day(ts) AS BIGINT) AS dom,
-       COUNT(*) AS n, ROUND(AVG(value), 4) AS avg_value
+       COUNT(*) AS n,
+       FLOOR((SUM(CAST(ROUND(value * 100) AS BIGINT)))::DOUBLE * 100
+             / COUNT(value) + 0.5) / 10000.0 AS avg_value
 FROM events GROUP BY 1, 2
 """
 
@@ -1886,7 +1896,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_forward": q_asof_forward,
     "asof_tolerance": q_asof_tolerance,
     "asof_salted": q_asof_salted,
-    "broadcast_join": q_broadcast_join,
+    "date_parts": q_date_parts,
     "semi_join": q_semi_join,
     "range_join": q_range_join,
     "per_user_agg": q_per_user_agg,
@@ -1913,13 +1923,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # lang_id ~ gopher_quality's Catalyst n-gram arithmetic (in-window),
     # rollup (A4) ~ cube + grouping_sets (in-window, same GROUPING SETS
     # exec), global_topk (O2) ~ bm25's TakeOrderedAndProject (in-window),
+    # broadcast_join (J4) ~ BroadcastHashJoin plan-assert pytest +
+    # semi/range joins in-window (date_parts swapped in: its avg moved to
+    # the integer-cents form this round, so it must be driver-verified),
     # date_parts (F3) ~ rolling_time/session_stats' epoch-us time
     # arithmetic (in-window), union_counts (U1) ~ set_except/intersect's
     # set-operation plans (in-window)
     "rollup": q_rollup,
     "global_topk": q_global_topk,
     "union_counts": q_union_counts,
-    "date_parts": q_date_parts,
+    "broadcast_join": q_broadcast_join,
     "fingerprint": q_fingerprint,
     "ngram_stats": q_ngram_stats,
     "lang_id": q_lang_id,
