@@ -562,3 +562,36 @@ def test_chunk_windows_match_naive(spark):
     )
     with pytest.raises(ValueError):
         chunk_windows(df, size=0)
+
+
+def test_cross_doc_span_stats(spark):
+    from tgist_features_spark.operators.dedup import cross_doc_span_stats
+
+    shared = " ".join(f"s{i}" for i in range(10))
+    docs = {
+        1: shared + " tail one extra words here",        # shares the 10-token span
+        2: shared + " different ending tokens now ok",   # with doc 1
+        3: " ".join(f"u{i}" for i in range(15)),          # fully unique
+        4: "short doc",                                   # < n tokens: no spans
+    }
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(docs), "text": list(docs.values())})
+    )
+    got = (
+        cross_doc_span_stats(df, n=8, max_frac=0.2)
+        .toPandas().set_index("doc_id").sort_index()
+    )
+    # doc 4 has < 8 tokens -> absent
+    assert sorted(got.index) == [1, 2, 3]
+    # docs 1,2: the shared 10-token prefix yields 3 shared 8-gram positions
+    assert got.loc[1, "n_dup_spans"] == 3 and got.loc[2, "n_dup_spans"] == 3
+    assert got.loc[3, "n_dup_spans"] == 0
+    assert got.loc[3, "keep"] == 1
+    # 3 of 8 positions shared (15-token doc) -> frac 0.375 > 0.2 -> drop
+    assert got.loc[1, "n_spans"] == 8 and abs(got.loc[1, "dup_span_frac"] - 0.375) < 1e-12
+    assert got.loc[1, "keep"] == 0
+    # layout independence
+    again = cross_doc_span_stats(df.repartition(7), n=8, max_frac=0.2).toPandas()
+    assert sorted(map(tuple, again.to_numpy().tolist())) == sorted(
+        map(tuple, got.reset_index().to_numpy().tolist())
+    )

@@ -666,3 +666,73 @@ def decontaminate(
     join on the small hit list — broadcastable)."""
     hits = contamination_hits(train, evalset, id_col, text_col, n)
     return train.join(hits.select(id_col), id_col, "left_anti")
+
+
+def _position_grams(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, __total, g): one row per n-gram POSITION — no within-doc
+    dedup, because span-level statistics weight repeated spans by how
+    often they occur. Same zip_with chain + explode_outer discipline as
+    ``_distinct_grams`` (see those docstrings for the two optimizer traps
+    this dodges)."""
+    toks = F.col("__tk")
+    acc = toks
+    for j in range(1, n):
+        shifted = F.slice(toks, j + 1, F.greatest(F.size(toks) - j, F.lit(0)))
+        acc = F.zip_with(acc, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
+    grams = F.slice(acc, 1, F.greatest(F.size(toks) - n + 1, F.lit(0)))
+    return (
+        df.select(
+            F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("__tk")
+        )
+        .select("id", grams.alias("grams"))
+        .select(
+            "id",
+            F.size("grams").cast("long").alias("__total"),
+            F.explode_outer("grams").alias("g"),
+        )
+        .filter(F.col("g").isNotNull())
+    )
+
+
+def cross_doc_span_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_docs: int = 2,
+    max_frac: float = 0.5,
+) -> DataFrame:
+    """Sequence-level duplication signal: per document, the fraction of
+    token n-gram positions whose n-gram also occurs in at least
+    ``min_docs - 1`` OTHER documents — what document-level dedup misses
+    (boilerplate headers, quoted passages, templated spans; the drop rule
+    of Lee et al.'s 'Deduplicating Training Data' line of work, applied
+    as a per-doc filter). Returns (id_col, n_spans, n_dup_spans,
+    dup_span_frac, keep) for every doc with >= n tokens.
+
+    Scale shape: one position explode (~tokens rows), a (g)-keyed
+    distinct-doc count (partial-aggregated), a shuffle join back on g,
+    and a (doc)-keyed partial agg. The span-stats side is span-vocabulary
+    sized — too big to broadcast at 100 TB, so the g-join is the honest
+    standard cost of sequence-level dedup (cheaper than suffix arrays,
+    same signal for fixed n)."""
+    pos = _position_grams(df, id_col, text_col, n)
+    gd = pos.groupBy("g").agg(F.count_distinct("id").alias("__nd"))
+    per_doc = (
+        pos.join(gd, "g")
+        .groupBy("id")
+        .agg(
+            F.max("__total").alias("n_spans"),
+            F.sum(
+                F.when(F.col("__nd") >= min_docs, F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_dup_spans"),
+        )
+    )
+    frac = F.round(F.col("n_dup_spans") / F.col("n_spans"), 6)
+    return per_doc.select(
+        F.col("id").alias(id_col),
+        "n_spans",
+        "n_dup_spans",
+        frac.alias("dup_span_frac"),
+        (frac <= max_frac).cast("int").alias("keep"),
+    )

@@ -1853,6 +1853,34 @@ FROM w, unnest(generate_series(0, last_i)) AS u(i)
 """
 
 
+def q_span_dup(spark, sf):
+    """Sequence-level duplication stats: per doc, the fraction of token
+    8-gram positions shared with other documents (what doc-level dedup
+    misses — the near-dup families in the corpus light up, the rest sit
+    at 0). Integer counts + one exact ratio — bitwise-verifiable."""
+    from tgist_features_spark.operators.dedup import cross_doc_span_stats
+
+    return cross_doc_span_stats(_t(spark, sf, "documents"), n=8)
+
+
+SQL_SPAN_DUP = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+g AS (SELECT doc_id,
+             tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]
+                   || ' ' || tk[i+4] || ' ' || tk[i+5] || ' ' || tk[i+6]
+                   || ' ' || tk[i+7] AS g
+      FROM t, unnest(generate_series(1, len(tk) - 7)) AS u(i)),
+gd AS (SELECT g, COUNT(DISTINCT doc_id) AS nd FROM g GROUP BY 1),
+j AS (SELECT doc_id, COUNT(*)::BIGINT AS n_spans,
+             SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup_spans
+      FROM g JOIN gd USING (g) GROUP BY 1)
+SELECT doc_id, n_spans, n_dup_spans,
+       ROUND(n_dup_spans::DOUBLE / n_spans, 6) AS dup_span_frac,
+       (ROUND(n_dup_spans::DOUBLE / n_spans, 6) <= 0.5)::INT AS keep
+FROM j
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "feature_vector": q_feature_vector,
     "array_stats": q_array_stats,
@@ -1876,6 +1904,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gopher_quality": q_gopher_quality,
     "temperature_resample": q_temperature_resample,
     "decontaminate": q_decontaminate,
+    "span_dup": q_span_dup,
     "shuffle_order": q_shuffle_order,
     "redact": q_redact,
     "chunk_windows": q_chunk_windows,
@@ -1885,7 +1914,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cumulative": q_cumulative,
     "cube": q_cube,
     "intersect": q_intersect,
-    "canonical_order": q_canonical_order,
     "lag_lead": q_lag_lead,
     "sessionize": q_sessionize,
     "rolling_counts": q_rolling_counts,
@@ -1923,12 +1951,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # lang_id ~ gopher_quality's Catalyst n-gram arithmetic (in-window),
     # rollup (A4) ~ cube + grouping_sets (in-window, same GROUPING SETS
     # exec), global_topk (O2) ~ bm25's TakeOrderedAndProject (in-window),
+    # canonical_order (O1) ~ the single-exchange plan assert + golden
+    # text-equality pytest, and every in-window window query orders by the
+    # same canonical key,
     # broadcast_join (J4) ~ BroadcastHashJoin plan-assert pytest +
     # semi/range joins in-window (date_parts swapped in: its avg moved to
     # the integer-cents form this round, so it must be driver-verified),
     # date_parts (F3) ~ rolling_time/session_stats' epoch-us time
     # arithmetic (in-window), union_counts (U1) ~ set_except/intersect's
     # set-operation plans (in-window)
+    "canonical_order": q_canonical_order,
     "rollup": q_rollup,
     "global_topk": q_global_topk,
     "union_counts": q_union_counts,
@@ -1953,6 +1985,7 @@ ORACLES: dict[str, str] = {
     "gopher_quality": SQL_GOPHER_QUALITY,
     "temperature_resample": SQL_TEMPERATURE_RESAMPLE,
     "decontaminate": SQL_DECONTAMINATE,
+    "span_dup": SQL_SPAN_DUP,
     "shuffle_order": SQL_SHUFFLE_ORDER,
     "redact": SQL_REDACT,
     "chunk_windows": SQL_CHUNK_WINDOWS,
