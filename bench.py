@@ -43,6 +43,7 @@ TRAINING_OPS = [
     "gopher_quality",
     "temperature_resample",
     "decontaminate",
+    "span_dup",
     "shuffle_order",
 ]
 
