@@ -116,3 +116,37 @@ def test_sessionize_invariants(spark, seed, gap_s):
         gaps = np.diff(g["ts"].to_numpy()).astype("timedelta64[us]").astype(np.int64)
         expected = (gaps > gap_s * 1e6).astype(np.int64)
         assert (steps == expected).all()
+
+
+# ---------------------------------------------------- packing properties
+
+
+@given(
+    weights=st.lists(st.integers(min_value=0, max_value=700), min_size=1, max_size=60),
+    chunk=st.integers(min_value=1, max_value=300),
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_pack_chunks_property(spark, weights, chunk):
+    """For ANY weights/chunk size: per-doc token conservation, full
+    interior chunks, contiguous chunk ids, offsets in range."""
+    import pandas as pd
+
+    from tgist_features_spark.operators.packing import pack_chunks
+
+    pdf = pd.DataFrame({"k": range(len(weights)), "w": weights})
+    got = pack_chunks(
+        spark.createDataFrame(pdf), "k", "w", chunk, n_parts=3
+    ).toPandas()
+    pos = {k: w for k, w in zip(pdf.k, pdf.w) if w > 0}
+    # token conservation per doc
+    per_doc = got.groupby("k")["n_in_chunk"].sum().to_dict()
+    assert per_doc == pos
+    total = sum(pos.values())
+    if total:
+        # chunk ids are exactly 0..ceil(total/chunk)-1 and interior full
+        per_chunk = got.groupby("chunk_id")["n_in_chunk"].sum().sort_index()
+        assert per_chunk.index.tolist() == list(range((total + chunk - 1) // chunk))
+        assert (per_chunk.iloc[:-1] == chunk).all()
+        assert per_chunk.iloc[-1] == total - chunk * (len(per_chunk) - 1)
+    assert ((got["offset_in_chunk"] >= 0) & (got["offset_in_chunk"] < chunk)).all()
+    assert (got["n_in_chunk"] >= 1).all()
