@@ -354,6 +354,80 @@ def test_pack_chunks_edge_cases(spark):
     assert got["n_in_chunk"].sum() == 1000
 
 
+def test_pack_chunks_sparse_int64_keys_no_overflow(spark):
+    """Hash-derived keys spanning nearly all of int64: the r3 linear
+    formula ((key - kmin) * n_parts) silently overflowed bigint here and
+    produced non-monotone part ids. The histogram assignment must (a)
+    still match the naive oracle and (b) balance the prefix-sum parts."""
+    from tgist_features_spark.operators.packing import (
+        _range_partition_expr,
+        pack_chunks,
+    )
+
+    ks = (
+        [(-(2**62)) + 7 * i for i in range(60)]
+        + [2**62 + 17 * i for i in range(60)]
+        + list(range(80))
+    )
+    weights = {k: (i % 7) + 1 for i, k in enumerate(ks)}
+    df = spark.createDataFrame(pd.DataFrame({"k": ks, "w": list(weights.values())}))
+
+    got = (
+        pack_chunks(df, "k", "w", 32, n_parts=4)
+        .toPandas()
+        .sort_values(["k", "chunk_id"])
+        .reset_index(drop=True)
+    )
+    want = pd.DataFrame(
+        _naive_pack(dict(sorted(weights.items())), 32),
+        columns=["k", "chunk_id", "offset_in_chunk", "n_in_chunk"],
+    ).sort_values(["k", "chunk_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["k", "chunk_id", "offset_in_chunk", "n_in_chunk"]].astype("int64"),
+        want.astype("int64"),
+        check_names=False,
+    )
+
+    expr, n_rows, n_parts = _range_partition_expr(df, "k", "w", 4)
+    counts = [
+        r["count"] for r in df.select(expr.alias("p")).groupBy("p").count().collect()
+    ]
+    assert n_rows == len(ks) and n_parts >= 4
+    assert max(counts) <= 2.5 * (n_rows / n_parts), counts
+
+
+def test_pack_chunks_clustered_keys_balance(spark):
+    """All keys inside one coarse grid cell (dense cluster far from the
+    origin): the observed-extent split must still balance — and the
+    output must be identical whether refinement runs or not."""
+    from tgist_features_spark.operators.packing import (
+        _range_partition_expr,
+        pack_chunks,
+    )
+
+    ks = [10_000_000 + i for i in range(2000)]
+    df = spark.createDataFrame(pd.DataFrame({"k": ks, "w": [2] * len(ks)}))
+    expr, n_rows, n_parts = _range_partition_expr(df, "k", "w", 8)
+    counts = [
+        r["count"] for r in df.select(expr.alias("p")).groupBy("p").count().collect()
+    ]
+    assert n_parts == 8 and max(counts) <= 2 * (n_rows / n_parts), counts
+
+    a = (
+        pack_chunks(df, "k", "w", 128, n_parts=8, refine=0)
+        .toPandas()
+        .sort_values(["k", "chunk_id"])
+        .reset_index(drop=True)
+    )
+    b = (
+        pack_chunks(df, "k", "w", 128, n_parts=8, refine=1)
+        .toPandas()
+        .sort_values(["k", "chunk_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
 # ------------------------------------------------------- repetition filters
 
 

@@ -9,9 +9,10 @@ into ONE task. This implementation is the classic two-phase distributed
 prefix sum instead:
 
 1. rows are assigned a deterministic, order-contiguous partition id from
-   key arithmetic (``(key - min) * n_parts / span``) — no sampling, no
-   ``spark_partition_id()``, so the plan is reproducible and layout-
-   independent (repartitioning the input cannot change the output);
+   a histogram-derived range partitioning (below) — layout-independent,
+   and because the id is MONOTONE in the key, the final output is
+   invariant to the exact part boundaries (the prefix sum telescopes the
+   same way however the key axis is cut);
 2. a partial aggregation produces per-partition token totals
    (``n_parts`` rows — kilobytes at any corpus size); a window over that
    TINY frame computes each partition's starting offset;
@@ -20,14 +21,179 @@ prefix sum instead:
 
 Cost: one shuffle of the (key, weight) projection by ``__part`` plus one
 broadcast — vs the single-task global sort the naive plan would run.
-Everything is integer arithmetic (``div``, not float division), so chunk
-boundaries are exact at any corpus size and reproducible in any engine.
+
+Partition assignment (round-4 rewrite): the previous linear formula
+``(key - kmin) * n_parts / span`` silently overflowed bigint for sparse
+64-bit key spaces and unbalanced clustered ones. Now the pre-pass
+aggregates an EXACT coarse histogram over a FIXED absolute grid (2048
+buckets of width 2^53 covering all of int64 — no sampling, no data-
+dependent grid), and the driver greedily builds contiguous key ranges of
+~equal row count from it: consecutive light buckets merge into one part,
+heavy buckets split linearly across their OBSERVED [min, max] extent.
+An optional refinement pass (``refine=1``, default) re-counts per part
+and linearly re-splits any part still over 2x target by its observed
+extent — intra-bucket clustering collapses geometrically because splits
+always use actual extents. All per-row arithmetic happens in DOUBLE
+space (bigint→double is monotone, so part ids stay monotone in the key;
+ratios are clamped into [0, m-1] BEFORE floor so nothing overflows), and
+lookups are O(1) ``element_at`` into literal arrays: 2048 entries for
+the grid level, ``n_parts`` entries per refinement level (a few MB of
+plan constant even at a million prefix-sum partitions).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+import math
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+_N_COARSE = 2048
+_COARSE_W = 2.0 ** 63 / (_N_COARSE // 2)  # grid covers [-2^63, 2^63)
+
+
+def _coarse_id(dkey: Column) -> Column:
+    """Fixed-grid bucket id in [-1024, 1023] — pure double arithmetic."""
+    return F.greatest(
+        F.least(F.floor(dkey / F.lit(_COARSE_W)), F.lit(_N_COARSE // 2 - 1)),
+        F.lit(-(_N_COARSE // 2)),
+    )
+
+
+def _split_expr(dkey: Column, idx: Column, bases, los, steps, maxsubs) -> Column:
+    """base[idx] + floor(clamp((dkey - lo[idx]) / step[idx], 0, maxsub[idx])).
+
+    The clamp runs in double space BEFORE the floor, so a huge ratio (an
+    m=1 entry with a placeholder step) can never overflow the bigint cast.
+    """
+    ratio = (dkey - F.element_at(F.lit(los), idx)) / F.element_at(F.lit(steps), idx)
+    sub = F.floor(
+        F.least(F.greatest(ratio, F.lit(0.0)), F.element_at(F.lit(maxsubs), idx))
+    )
+    return (F.element_at(F.lit(bases), idx) + sub).cast("bigint")
+
+
+def _build_ranges(buckets, target):
+    """Greedy contiguous part construction from (count, dmin, dmax) runs.
+
+    Returns per-bucket (base, lo, step, maxsub) quadruples plus the total
+    part count. Light consecutive buckets share a part; a bucket heavier
+    than ~1.5x target splits linearly across its observed double extent.
+    """
+    bases, los, steps, maxsubs = [], [], [], []
+    part, fill = 0, 0
+    for cnt, dmin, dmax in buckets:
+        if cnt == 0:  # unpopulated grid cell: monotone placeholder
+            bases.append(float(part))
+            los.append(0.0)
+            steps.append(1.0)
+            maxsubs.append(0.0)
+            continue
+        if cnt > max(1, int(1.5 * target)) and dmax > dmin:
+            if fill > 0:
+                part, fill = part + 1, 0
+            m = max(2, math.ceil(cnt / target))
+            bases.append(float(part))
+            los.append(dmin)
+            steps.append((dmax - dmin) / m)
+            maxsubs.append(float(m - 1))
+            part += m
+        else:
+            if fill > 0 and fill + cnt > int(1.5 * target):
+                part, fill = part + 1, 0
+            bases.append(float(part))
+            los.append(0.0)
+            steps.append(float("inf"))  # ratio -> 0 or inf, clamp -> 0
+            maxsubs.append(0.0)
+            fill += cnt
+            if fill >= target:
+                part, fill = part + 1, 0
+    n_parts = part + (1 if fill > 0 else 0)
+    return bases, los, steps, maxsubs, max(1, n_parts)
+
+
+def _range_partition_expr(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    n_parts: int,
+    refine: int = 1,
+):
+    """Monotone, ~balanced part-id expression for the positive-weight rows.
+
+    Returns (part_expr, n_rows, n_parts_actual). Runs 1 histogram job plus
+    at most ``refine`` exact per-part count jobs (each a column-pruned
+    partial aggregation — cheap next to the packing shuffle itself).
+    """
+    w = F.col(weight_col).cast("bigint")
+    dkey = F.col(key_col).cast("double")
+    hist = (
+        df.filter(w > 0)
+        .groupBy(_coarse_id(dkey).alias("__c"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min(F.col(key_col).cast("bigint")).alias("kmin"),
+            F.max(F.col(key_col).cast("bigint")).alias("kmax"),
+        )
+        .collect()
+    )
+    n_rows = sum(r.cnt for r in hist)
+    if n_rows == 0:
+        return F.lit(0).cast("bigint"), 0, 1
+    if n_parts <= 0:
+        n_parts = max(1, n_rows // 1_000_000 + 1)
+    target = max(1, math.ceil(n_rows / n_parts))
+
+    by_c = {r["__c"]: r for r in hist}
+    buckets = []
+    for c in range(-(_N_COARSE // 2), _N_COARSE // 2):
+        r = by_c.get(c)
+        buckets.append(
+            (r.cnt, float(r.kmin), float(r.kmax)) if r is not None else (0, 0.0, 0.0)
+        )
+    bases, los, steps, maxsubs, got_parts = _build_ranges(buckets, target)
+    idx = (_coarse_id(dkey) + F.lit(_N_COARSE // 2 + 1)).cast("int")
+    expr = _split_expr(dkey, idx, bases, los, steps, maxsubs)
+
+    for _ in range(max(0, refine)):
+        counts = (
+            df.filter(w > 0)
+            .groupBy(expr.alias("__p"))
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.min(F.col(key_col).cast("bigint")).alias("kmin"),
+                F.max(F.col(key_col).cast("bigint")).alias("kmax"),
+            )
+            .collect()
+        )
+        if not any(r.cnt > 2 * target for r in counts):
+            break
+        by_p = {int(r["__p"]): r for r in counts}
+        b2, l2, s2, m2 = [], [], [], []
+        part = 0
+        for p in range(got_parts):
+            r = by_p.get(p)
+            if r is None or r.cnt <= 2 * target or r.kmax <= r.kmin:
+                # keep (or collapse, if empty) as a single part; an empty
+                # part's entry is never hit, it only pads the lookup array
+                b2.append(float(part))
+                l2.append(0.0)
+                s2.append(float("inf"))
+                m2.append(0.0)
+                if r is not None:
+                    part += 1
+                continue
+            m = max(2, math.ceil(r.cnt / target))
+            b2.append(float(part))
+            l2.append(float(r.kmin))
+            s2.append((float(r.kmax) - float(r.kmin)) / m)
+            m2.append(float(m - 1))
+            part += m
+        idx2 = (expr + F.lit(1)).cast("int")
+        expr = _split_expr(dkey, idx2, b2, l2, s2, m2)
+        got_parts = max(1, part)
+
+    return expr, n_rows, got_parts
 
 
 def pack_chunks(
@@ -36,16 +202,17 @@ def pack_chunks(
     weight_col: str,
     chunk_size: int,
     n_parts: int = 0,
+    refine: int = 1,
 ) -> DataFrame:
     """Assign every row (document) its span of fixed-size chunks.
 
     ``key_col``: unique integral column defining the canonical concat
     order. ``weight_col``: integral token count per row (rows with
     weight <= 0 occupy no tokens and are dropped). ``n_parts``: prefix-sum
-    parallelism; 0 derives ~1M rows/partition from a count. Keys are
-    assumed roughly uniform over their range (true for dense ids) — a
-    skewed key space only unbalances the prefix-sum tasks, never the
-    result.
+    parallelism; 0 derives ~1M rows/partition from the histogram count.
+    ``refine``: max exact re-count passes used to re-split parts left hot
+    by intra-bucket key clustering (0 disables; the OUTPUT is identical
+    either way — balance only affects prefix-sum task sizes).
 
     Returns one row per (document, chunk) incidence:
       key, n_tokens (doc total), chunk_id, offset_in_chunk (where the
@@ -53,16 +220,17 @@ def pack_chunks(
       doc's tokens land in this chunk).
 
     Invariants (test-pinned): sum(n_in_chunk) per doc == n_tokens; every
-    chunk except the last carries exactly ``chunk_size`` tokens.
+    chunk except the last carries exactly ``chunk_size`` tokens; output is
+    bit-identical for ANY n_parts / refine / input layout (the partition
+    id is monotone in the key, which is the only property the two-phase
+    prefix sum needs).
     """
     if chunk_size <= 0:
         raise ValueError("pack_chunks: chunk_size must be positive")
-    stats = df.select(
-        F.min(key_col).alias("kmin"),
-        F.max(key_col).alias("kmax"),
-        F.count(F.lit(1)).alias("n"),
-    ).collect()[0]  # 3 scalars off a column-pruned scan — driver-safe
-    if stats.n == 0:
+    part_expr, n_rows, _ = _range_partition_expr(
+        df, key_col, weight_col, n_parts, refine
+    )
+    if n_rows == 0:
         empty = df.select(
             F.col(key_col),
             F.lit(0).cast("bigint").alias("n_tokens"),
@@ -71,22 +239,10 @@ def pack_chunks(
             F.lit(0).cast("bigint").alias("n_in_chunk"),
         )
         return empty.limit(0)
-    if n_parts <= 0:
-        n_parts = max(1, int(stats.n) // 1_000_000 + 1)
-    span = int(stats.kmax) - int(stats.kmin) + 1
 
     w = F.col(weight_col).cast("bigint")
-    part = (
-        (F.col(key_col).cast("bigint") - F.lit(int(stats.kmin)))
-        * F.lit(int(n_parts))
-    ) / F.lit(span)
-    parted = (
-        df.filter(w > 0)
-        .select(
-            F.col(key_col),
-            w.alias("__w"),
-            F.floor(part).cast("bigint").alias("__part"),
-        )
+    parted = df.filter(w > 0).select(
+        F.col(key_col), w.alias("__w"), part_expr.alias("__part")
     )
 
     totals = parted.groupBy("__part").agg(F.sum("__w").alias("__tot"))
@@ -140,7 +296,10 @@ def deterministic_shuffle(
     ``n_parts`` contiguous ranges, per-range counts broadcast their
     offsets back, and ranks finish with per-range window numbering — the
     same two-phase prefix sum as ``pack_chunks``, with counts for
-    weights. Change ``salt`` to draw an independent epoch order.
+    weights. The hash buckets are uniform BY CONSTRUCTION (md5), so no
+    histogram is needed here, and ``__b * n_parts`` is overflow-safe for
+    any plausible n_parts (__b < 1e6, so bigint holds through n_parts ~
+    9e12). Change ``salt`` to draw an independent epoch order.
     """
     from tgist_features_spark.operators.sampling import _N_BUCKETS, hash_bucket
 
