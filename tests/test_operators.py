@@ -441,10 +441,11 @@ def test_repetition_features_match_naive(spark):
         "a b a b a b a b",
         "one",
         "x y",
+        "gap  gap\ttab gap  gap",  # consecutive spaces/tabs: literal-split semantics
     ]
     got = (
         with_repetition_features(
-            spark.createDataFrame(pd.DataFrame({"doc_id": range(5), "text": docs}))
+            spark.createDataFrame(pd.DataFrame({"doc_id": range(len(docs)), "text": docs}))
         )
         .toPandas()
         .sort_values("doc_id")

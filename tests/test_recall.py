@@ -306,6 +306,30 @@ def test_ngram_jaccard_score_short_docs_and_duplicate_pairs(spark):
     assert real["inter"] == 3 and abs(real["jaccard"] - 3 / 5) < 1e-9
 
 
+def test_ngram_jaccard_score_null_text_and_absent_ids(spark):
+    """A null-text doc must score 0 (not -1/negative via sizeOfNull), and a
+    pair referencing an id that is absent from the corpus entirely must
+    still produce an output row with jaccard 0 — the docstring's
+    every-pair-scores contract (r3 ADVICE)."""
+    from tgist_features_spark.operators.dedup import ngram_jaccard_score
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, "a b c d e f")], "doc_id: long, text: string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 99)], "a: long, b: long"  # 99 not in docs
+    )
+    got = (
+        ngram_jaccard_score(docs, pairs, n=3)
+        .toPandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == 2
+    assert got["inter"].tolist() == [0, 0]
+    assert got["jaccard"].tolist() == [0.0, 0.0]
+
+
 def test_dedup_pipeline_transitive_policy(spark):
     """Transitive policy closes chains the greedy pairwise policy cannot:
     with pairs (a,c) and (b,c) but no (a,b), greedy keeps {a, b} (b never

@@ -271,6 +271,19 @@ def test_stream_dedup_sink_exactly_once_unique(spark, tmp_path):
     again = run_once()  # restart over the same source: no re-ingest
     assert again["doc_id"].tolist() == [1, 3, 11]
 
+    # crash-window replay (r3 ADVICE): docs committed but fingerprints +
+    # checkpoint lost — the re-delivered batches must REPLACE their own
+    # ingest_batch partitions, not append duplicates
+    import shutil
+
+    from tgist_features_spark.streaming.stream import DEDUP_FP_TABLE
+
+    shutil.rmtree(io_.path(DEDUP_FP_TABLE))
+    shutil.rmtree(io_.path("_dedup_ckpt"))
+    replay = run_once()
+    assert replay["doc_id"].tolist() == [1, 3, 11]
+    assert replay["text"].is_unique
+
 
 def test_doc_feature_fns_are_stream_compatible(spark, tmp_path):
     """The per-row doc operators (repetition filters, redaction, window

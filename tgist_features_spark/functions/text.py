@@ -100,7 +100,11 @@ def with_repetition_features(
     stats never need to leave the row). The most-frequent-bigram count is
     an `array_sort` + one `aggregate` run-length scan, O(k log k) per doc.
     """
-    toks = tokenize(text_col)
+    # literal single-space split (NOT tokenize()'s \s+): every oracled doc
+    # query uses this split so the stats are engine-reproducible against
+    # DuckDB's string_split(text, ' ') beyond pre-normalized corpora —
+    # consecutive whitespace yields empty-string tokens in BOTH engines
+    toks = F.split(F.col(text_col), " ")
     out = df.withColumn("__tk", toks)
     n = F.size("__tk")
     # chained zip_with against shifted copies (not an indexed transform —

@@ -509,7 +509,15 @@ def _with_grams(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     times, which blocks CollapseProject from inlining it back."""
     return df.select(
         F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("__tk")
-    ).select("id", _gram_array_from_tokens("__tk", n).alias("grams"))
+    ).select(
+        "id",
+        # null text -> null token array -> null grams; coalesce to empty so
+        # downstream size()/intersect arithmetic stays 0-based (legacy
+        # sizeOfNull would otherwise yield -1 and a negative jaccard)
+        F.coalesce(
+            _gram_array_from_tokens("__tk", n), F.array().cast("array<string>")
+        ).alias("grams"),
+    )
 
 
 def _distinct_grams(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
@@ -542,8 +550,9 @@ def ngram_jaccard_score(
     aggregation, so the whole scoring plan is candidate-bounded and never
     touches the rest of the corpus. EVERY input pair (deduped) gets an
     output row: pairs sharing no gram — including docs shorter than ``n``
-    tokens, which have no n-grams under this strict definition even though
-    MinHash gave them a whole-doc shingle — score jaccard 0."""
+    tokens (no n-grams under this strict definition), docs with null
+    text, and ids absent from ``df`` entirely (left joins + empty-array
+    coalesce) — score jaccard 0."""
     p = pairs.select("a", "b").distinct()  # duplicate pairs would double `inter`
     cand_ids = (
         p.select(F.col("a").alias(id_col))
@@ -551,9 +560,23 @@ def ngram_jaccard_score(
         .distinct()
     )
     docs_c = _with_grams(df.join(cand_ids, id_col, "left_semi"), id_col, text_col, n)
+    empty = F.array().cast("array<string>")
     out = (
-        p.join(docs_c.select(F.col("id").alias("a"), F.col("grams").alias("ga")), "a")
-        .join(docs_c.select(F.col("id").alias("b"), F.col("grams").alias("gb")), "b")
+        # LEFT joins: a pair referencing an id absent from df still gets an
+        # output row (its side scores as an empty gram set -> jaccard 0)
+        # rather than being silently dropped
+        p.join(
+            docs_c.select(F.col("id").alias("a"), F.col("grams").alias("ga")),
+            "a",
+            "left",
+        )
+        .join(
+            docs_c.select(F.col("id").alias("b"), F.col("grams").alias("gb")),
+            "b",
+            "left",
+        )
+        .withColumn("ga", F.coalesce("ga", empty))
+        .withColumn("gb", F.coalesce("gb", empty))
         .withColumn("inter", F.size(F.array_intersect("ga", "gb")).cast("long"))
         .withColumn("na", F.size("ga"))
         .withColumn("nb", F.size("gb"))

@@ -100,7 +100,7 @@ def dedup_corpus(
                 F.lit("near").alias("reason"),
                 F.lit(None).cast("double").alias("est_jaccard"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
     else:
         # keep-first policy: for each near-dup pair (a < b) drop b; a doc
@@ -116,14 +116,14 @@ def dedup_corpus(
                 F.lit("near").alias("reason"),
                 F.col("best.est_jaccard").alias("est_jaccard"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
     # near_drops is the ONLY consumer of the (persisted) candidate pairs:
-    # materialize it, then release the pair cache so repeated pipeline runs
-    # in one session don't accumulate pair sets. The residual cache is the
-    # near-drop log — strictly smaller, and both downstream outputs
-    # (kept, drop_log) read it twice.
-    near_drops.count()
+    # the eager localCheckpoint above materialized it, so release the pair
+    # cache now — repeated pipeline runs in one session accumulate nothing
+    # (the checkpointed near-drop blocks self-clean when the caller drops
+    # the returned DataFrames, unlike a persist, which would outlive them).
+    # Both downstream outputs (kept, drop_log) read the materialized log.
     pairs.unpersist()
     kept = exact_kept.join(near_drops.select("doc_id"), id_col, "left_anti")
     drop_log = exact_drops.unionByName(near_drops)

@@ -988,9 +988,13 @@ def q_dedup_minhash(spark, sf):
         ngram_jaccard_score(docs, pairs, n=3)
         .filter(F.col("jaccard") >= 0.5)
         .select("a", "b", "inter", F.round("jaccard", 6).alias("jaccard"))
-        .persist()
+        # eager localCheckpoint, NOT persist: materializes the (tiny) scored
+        # result before the candidate-pair cache is released below, and the
+        # blocks self-clean when the driver drops the DataFrame — repeated
+        # registry runs in one session leave no CacheManager residue
+        # (measured at sf0.1: 3.9-4.1s steady vs 4.4-5.1s for persist+count)
+        .localCheckpoint(eager=True)
     )
-    out.count()  # materialize before releasing the candidate-pair cache
     pairs.unpersist()
     return out
 

@@ -168,7 +168,9 @@ class TableIO:
     def exists(self, name: str) -> bool:
         p = self.path(name)
         return os.path.isdir(p) and any(
-            f.endswith(".parquet") or f.startswith(("bucket=", "day=", "part-"))
+            # data files, or any hive-style partition dir (bucket=, day=,
+            # ingest_batch=, ...)
+            f.endswith(".parquet") or f.startswith("part-") or "=" in f
             for f in os.listdir(p)
         )
 

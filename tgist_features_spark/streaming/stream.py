@@ -197,9 +197,13 @@ def stream_dedup_writer(
     near-dup stage still runs batch-side — banding needs the whole
     corpus). The fingerprint table is exactly the state a 100 TB ingest
     keeps anyway, and the anti-join is fingerprint-vs-fingerprint (16
-    bytes/row moves, never text). Retries are idempotent via per-batch
-    markers under the checkpoint (same at-least-once window as
-    ``stream_features_writer``). Returns the DataStreamWriter.
+    bytes/row moves, never text). Retries are EXACTLY-once for the data
+    itself: both tables are ``ingest_batch``-partitioned and written with
+    dynamic partition OVERWRITE, so a batch retried after any crash
+    (docs committed but fingerprints not, marker lost, …) replaces its own
+    partitions instead of appending duplicates — a dedup sink must not be
+    able to duplicate its own output (r3 ADVICE). The per-batch marker
+    remains as a fast-path skip. Returns the DataStreamWriter.
     """
     import os  # noqa: PLC0415
 
@@ -220,13 +224,24 @@ def stream_dedup_writer(
         if io.exists(DEDUP_FP_TABLE):
             seen = spark.read.parquet(io.path(DEDUP_FP_TABLE)).select("fp")
             fresh = fresh.join(seen, "fp", "left_anti")
-        fresh = fresh.persist()
+        fresh = fresh.withColumn("ingest_batch", F.lit(batch_id)).persist()
         try:
-            fresh.drop("fp").write.mode("append").parquet(
-                io.path(DEDUP_DOCS_TABLE)
+            # dynamic partition overwrite: a retried batch REPLACES its own
+            # ingest_batch partition (other batches untouched), so the
+            # docs-committed/fp-missing crash window re-runs cleanly
+            (
+                fresh.drop("fp")
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("ingest_batch")
+                .parquet(io.path(DEDUP_DOCS_TABLE))
             )
-            fresh.select("fp").write.mode("append").parquet(
-                io.path(DEDUP_FP_TABLE)
+            (
+                fresh.select("fp", "ingest_batch")
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("ingest_batch")
+                .parquet(io.path(DEDUP_FP_TABLE))
             )
         finally:
             fresh.unpersist()
