@@ -78,14 +78,17 @@ def _ensure_corpus() -> None:
     open(marker, "w").close()
 
 
-def _wait_for_quiet_host(threshold: float = 3.0, max_wait_s: int = 300) -> None:
-    """Co-tenant load inflates wide-run walls asymmetrically (BASELINE.md
-    'Host-noise note'); give each scaling attempt up to max_wait_s to start
-    in a quiet window, then proceed regardless (loadavg is recorded)."""
+def _wait_for_quiet_host(threshold: float = 3.0, max_wait_s: int = 300) -> float:
+    """Co-tenant load inflates walls (BASELINE.md 'Host-noise note'); give
+    each SECTION up to max_wait_s to start in a quiet window, then proceed
+    regardless. Returns the 1-min loadavg at section start — every section
+    stamps it into the JSON so a loaded measurement is identifiable as
+    such instead of reading as a regression (r03 verdict item #2)."""
     waited = 0
     while os.getloadavg()[0] > threshold and waited < max_wait_s:
         time.sleep(15)
         waited += 15
+    return round(os.getloadavg()[0], 2)
 
 
 def _backfill(master: str) -> dict:
@@ -160,9 +163,11 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     steady: dict[str, float] = {}
+    loadavgs: dict[str, float] = {}
     # warm the JVM/catalog and every Python worker before timing
     spark.read.parquet(f"{SF_DIR}/events.parquet").count()
     warm_python_workers(spark)
+    loadavgs["headline"] = _wait_for_quiet_host(max_wait_s=180)
     for name in HEADLINE:
         t0 = time.perf_counter()
         QUERIES[name](spark, SF_DIR).write.mode("overwrite").format("noop").save()
@@ -170,13 +175,16 @@ def main() -> None:
     # second pass: steady-state walls (codegen/JIT amortized — the number a
     # long-lived job sees per call; first-pass walls stay the headline metric
     # for round-over-round comparability)
+    loadavgs["steady"] = _wait_for_quiet_host(max_wait_s=180)
     for name in HEADLINE:
         t0 = time.perf_counter()
         QUERIES[name](spark, SF_DIR).write.mode("overwrite").format("noop").save()
         steady[name] = round(time.perf_counter() - t0, 3)
+    loadavgs["steady_end"] = round(os.getloadavg()[0], 2)
     training: dict[str, float] | None = None
     if RUN_TRAINING:
         training = {}
+        loadavgs["training"] = _wait_for_quiet_host(max_wait_s=180)
         for name in TRAINING_OPS:  # warm pass, then steady wall
             QUERIES[name](spark, SF_DIR).write.mode("overwrite").format("noop").save()
             t0 = time.perf_counter()
@@ -185,6 +193,7 @@ def main() -> None:
     skew = None
     if RUN_SKEW:
         _ensure_corpus()
+        loadavgs["skew"] = _wait_for_quiet_host(max_wait_s=180)
         skew = _skew_asof(spark)
     spark.stop()
 
@@ -196,6 +205,7 @@ def main() -> None:
         "queries_steady": steady,
         "steady_total": round(sum(steady.values()), 3),
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "section_loadavg1": loadavgs,
     }
     if training is not None:
         result["training_ops_steady"] = training

@@ -40,6 +40,10 @@ def main() -> None:
                     help="eval/benchmark docs parquet: drop kept docs "
                          "sharing any token n-gram with this set")
     ap.add_argument("--decontam-ngram", type=int, default=8)
+    ap.add_argument("--checkpoint-dir", default=None,
+                    help="reliable-checkpoint dir for --transitive component "
+                         "iteration (cluster fault-tolerance); default uses "
+                         "fast executor-local checkpoints")
     ap.add_argument("--transitive", action="store_true",
                     help="close near-dup pairs into connected components "
                          "and keep one doc per cluster (instead of the "
@@ -60,6 +64,7 @@ def main() -> None:
     kept, drop_log = dedup_corpus(
         docs, min_est_jaccard=args.threshold, max_bucket=args.max_bucket,
         transitive=args.transitive, eval_docs=eval_docs,
+        checkpoint_dir=args.checkpoint_dir,
         decontam_ngram=args.decontam_ngram,
     )
     if args.output == "noop":

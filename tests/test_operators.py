@@ -243,6 +243,33 @@ def test_connected_components_vs_union_find(spark):
     assert got == ref
 
 
+def test_connected_components_reliable_checkpoint_parity(spark, tmp_path):
+    """checkpoint_dir mode (reliable checkpoint(), cluster fault-tolerant)
+    must produce exactly the labels of the default localCheckpoint mode,
+    and must leave its blocks under the given directory."""
+    import os
+
+    from tgist_features_spark.operators.components import connected_components
+
+    pairs = (
+        [(i, i + 1) for i in range(0, 12)]
+        + [(100, 101), (101, 102), (102, 100)]
+        + [(200, 201)]
+    )
+    pdf = pd.DataFrame(pairs, columns=["a", "b"])
+    local = (
+        connected_components(spark.createDataFrame(pdf))
+        .toPandas().set_index("id")["comp"].to_dict()
+    )
+    ckdir = str(tmp_path / "cc_ckpt")
+    reliable = (
+        connected_components(spark.createDataFrame(pdf), checkpoint_dir=ckdir)
+        .toPandas().set_index("id")["comp"].to_dict()
+    )
+    assert reliable == local == _union_find_ref(pairs)
+    assert os.path.isdir(ckdir) and os.listdir(ckdir), "no reliable blocks written"
+
+
 def test_connected_components_random_graph(spark):
     import numpy as np
 

@@ -37,6 +37,7 @@ def dedup_corpus(
     transitive: bool = False,
     eval_docs: DataFrame | None = None,
     decontam_ngram: int = 8,
+    checkpoint_dir: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (kept_docs, drop_log).
 
@@ -55,7 +56,9 @@ def dedup_corpus(
     est_jaccard null — cluster membership is transitive, not pairwise).
     The default greedy pairwise policy stays the cheap one-pass path; the
     transitive policy costs O(log diameter) extra join rounds over the
-    (small) pair relation only.
+    (small) pair relation only. ``checkpoint_dir`` (transitive mode only)
+    switches the component iteration to reliable checkpoints for cluster
+    fault-tolerance — see operators/components.py.
     """
     # null-safe fingerprint: md5(NULL) is NULL, which an equi-join would
     # silently drop — NULL-text docs must dedup against each other and be
@@ -91,7 +94,7 @@ def dedup_corpus(
             connected_components,
         )
 
-        comps = connected_components(pairs)
+        comps = connected_components(pairs, checkpoint_dir=checkpoint_dir)
         near_drops = (
             comps.filter(F.col("id") != F.col("comp"))
             .select(
