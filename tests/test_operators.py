@@ -697,3 +697,30 @@ def test_cross_doc_span_stats(spark):
     assert sorted(map(tuple, again.to_numpy().tolist())) == sorted(
         map(tuple, got.reset_index().to_numpy().tolist())
     )
+
+
+def test_cross_doc_span_stats_hot_gram_divert_is_equivalent(spark):
+    """The max_df hot-gram divert is a physical optimization only: with a
+    boilerplate gram present in EVERY doc (df 30 > max_df 3) the capped
+    plan must produce exactly the uncapped plan's output."""
+    from tgist_features_spark.operators.dedup import cross_doc_span_stats
+
+    boiler = "this page is for informational purposes only contact support"
+    docs = {
+        i: boiler + " " + " ".join(f"w{i}_{j}" for j in range(6)) for i in range(30)
+    }
+    docs[100] = docs[0].replace("w0_", "x_")  # near-dup pair off the boilerplate
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(docs), "text": list(docs.values())})
+    )
+    capped = (
+        cross_doc_span_stats(df, n=4, max_df=3)
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    uncapped = (
+        cross_doc_span_stats(df, n=4, max_df=None)
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(capped, uncapped)
+    # the 9-token boilerplate yields 6 dup 4-gram positions in every doc
+    assert (capped["n_dup_spans"] >= 6).all()

@@ -724,6 +724,7 @@ def cross_doc_span_stats(
     n: int = 8,
     min_docs: int = 2,
     max_frac: float = 0.5,
+    max_df: int | None = 10_000,
 ) -> DataFrame:
     """Sequence-level duplication signal: per document, the fraction of
     token n-gram positions whose n-gram also occurs in at least
@@ -738,19 +739,67 @@ def cross_doc_span_stats(
     and a (doc)-keyed partial agg. The span-stats side is span-vocabulary
     sized — too big to broadcast at 100 TB, so the g-join is the honest
     standard cost of sequence-level dedup (cheaper than suffix arrays,
-    same signal for fixed n)."""
+    same signal for fixed n).
+
+    ``max_df`` bounds the g-join's hot keys WITHOUT changing semantics:
+    a gram in more than ``max_df`` documents is dup by definition (its
+    doc frequency already exceeds ``min_docs``), so its positions never
+    need the per-gram join — they are flagged through a broadcast join
+    against the (small) heavy-hitter tail, and their join key is salted
+    per-doc so universal boilerplate grams stop concentrating on single
+    reducers. To keep the gram pipeline at the uncapped plan's two
+    evaluations (probe + doc-frequency agg), the dup-gram relation is
+    materialized ONCE via an eager localCheckpoint — it is the vocabulary
+    the uncapped plan shuffles anyway, filtered down to dup grams — and
+    both the hot broadcast and the cold join read the materialized
+    blocks. The capped and uncapped plans produce IDENTICAL output
+    (oracle-verified); ``max_df=None`` keeps the lazy single-join plan."""
+    if min_docs < 1:
+        raise ValueError("cross_doc_span_stats: min_docs must be >= 1")
     pos = _position_grams(df, id_col, text_col, n)
     gd = pos.groupBy("g").agg(F.count_distinct("id").alias("__nd"))
-    per_doc = (
-        pos.join(gd, "g")
-        .groupBy("id")
-        .agg(
+    if max_df is None or n < 2:
+        per_doc = (
+            pos.join(gd, "g")
+            .groupBy("id")
+            .agg(
+                F.max("__total").alias("n_spans"),
+                F.sum(
+                    F.when(F.col("__nd") >= min_docs, F.lit(1)).otherwise(F.lit(0))
+                ).alias("n_dup_spans"),
+            )
+        )
+    else:
+        max_df = max(max_df, min_docs)  # hot must imply dup
+        dup_grams = (
+            gd.filter(F.col("__nd") >= min_docs)
+            .select("g", (F.col("__nd") > max_df).cast("int").alias("__hot"))
+            .localCheckpoint(eager=True)
+        )
+        hot = dup_grams.filter(F.col("__hot") == 1).select("g", "__hot")
+        cold_dup = dup_grams.filter(F.col("__hot") == 0).select(
+            "g", F.lit(1).alias("__cold")
+        )
+        # every n>=2 gram contains a space, so a space-free salted key can
+        # never collide with a real gram in the cold join below
+        salted = F.concat(
+            F.lit("\x00"),
+            F.translate(F.col("id").cast("string"), " ", ""),
+        )
+        pos2 = pos.join(F.broadcast(hot), "g", "left").withColumn(
+            "__jk", F.when(F.col("__hot") == 1, salted).otherwise(F.col("g"))
+        )
+        scored = pos2.join(
+            cold_dup.withColumnRenamed("g", "__jk"), "__jk", "left"
+        )
+        per_doc = scored.groupBy("id").agg(
             F.max("__total").alias("n_spans"),
             F.sum(
-                F.when(F.col("__nd") >= min_docs, F.lit(1)).otherwise(F.lit(0))
+                F.when(
+                    (F.col("__hot") == 1) | (F.col("__cold") == 1), F.lit(1)
+                ).otherwise(F.lit(0))
             ).alias("n_dup_spans"),
         )
-    )
     frac = F.round(F.col("n_dup_spans") / F.col("n_spans"), 6)
     return per_doc.select(
         F.col("id").alias(id_col),
