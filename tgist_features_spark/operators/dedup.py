@@ -559,7 +559,15 @@ def ngram_jaccard_score(
         .union(p.select(F.col("b").alias(id_col)))
         .distinct()
     )
-    docs_c = _with_grams(df.join(cand_ids, id_col, "left_semi"), id_col, text_col, n)
+    # the gram relation feeds BOTH join sides below; without materialization
+    # the split + zip_with gram build executes twice (once per branch).
+    # Candidates are LSH-bounded, so the eager localCheckpoint is small at
+    # any corpus scale and halves the scorer's gram work — ~5-10% of the
+    # scorer wall at sf0.1's tiny candidate sets (measured steady 1.1s ->
+    # 1.0s), growing with candidate count x doc length; self-cleans on GC
+    docs_c = _with_grams(
+        df.join(cand_ids, id_col, "left_semi"), id_col, text_col, n
+    ).localCheckpoint(eager=True)
     empty = F.array().cast("array<string>")
     out = (
         # LEFT joins: a pair referencing an id absent from df still gets an
