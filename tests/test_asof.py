@@ -284,3 +284,42 @@ def test_nearest_rejected_by_salted(spark, feats, queries_pdf):
             by="conv_id", left_on="query_ts", right_on="ts",
             direction="nearest", value_cols=["ts", "turn_idx"],
         )
+
+
+def test_salted_probe_only_slice_gets_carry(spark):
+    """A probe whose time slice contains NO build rows must still match
+    the last build row from an earlier slice. This is exactly what the
+    probe tag in the fused carry aggregation buys: a build-only
+    aggregation would never emit a row for the probe's slice, so no carry
+    would exist and the probe would wrongly return null (the faster
+    tag-free variant measured in round 4 fails this case)."""
+    import pandas as pd
+
+    from tgist_features_spark.operators.asof import asof_join, asof_join_salted
+
+    build = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "conv_id": ["c"] * 3,
+                "ts": pd.to_datetime([1000, 2000, 3000], unit="s"),
+                "turn_idx": [0, 1, 2],
+            }
+        )
+    )
+    # probe sits 5 hours later: its 1h slice (and the 4 before it) hold no
+    # build rows at all
+    probe = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "conv_id": ["c"],
+                "query_ts": pd.to_datetime([5 * 3600 + 100], unit="s"),
+            }
+        )
+    )
+    kw = dict(
+        by="conv_id", left_on="query_ts", right_on="ts",
+        direction="backward", value_cols=["ts", "turn_idx"],
+    )
+    plain = asof_join(probe, build, **kw).toPandas()
+    salted = asof_join_salted(probe, build, slice_width_s=3600, **kw).toPandas()
+    assert salted["turn_idx"].tolist() == plain["turn_idx"].tolist() == [2]
