@@ -724,3 +724,100 @@ def test_cross_doc_span_stats_hot_gram_divert_is_equivalent(spark):
     pd.testing.assert_frame_equal(capped, uncapped)
     # the 9-token boilerplate yields 6 dup 4-gram positions in every doc
     assert (capped["n_dup_spans"] >= 6).all()
+
+
+def test_remove_dup_spans_matches_naive(spark):
+    """Span REMOVAL must equal a naive per-doc reference: tokens covered by
+    any cross-doc duplicated n-gram position are deleted, everything else
+    (short docs, null text, unique docs) passes through untouched."""
+    from tgist_features_spark.operators.dedup import remove_dup_spans
+
+    boiler = "one two three four five six seven eight"
+    docs = {
+        1: boiler + " unique a b c",
+        2: boiler + " other d e f",
+        3: "totally different text with no shared spans at all here",
+        4: "short doc",
+        5: None,
+        6: boiler,  # the whole doc is the shared span -> clean_text ''
+    }
+    n = 8
+    texts = {k: v for k, v in docs.items() if v is not None}
+    from collections import defaultdict
+
+    gram_docs = defaultdict(set)
+    for d, txt in texts.items():
+        tk = txt.split(" ")
+        for p in range(len(tk) - n + 1):
+            gram_docs[" ".join(tk[p : p + n])].add(d)
+
+    def naive(d):
+        txt = docs[d]
+        if txt is None:
+            return None, 0, 0
+        tk = txt.split(" ")
+        cov = set()
+        for p in range(len(tk) - n + 1):
+            if len(gram_docs[" ".join(tk[p : p + n])]) >= 2:
+                cov.update(range(p, p + n))
+        clean = " ".join(t for i, t in enumerate(tk) if i not in cov)
+        return clean, len(tk), len(cov)
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(docs), "text": list(docs.values())})
+    )
+    got = (
+        remove_dup_spans(df, n=n)
+        .toPandas().set_index("doc_id").sort_index()
+    )
+    assert sorted(got.index) == sorted(docs)
+    for d in docs:
+        clean, ntok, nrem = naive(d)
+        row = got.loc[d]
+        assert (row.clean_text == clean) or (clean is None and row.clean_text is None), d
+        assert row.n_tokens == ntok and row.n_removed == nrem, d
+    assert got.loc[6, "clean_text"] == ""
+
+
+def test_token_frequency_stats_exact(spark):
+    """Hand-computed integer outputs, with hot_min low enough that the
+    head/tail vocabulary split (broadcast divert) is exercised."""
+    from tgist_features_spark.functions.text import token_frequency_stats
+
+    docs = {1: "the the cat", 2: "the dog", 3: "qq zz"}
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(docs), "text": list(docs.values())})
+    )
+    for hot_min in (3, 10**9):  # divert engaged / pure shuffle join
+        got = (
+            token_frequency_stats(df, min_count=2, hot_min=hot_min)
+            .toPandas().set_index("doc_id").sort_index()
+        )
+        # C(the)=3, everything else 1
+        assert got.loc[1].tolist() == [3, 7, 23333, 1, 333333]
+        assert got.loc[2].tolist() == [2, 4, 20000, 1, 500000]
+        assert got.loc[3].tolist() == [2, 2, 10000, 2, 1000000]
+
+
+def test_group_centroids_match_numpy(spark):
+    from tgist_features_spark.operators.similarity import group_centroids
+
+    rng = np.random.default_rng(3)
+    labels = rng.integers(0, 4, 200)
+    vecs = rng.normal(size=(200, 16)).astype(np.float32)
+    df = spark.createDataFrame(
+        pd.DataFrame({"label": labels, "embedding": list(map(list, vecs))})
+    )
+    got = group_centroids(df).toPandas().set_index("label").sort_index()
+    scale = 10_000_000
+    for lab in range(4):
+        sub = vecs[labels == lab]
+        q = np.floor(sub.astype(np.float64) * scale + 0.5).astype(np.int64)
+        want = (q.sum(axis=0) // len(sub)) / scale
+        assert got.loc[lab, "n_vecs"] == len(sub)
+        assert np.array_equal(np.array(got.loc[lab, "centroid"]), want), lab
+    again = group_centroids(df.repartition(7)).toPandas().set_index("label").sort_index()
+    for lab in range(4):
+        assert np.array_equal(
+            np.array(got.loc[lab, "centroid"]), np.array(again.loc[lab, "centroid"])
+        )

@@ -470,3 +470,80 @@ def with_lang_id(df: DataFrame, text_col: str = "text",
     for lang in _LANG_MARKERS:
         pred = pred.when(scores[lang] == m, F.lit(lang))
     return df.withColumn(out_col, pred.otherwise(expr))
+
+
+def token_frequency_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 5,
+    hot_min: int = 10_000,
+) -> DataFrame:
+    """Corpus-relative token-frequency scoring — the integer-exact stand-in
+    for unigram-LM perplexity filtering (CCNet lineage): documents made of
+    globally rare tokens (typos, junk, OCR noise) score a low mean token
+    frequency and a high OOV rate against the ``min_count``-pruned
+    vocabulary; boilerplate scores high. All outputs are INTEGERS (the
+    x1e4 / x1e6 fixed-point columns), so the numbers are bitwise
+    reproducible in any engine — a log-probability formulation would hinge
+    on cross-engine ``ln`` rounding (see BASELINE.md's average-rounding
+    trap, same class).
+
+    Returns (id_col, n_tokens, sum_tf, mean_tf_x1e4, oov_count,
+    oov_rate_x1e6): sum_tf = sum over the doc's token instances of each
+    token's GLOBAL occurrence count; mean_tf_x1e4 = floor(sum_tf * 1e4 /
+    n_tokens) computed overflow-safely as div/mod; oov_count = doc tokens
+    whose global count < ``min_count``.
+
+    Scale shape: one explode -> per-(doc, token) counts (shuffle on
+    (id, tok) — skew-free, multiplicities bounded by doc length), the
+    vocabulary derived from the SAME relation by a second partial-agged
+    shuffle, and the frequency join split head/tail: tokens with global
+    count >= ``hot_min`` ("the", "of" — the keys that would melt a plain
+    shuffle join) broadcast; the remainder shuffle-joins with key
+    multiplicity bounded by ``hot_min`` docs. Diverted rows take a
+    per-doc salted key (a leading space — a split-token can never contain
+    one) so they spread instead of re-concentrating."""
+    toks = F.split(F.col(text_col), " ")
+    dt = (
+        df.select(F.col(id_col).alias("id"), F.explode_outer(toks).alias("tok"))
+        .filter(F.col("tok").isNotNull())
+        .groupBy("id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    vocab = dt.groupBy("tok").agg(F.sum("cnt").alias("C"))
+    head = vocab.filter(F.col("C") >= hot_min).select(
+        "tok", F.col("C").alias("__hc")
+    )
+    tail = vocab.filter(F.col("C") < hot_min).select(
+        "tok", F.col("C").alias("__tc")
+    )
+    salted = F.concat(F.lit(" "), F.col("id").cast("string"))
+    with_head = dt.join(F.broadcast(head), "tok", "left").withColumn(
+        "__jk", F.when(F.col("__hc").isNotNull(), salted).otherwise(F.col("tok"))
+    )
+    scored = with_head.join(
+        tail.withColumnRenamed("tok", "__jk"), "__jk", "left"
+    ).withColumn("__C", F.coalesce("__hc", "__tc"))
+    per_doc = scored.groupBy("id").agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.sum(F.col("cnt") * F.col("__C")).alias("sum_tf"),
+        F.sum(
+            F.when(F.col("__C") < min_count, F.col("cnt")).otherwise(F.lit(0))
+        ).alias("oov_count"),
+    )
+    # floor(x * s / n) without overflow: (x div n)*s + ((x mod n)*s) div n
+    def _fixed(x: str, s: int) -> F.Column:
+        return (
+            F.expr(f"({x} div n_tokens) * {s}")
+            + F.expr(f"(({x} % n_tokens) * {s}) div n_tokens")
+        ).cast("bigint")
+
+    return per_doc.select(
+        F.col("id").alias(id_col),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("sum_tf").cast("bigint").alias("sum_tf"),
+        _fixed("sum_tf", 10_000).alias("mean_tf_x1e4"),
+        F.col("oov_count").cast("bigint").alias("oov_count"),
+        _fixed("oov_count", 1_000_000).alias("oov_rate_x1e6"),
+    )

@@ -816,3 +816,105 @@ def cross_doc_span_stats(
         frac.alias("dup_span_frac"),
         (frac <= max_frac).cast("int").alias("keep"),
     )
+
+
+def _position_grams_idx(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(id, p, g): one row per n-gram position with its 0-based start
+    index — the positional variant of ``_position_grams`` for operators
+    that must map dup grams back onto token spans. Same zip_with chain +
+    posexplode_outer discipline (InferFiltersFromGenerate exempts outer
+    generates; see ``_distinct_grams``)."""
+    toks = F.col("__tk")
+    acc = toks
+    for j in range(1, n):
+        shifted = F.slice(toks, j + 1, F.greatest(F.size(toks) - j, F.lit(0)))
+        acc = F.zip_with(acc, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
+    grams = F.slice(acc, 1, F.greatest(F.size(toks) - n + 1, F.lit(0)))
+    return (
+        df.select(
+            F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("__tk")
+        )
+        .select("id", grams.alias("grams"))
+        .select("id", F.posexplode_outer("grams").alias("p", "g"))
+        .filter(F.col("g").isNotNull())
+    )
+
+
+def remove_dup_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Span-level dedup as an ACTION, not just a statistic: delete every
+    token covered by an n-gram that occurs in >= ``min_docs`` documents —
+    the removal rule of Lee et al.'s 'Deduplicating Training Data'
+    (ExactSubstr), applied at token n-gram granularity. Where
+    ``cross_doc_span_stats`` decides keep-or-drop per document, this
+    operator surgically removes the boilerplate/quoted spans and keeps
+    the rest of the document.
+
+    Returns (id_col, clean_text, n_tokens, n_removed) for EVERY input
+    row: docs shorter than ``n`` tokens (and null-text docs) pass through
+    untouched with n_removed 0.
+
+    Scale shape: the positional gram explode and the g-keyed
+    doc-frequency aggregation are shared machinery with
+    ``cross_doc_span_stats``; dup positions come back per doc as a sorted
+    start array (bounded by doc length), and the token mask is pure
+    per-row higher-order arithmetic — no second text shuffle. The
+    covered-index expansion is O(dup_positions x n) per doc; a fully
+    boilerplate doc costs O(tokens x n), the same order as building its
+    grams in the first place."""
+    pos = _position_grams_idx(df, id_col, text_col, n)
+    gd = (
+        pos.groupBy("g")
+        .agg(F.count_distinct("id").alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("g")
+    )
+    starts = (
+        pos.join(gd, "g")
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_set("p")).alias("__starts"))
+    )
+    joined = df.join(
+        starts.withColumnRenamed("id", id_col), id_col, "left"
+    )
+    toks = F.split(F.col(text_col), " ")
+    covered = F.array_distinct(
+        F.flatten(
+            F.transform(
+                F.coalesce(F.col("__starts"), F.array().cast("array<int>")),
+                lambda p: F.sequence(p, p + F.lit(int(n) - 1)),
+            )
+        )
+    )
+    kept = F.filter(
+        F.zip_with(
+            toks,
+            F.sequence(F.lit(0), F.size(toks) - 1),
+            lambda t, i: F.struct(t.alias("t"), i.alias("i")),
+        ),
+        lambda s: ~F.array_contains(F.col("__covered"), s["i"]),
+    )
+    return (
+        joined.withColumn("__covered", covered)
+        .withColumn(
+            "clean_text",
+            F.when(
+                F.col(text_col).isNull(), F.col(text_col)
+            ).otherwise(
+                F.array_join(F.transform(kept, lambda s: s["t"]), " ")
+            ),
+        )
+        .select(
+            F.col(id_col),
+            "clean_text",
+            F.coalesce(F.size(toks), F.lit(0)).cast("long").alias("n_tokens"),
+            F.size("__covered").cast("long").alias("n_removed"),
+        )
+    )

@@ -340,3 +340,60 @@ def ivf_ann_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "rank", "neighbor_id", "cos")
     )
+
+
+def group_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    group_col: str = "label",
+    scale: int = 10_000_000,
+) -> DataFrame:
+    """Per-group embedding centroid (mean-pool) — the vector aggregation a
+    clustering / class-prototype / IVF-bootstrap pipeline runs. Returns
+    (group_col, n_vecs, centroid: array<double>).
+
+    Determinism: element sums over floats are ORDER-DEPENDENT, and Spark's
+    partial aggregation order differs from any other engine's (BASELINE.md
+    rounding-trap class). The centroid is therefore defined over
+    fixed-point quantized components — round(v * scale) as bigint — whose
+    sum is exact and order-independent; each output component is
+    (sum div n) / scale, one exact integer division and one IEEE double
+    division, bitwise reproducible anywhere.
+
+    Scale shape: posexplode -> (group, dim)-keyed partial-agged sum (the
+    shuffle moves ~n_groups x dims rows after map-side combine), then a
+    (group)-keyed re-assembly via sort of the TINY per-group dim list.
+    No collect, no driver work, no UDF."""
+    dims = (
+        df.select(
+            F.col(group_col).alias("g"),
+            F.posexplode(vec_col).alias("dim", "v"),
+        )
+        .groupBy("g", "dim")
+        .agg(
+            # floor(x + 0.5) quantization, NOT round(): identical IEEE ops in
+            # every engine, no round-tie rule to disagree on (BASELINE.md
+            # rounding-trap class)
+            F.sum(
+                F.floor(F.col("v").cast("double") * scale + F.lit(0.5)).cast("bigint")
+            ).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    assembled = dims.groupBy("g").agg(
+        F.max("n").cast("bigint").alias("n_vecs"),
+        # array_sort on structs orders by the first field (dim), so the
+        # collect_list's arbitrary arrival order cannot leak into the output
+        F.array_sort(F.collect_list(F.struct("dim", "s"))).alias("__ds"),
+    )
+    centroid = F.transform(
+        F.col("__ds"),
+        lambda st: (st["s"] - F.pmod(st["s"], F.col("n_vecs")))
+        / F.col("n_vecs")
+        / F.lit(float(scale)),
+    )
+    return assembled.select(
+        F.col("g").alias(group_col),
+        "n_vecs",
+        centroid.alias("centroid"),
+    )

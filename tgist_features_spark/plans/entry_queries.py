@@ -1885,6 +1885,101 @@ FROM j
 """
 
 
+def q_span_removal(spark, sf):
+    """Span-level dedup as an ACTION (round 4): delete every token covered
+    by a cross-doc duplicated 8-gram, keep the rest of the document — the
+    ExactSubstr removal rule at token-n-gram granularity. Strings +
+    integer counts only: byte-exact verifiable."""
+    from tgist_features_spark.operators.dedup import remove_dup_spans
+
+    return remove_dup_spans(_t(spark, sf, "documents"), n=8, min_docs=2)
+
+
+SQL_SPAN_REMOVAL = """
+WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS l FROM documents),
+pos AS (
+  SELECT t.doc_id, u.i AS p, array_to_string(l[u.i : u.i + 7], ' ') AS g
+  FROM t, unnest(generate_series(1, len(l) - 7)) AS u(i)),
+gd AS (SELECT g FROM pos GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+dup AS (SELECT DISTINCT p.doc_id, p.p FROM pos p JOIN gd USING (g)),
+cov AS (SELECT DISTINCT doc_id, u.c AS c
+        FROM dup, unnest(generate_series(p, p + 7)) AS u(c)),
+covl AS (SELECT doc_id, list(c) AS cs FROM cov GROUP BY doc_id)
+SELECT t.doc_id,
+       CASE WHEN t.text IS NULL THEN NULL
+            -- array_to_string([]) is NULL in DuckDB but '' under Spark's
+            -- array_join: coalesce the fully-removed-doc case
+            ELSE COALESCE(array_to_string(
+                   list_filter(l, (x, i) -> NOT list_contains(COALESCE(cs, []), i)),
+                   ' '), '')
+       END AS clean_text,
+       CASE WHEN t.text IS NULL THEN 0 ELSE len(l) END::BIGINT AS n_tokens,
+       COALESCE(len(cs), 0)::BIGINT AS n_removed
+FROM t LEFT JOIN covl USING (doc_id)
+"""
+
+
+def q_tf_stats(spark, sf):
+    """Corpus-relative token-frequency scoring (round 4) — the
+    integer-exact stand-in for unigram-perplexity quality filtering; the
+    head/tail vocabulary split (hot tokens broadcast) is exercised at the
+    driver's own scales via hot_min=500. Every output column is a BIGINT,
+    so parity is bitwise by construction."""
+    from tgist_features_spark.functions.text import token_frequency_stats
+
+    return token_frequency_stats(
+        _t(spark, sf, "documents"), min_count=5, hot_min=500
+    )
+
+
+SQL_TF_STATS = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS l
+           FROM documents WHERE text IS NOT NULL),
+tok AS (SELECT doc_id, unnest(l) AS tok FROM t),
+dt AS (SELECT doc_id, tok, COUNT(*)::BIGINT AS cnt FROM tok GROUP BY 1, 2),
+vocab AS (SELECT tok, SUM(cnt)::BIGINT AS c FROM dt GROUP BY tok),
+pd AS (SELECT dt.doc_id,
+              SUM(dt.cnt)::BIGINT AS n_tokens,
+              SUM(dt.cnt * v.c)::BIGINT AS sum_tf,
+              SUM(CASE WHEN v.c < 5 THEN dt.cnt ELSE 0 END)::BIGINT AS oov_count
+       FROM dt JOIN vocab v USING (tok) GROUP BY 1)
+SELECT doc_id, n_tokens, sum_tf,
+       ((sum_tf // n_tokens) * 10000
+        + ((sum_tf % n_tokens) * 10000) // n_tokens)::BIGINT AS mean_tf_x1e4,
+       oov_count,
+       ((oov_count // n_tokens) * 1000000
+        + ((oov_count % n_tokens) * 1000000) // n_tokens)::BIGINT AS oov_rate_x1e6
+FROM pd
+"""
+
+
+def q_centroids(spark, sf):
+    """Per-label embedding centroids (round 4): mean-pool over fixed-point
+    quantized components (floor(v * 1e7 + 0.5) bigint sums — exact and
+    order-independent, so the double outputs are bitwise reproducible in
+    any engine; see the operator docstring)."""
+    from tgist_features_spark.operators.similarity import group_centroids
+
+    return group_centroids(
+        _t(spark, sf, "embeddings"), vec_col="embedding", group_col="label"
+    )
+
+
+SQL_CENTROIDS = """
+WITH e AS (SELECT label, u.i AS dim, embedding[u.i] AS v
+           FROM embeddings,
+                unnest(range(1, len(embedding) + 1)) AS u(i)),
+q AS (SELECT label, dim,
+             SUM(CAST(floor(CAST(v AS DOUBLE) * 10000000 + 0.5) AS BIGINT))::BIGINT AS s,
+             COUNT(*)::BIGINT AS n
+      FROM e GROUP BY 1, 2),
+c AS (SELECT label, MAX(n)::BIGINT AS n_vecs,
+             list((s - ((s % n) + n) % n) / n / 10000000.0 ORDER BY dim) AS centroid
+      FROM q GROUP BY label)
+SELECT label, n_vecs, centroid FROM c
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- first 50 keys = the driver correctness window (the driver caps
     # its oracle run at 50 registry keys, in order). Round-4 rotation per
@@ -1964,6 +2059,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pivot_counts": q_pivot_counts,
     "distinct_agg": q_distinct_agg,
     "json_extract": q_json_extract,
+    # --- round-4 additions (tail this round; builder-swept at both SFs,
+    # rotate into the window next round)
+    "span_removal": q_span_removal,
+    "tf_stats": q_tf_stats,
+    "centroids": q_centroids,
 }
 
 ORACLES: dict[str, str] = {
@@ -2035,4 +2135,7 @@ ORACLES: dict[str, str] = {
     "array_stats": SQL_ARRAY_STATS,
     "percentiles": SQL_PERCENTILES,
     "feature_vector": SQL_FEATURE_VECTOR,
+    "span_removal": SQL_SPAN_REMOVAL,
+    "tf_stats": SQL_TF_STATS,
+    "centroids": SQL_CENTROIDS,
 }
