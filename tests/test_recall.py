@@ -389,3 +389,34 @@ def test_dedup_pipeline_with_decontamination(spark):
     assert contam["doc_id"].tolist() == [1000]
     assert contam["dup_of"].isna().all()
     assert len(dl) + len(kept_ids) == len(pdf)
+
+
+def test_cross_corpus_near_pairs_finds_planted_and_stays_cross(spark):
+    """Planted near-dups ACROSS the two corpora must surface; pairs within
+    one corpus must never appear (the join is two-sided by construction)."""
+    import pandas as pd
+
+    from tgist_features_spark.operators.dedup import cross_corpus_near_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    corpus = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [base + " v1", base + " v2",  # near-dups of ref 101 AND of each other
+                 "completely unrelated text about distributed query engines"],
+    })
+    ref = pd.DataFrame({
+        "doc_id": [101, 102],
+        "text": [base + " v3",
+                 "another unrelated reference document entirely different"],
+    })
+    got = cross_corpus_near_pairs(
+        spark.createDataFrame(corpus), spark.createDataFrame(ref),
+        n_hashes=64, bands=32, min_est_jaccard=0.3,
+    )
+    pairs = {(r.a, r.b) for r in got.collect()}
+    got.unpersist()
+    assert (1, 101) in pairs and (2, 101) in pairs
+    # two-sided only: the corpus-internal near-dup (1,2) must NOT appear,
+    # and every pair must go corpus -> ref
+    assert all(a in {1, 2, 3} and b in {101, 102} for a, b in pairs)
+    assert (3, 102) not in pairs

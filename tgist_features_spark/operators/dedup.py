@@ -214,6 +214,24 @@ def minhash_signatures(
     return df.select(F.col(id_col).alias("id"), mh(F.col(text_col)).alias("sig"))
 
 
+def _banded_numeric(sigs: DataFrame, bands: int, rows: int) -> DataFrame:
+    """(id, band, bhash) — the exploded LSH band relation WITHOUT the
+    signature payload: the band-equality shuffle moves three narrow
+    columns; the band hash is numeric (xxhash64 over the band's signature
+    elements), no array-slice/string casts in the wide projection."""
+    return sigs.select(
+        "id",
+        F.posexplode(
+            F.array(*[
+                F.xxhash64(*[
+                    F.element_at("sig", i * rows + j + 1) for j in range(rows)
+                ])
+                for i in range(bands)
+            ])
+        ).alias("band", "bhash"),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -247,23 +265,9 @@ def minhash_lsh_pairs(
         df, id_col, text_col, n_hashes, shingle, seed,
         parallelism=df.sparkSession.sparkContext.defaultParallelism,
     ).persist()
-    # band WITHOUT the signature payload: the exploded relation that goes
-    # through the band-equality shuffle is (id, band, bhash) only — at the
-    # 100 TB point dragging the 128-long array through 64 bands x 2 join
-    # sides would dominate the job
-    # band hash is numeric (xxhash64 over the band's signature elements) —
-    # no array-slice/string casts in the 64-wide projection
-    banded_raw = sigs.select(
-        "id",
-        F.posexplode(
-            F.array(*[
-                F.xxhash64(*[
-                    F.element_at("sig", i * rows + j + 1) for j in range(rows)
-                ])
-                for i in range(bands)
-            ])
-        ).alias("band", "bhash"),
-    )
+    # at the 100 TB point dragging the 128-long signature through 64
+    # bands x 2 join sides would dominate the job — see _banded_numeric
+    banded_raw = _banded_numeric(sigs, bands, rows)
     banded = cap_buckets(banded_raw, ["band", "bhash"], max_bucket)
     l, r = banded.alias("l"), banded.alias("r")
     cand = (
@@ -918,3 +922,75 @@ def remove_dup_spans(
             F.size("__covered").cast("long").alias("n_removed"),
         )
     )
+
+
+def cross_corpus_near_pairs(
+    df: DataFrame,
+    ref: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 128,
+    bands: int = 64,
+    shingle: int = 3,
+    seed: int = 42,
+    min_est_jaccard: float = 0.5,
+    max_bucket: int | None = 200,
+) -> DataFrame:
+    """Near-duplicate pairs BETWEEN two corpora: (a from ``df``, b from
+    ``ref``, est_jaccard) — the document-level decontamination /
+    cross-corpus dedup primitive ("drop training docs near-duplicating
+    anything in the held-out or already-trained corpus"; the n-gram
+    containment probe in ``contamination_hits`` is the span-level sibling).
+
+    Same machinery as ``minhash_lsh_pairs`` — identical signature function
+    and SEED on both sides, so band hashes are comparable — but the bucket
+    join is a two-sided equi-join on (band, bhash) instead of a self-join:
+    only cross-corpus bucket collisions materialize, never within-corpus
+    pairs. Buckets are capped per side (deterministic subset, same id
+    survival rule), bounding a degenerate bucket's output at
+    max_bucket^2 instead of |A_bucket| x |B_bucket|.
+
+    Like the self-join variant, the (small) pair result is eagerly
+    persisted so both signature caches release before returning — callers
+    should ``unpersist()`` it when done."""
+    rows = n_hashes // bands
+    par = df.sparkSession.sparkContext.defaultParallelism
+    sig_a = minhash_signatures(
+        df, id_col, text_col, n_hashes, shingle, seed, parallelism=par
+    ).persist()
+    sig_b = minhash_signatures(
+        ref, id_col, text_col, n_hashes, shingle, seed, parallelism=par
+    ).persist()
+    ba = cap_buckets(_banded_numeric(sig_a, bands, rows), ["band", "bhash"], max_bucket)
+    bb = cap_buckets(_banded_numeric(sig_b, bands, rows), ["band", "bhash"], max_bucket)
+    cand = (
+        ba.alias("l")
+        .join(
+            bb.alias("r"),
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.bhash") == F.col("r.bhash"),
+            ],
+        )
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    sa = sig_a.select(F.col("id").alias("a"), F.col("sig").alias("sig_a"))
+    sb = sig_b.select(F.col("id").alias("b"), F.col("sig").alias("sig_b"))
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / F.lit(float(n_hashes))
+    out = (
+        cand.join(sa, "a")
+        .join(sb, "b")
+        .withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= min_est_jaccard)
+        .select("a", "b", "est_jaccard")
+        .persist()
+    )
+    out.count()
+    sig_a.unpersist()
+    sig_b.unpersist()
+    return out

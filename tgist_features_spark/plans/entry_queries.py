@@ -1980,6 +1980,54 @@ SELECT label, n_vecs, centroid FROM c
 """
 
 
+def q_cross_dedup(spark, sf):
+    """Cross-corpus near-dedup (round 4): documents with doc_id % 5 != 0
+    play the incoming training corpus, % 5 == 0 the already-held corpus;
+    LSH discovery runs BETWEEN the two sides only (two-sided bucket join,
+    identical signatures/seed), then the exact trigram-Jaccard re-rank
+    keeps pairs >= 0.5 — the same discovery-then-exact-verify composition
+    (and the same bimodal-corpus recall argument) as ``dedup_minhash``,
+    against an exhaustive cross-pairs DuckDB oracle."""
+    from tgist_features_spark.operators.dedup import (
+        cross_corpus_near_pairs,
+        ngram_jaccard_score,
+    )
+
+    docs = _t(spark, sf, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    ref = docs.filter(F.col("doc_id") % 5 == 0)
+    pairs = cross_corpus_near_pairs(
+        corpus, ref, n_hashes=64, bands=32, min_est_jaccard=0.25
+    )
+    out = (
+        ngram_jaccard_score(docs, pairs, n=3)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("a", "b", "inter", F.round("jaccard", 6).alias("jaccard"))
+        .localCheckpoint(eager=True)  # materialize, then drop the pair cache
+    )
+    pairs.unpersist()
+    return out
+
+
+SQL_CROSS_DEDUP = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+grams AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(l) - 1),
+         i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))) AS g
+  FROM t),
+counts AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS inter
+  FROM grams x JOIN grams y ON x.g = y.g
+  WHERE x.doc_id % 5 <> 0 AND y.doc_id % 5 = 0
+  GROUP BY 1, 2)
+SELECT i.a, i.b, CAST(i.inter AS BIGINT) AS inter,
+       ROUND(i.inter / (ca.n + cb.n - i.inter), 6) AS jaccard
+FROM inter i JOIN counts ca ON ca.doc_id = i.a JOIN counts cb ON cb.doc_id = i.b
+WHERE i.inter / (ca.n + cb.n - i.inter) >= 0.5
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- first 50 keys = the driver correctness window (the driver caps
     # its oracle run at 50 registry keys, in order). Round-4 rotation per
@@ -2064,6 +2112,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "span_removal": q_span_removal,
     "tf_stats": q_tf_stats,
     "centroids": q_centroids,
+    "cross_dedup": q_cross_dedup,
 }
 
 ORACLES: dict[str, str] = {
@@ -2138,4 +2187,5 @@ ORACLES: dict[str, str] = {
     "span_removal": SQL_SPAN_REMOVAL,
     "tf_stats": SQL_TF_STATS,
     "centroids": SQL_CENTROIDS,
+    "cross_dedup": SQL_CROSS_DEDUP,
 }
