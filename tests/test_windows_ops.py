@@ -87,3 +87,52 @@ def test_session_bounds(spark, tiny_pdf):
     assert (b["n_turns"] >= 1).all()
     assert (b["session_start"] <= b["session_end"]).all()
     assert b.groupby("conv_id")["n_turns"].sum().sum() == len(tiny_pdf)
+
+
+def test_resample_ffill_matches_pandas(spark):
+    """Grid + forward-fill must equal a pandas resample-ffill reference on
+    an irregular stream with gaps, timestamp ties, and one-event users."""
+    import numpy as np
+    import pandas as pd
+
+    from tgist_features_spark.operators.windows import resample_ffill
+
+    rng = np.random.default_rng(5)
+    rows = []
+    eid = 0
+    for uid in range(6):
+        n = rng.integers(1, 30)
+        # seconds offsets with deliberate duplicates and big gaps
+        offs = np.sort(rng.choice(np.arange(0, 3600 * 72, 60), size=n))
+        for o in offs:
+            rows.append((uid, int(o), float(rng.normal()), eid))
+            eid += 1
+    # a duplicate-timestamp pair: larger event_id must win
+    rows.append((9, 100, 1.0, eid)); eid += 1
+    rows.append((9, 100, 2.0, eid)); eid += 1
+    pdf = pd.DataFrame(rows, columns=["user_id", "off_s", "value", "event_id"])
+    pdf["ts"] = pd.to_datetime(pdf["off_s"], unit="s")
+    df = spark.createDataFrame(pdf[["user_id", "ts", "value", "event_id"]])
+    got = (
+        resample_ffill(df, interval_s=3600, tiebreak=("event_id",))
+        .toPandas()
+        .sort_values(["user_id", "bucket_start_us"])
+        .reset_index(drop=True)
+    )
+
+    ref_rows = []
+    for uid, g in pdf.groupby("user_id"):
+        g = g.sort_values(["off_s", "event_id"])
+        buckets = g["off_s"] // 3600
+        last_per_bucket = g.groupby(buckets)["value"].last()
+        for b in range(int(buckets.min()), int(buckets.max()) + 1):
+            in_bucket = b in last_per_bucket.index
+            carried = last_per_bucket.loc[:b].iloc[-1]
+            ref_rows.append((uid, b * 3600 * 1_000_000, carried, int(not in_bucket)))
+    ref = pd.DataFrame(
+        ref_rows, columns=["user_id", "bucket_start_us", "value", "is_gap"]
+    ).sort_values(["user_id", "bucket_start_us"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype({"is_gap": "int64"}), ref.astype({"is_gap": "int64"})
+    )
+    assert got[got.user_id == 9]["value"].iloc[0] == 2.0  # tiebreak: larger event_id

@@ -156,3 +156,79 @@ def with_ffill(
     for c in cols:
         out = out.withColumn(prefix + c, F.last(c, ignorenulls=True).over(w))
     return out
+
+
+def resample_ffill(
+    df: DataFrame,
+    by: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    interval_s: int = 86_400,
+    tiebreak: tuple[str, ...] = (),
+) -> DataFrame:
+    """Fixed-interval time resampling with forward fill — the
+    regular-grid feature a model-serving / time-series pipeline derives
+    from an irregular event stream: one row per (entity, interval bucket)
+    from the entity's first to its last event, carrying the latest
+    observed value at or before that bucket's end (``is_gap`` = 1 where
+    the bucket itself had no events).
+
+    Bucket b covers [b*interval, (b+1)*interval) epoch-seconds; the value
+    for a bucket with multiple events is the one with the greatest
+    (timestamp, *tiebreak) — deterministic under timestamp ties when a
+    unique tiebreak column is given.
+
+    Scale shape: per-(entity, bucket) last-event reduction (partial-agged
+    shuffle), a per-entity grid explode bounded by the entity's ACTIVE
+    time range over the interval (never the corpus's), and one ffill
+    window per entity over that bounded grid. No driver work, no UDFs;
+    the value column is carried verbatim (zero arithmetic), so outputs
+    are engine-exact."""
+    if interval_s <= 0:
+        raise ValueError("resample_ffill: interval_s must be positive")
+    iv = int(interval_s) * 1_000_000
+    u = us(F.col(ts_col))
+    base = (
+        df.filter(F.col(ts_col).isNotNull())
+        .select(
+            F.col(by),
+            u.alias("__u"),
+            *[F.col(t) for t in tiebreak],
+            F.col(value_col).alias("__v"),
+        )
+        .select(
+            F.col(by),
+            # integer div, NOT floor(double division): epoch-us values sit
+            # close enough to 2^53 that the double path could misplace a
+            # bucket boundary; div is exact at any magnitude
+            F.expr(f"__u div {iv}").alias("__b"),
+            F.struct(
+                F.col("__u"), *[F.col(t) for t in tiebreak]
+            ).alias("__ord"),
+            F.col("__v"),
+        )
+    )
+    vals = base.groupBy(by, "__b").agg(
+        F.max_by("__v", "__ord").alias("__last")
+    )
+    bounds = base.groupBy(by).agg(
+        F.min("__b").alias("__b0"), F.max("__b").alias("__b1")
+    )
+    grid = bounds.select(
+        F.col(by), F.explode(F.sequence("__b0", "__b1")).alias("__b")
+    )
+    w = (
+        Window.partitionBy(by)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(vals, [by, "__b"], "left")
+        .withColumn("__f", F.last("__last", ignorenulls=True).over(w))
+        .select(
+            F.col(by),
+            (F.col("__b") * iv).cast("bigint").alias("bucket_start_us"),
+            F.col("__f").alias(value_col),
+            F.col("__last").isNull().cast("int").alias("is_gap"),
+        )
+    )

@@ -2028,6 +2028,47 @@ WHERE i.inter / (ca.n + cb.n - i.inter) >= 0.5
 """
 
 
+def q_resample(spark, sf):
+    """Fixed-interval resample + forward fill (round 4): one row per
+    (user, active day), carrying the latest event value at or before each
+    day's end; value column moved verbatim (no arithmetic), so parity is
+    exact."""
+    from tgist_features_spark.operators.windows import resample_ffill
+
+    return resample_ffill(
+        _t(spark, sf, "events"),
+        by="user_id",
+        ts_col="ts",
+        value_col="value",
+        interval_s=86_400,
+        tiebreak=("event_id",),
+    )
+
+
+SQL_RESAMPLE = """
+WITH b AS (SELECT user_id, epoch_us(ts) AS u, value, event_id
+           FROM events WHERE ts IS NOT NULL),
+v AS (SELECT user_id, u // 86400000000 AS b, value,
+             row_number() OVER (PARTITION BY user_id, u // 86400000000
+                                ORDER BY u DESC, event_id DESC) AS rn
+      FROM b),
+vals AS (SELECT user_id, b, value AS lastv FROM v WHERE rn = 1),
+bounds AS (SELECT user_id, min(u // 86400000000) AS b0,
+                  max(u // 86400000000) AS b1
+           FROM b GROUP BY 1),
+grid AS (SELECT user_id, g.b AS b
+         FROM bounds, unnest(generate_series(b0, b1)) AS g(b)),
+j AS (SELECT grid.user_id, grid.b, vals.lastv
+      FROM grid LEFT JOIN vals USING (user_id, b))
+SELECT user_id, (b * 86400000000)::BIGINT AS bucket_start_us,
+       last_value(lastv IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY b
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+       (lastv IS NULL)::INT AS is_gap
+FROM j
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- first 50 keys = the driver correctness window (the driver caps
     # its oracle run at 50 registry keys, in order). Round-4 rotation per
@@ -2113,6 +2154,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tf_stats": q_tf_stats,
     "centroids": q_centroids,
     "cross_dedup": q_cross_dedup,
+    "resample": q_resample,
 }
 
 ORACLES: dict[str, str] = {
@@ -2188,4 +2230,5 @@ ORACLES: dict[str, str] = {
     "tf_stats": SQL_TF_STATS,
     "centroids": SQL_CENTROIDS,
     "cross_dedup": SQL_CROSS_DEDUP,
+    "resample": SQL_RESAMPLE,
 }
