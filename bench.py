@@ -47,6 +47,15 @@ TRAINING_OPS = [
     "shuffle_order",
 ]
 
+# round-4 additions, also in their own section
+R4_OPS = [
+    "span_removal",
+    "tf_stats",
+    "centroids",
+    "resample",
+    "cross_dedup",
+]
+
 HEADLINE = [
     "feature_vector",
     "sessionize",
@@ -182,6 +191,7 @@ def main() -> None:
         steady[name] = round(time.perf_counter() - t0, 3)
     loadavgs["steady_end"] = round(os.getloadavg()[0], 2)
     training: dict[str, float] | None = None
+    r4ops: dict[str, float] | None = None
     if RUN_TRAINING:
         training = {}
         loadavgs["training"] = _wait_for_quiet_host(max_wait_s=180)
@@ -190,6 +200,13 @@ def main() -> None:
             t0 = time.perf_counter()
             QUERIES[name](spark, SF_DIR).write.mode("overwrite").format("noop").save()
             training[name] = round(time.perf_counter() - t0, 3)
+        r4ops = {}
+        loadavgs["r4_ops"] = _wait_for_quiet_host(max_wait_s=180)
+        for name in R4_OPS:  # warm pass, then steady wall
+            QUERIES[name](spark, SF_DIR).write.mode("overwrite").format("noop").save()
+            t0 = time.perf_counter()
+            QUERIES[name](spark, SF_DIR).write.mode("overwrite").format("noop").save()
+            r4ops[name] = round(time.perf_counter() - t0, 3)
     skew = None
     if RUN_SKEW:
         _ensure_corpus()
@@ -209,6 +226,8 @@ def main() -> None:
     }
     if training is not None:
         result["training_ops_steady"] = training
+    if r4ops is not None:
+        result["r4_ops_steady"] = r4ops
     if skew is not None:
         result["skew_asof"] = skew
 
