@@ -215,3 +215,31 @@ def test_gram_explode_not_reevaluated_by_inferred_filter(spark):
     assert p.count("split(") <= 2, p[:2000]  # expr text appears in its
     # defining Project and nowhere else (a second count comes from the
     # Generate's child column listing at most)
+
+
+def test_tf_stats_head_join_broadcasts_and_prunes(spark):
+    """The hot-token (head) vocabulary side must broadcast — the whole
+    point of the head/tail split — and the scan must read only
+    (doc_id, text)."""
+    from tgist_features_spark.functions.text import token_frequency_stats
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p = _plan(token_frequency_stats(d, hot_min=100))
+    assert "BroadcastHashJoin" in p, p[:1500]
+    m = re.findall(r"ReadSchema: struct<([^>]*)>", p)
+    assert m and all(set(x.split(",")) == {"doc_id:bigint", "text:string"} for x in m)
+
+
+def test_resample_grid_is_single_window_and_prunes(spark):
+    """One ffill window, grid explode bounded per entity, and the bounds
+    branch reads only (user_id, ts) — no value/props columns."""
+    from tgist_features_spark.operators.windows import resample_ffill
+
+    d = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    p = _plan(resample_ffill(d, tiebreak=("event_id",)))
+    assert len(re.findall(r"^\(\d+\) Window", p, re.M)) == 1, p[:1500]
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
+    assert any(
+        set(x.split(",")) == {"user_id:bigint", "ts:timestamp_ntz"} for x in schemas
+    ), schemas
+    assert all("props" not in x and "event_type" not in x for x in schemas)

@@ -869,10 +869,12 @@ def remove_dup_spans(
     doc-frequency aggregation are shared machinery with
     ``cross_doc_span_stats``; dup positions come back per doc as a sorted
     start array (bounded by doc length), and the token mask is pure
-    per-row higher-order arithmetic — no second text shuffle. The
-    covered-index expansion is O(dup_positions x n) per doc; a fully
-    boilerplate doc costs O(tokens x n), the same order as building its
-    grams in the first place."""
+    per-row higher-order arithmetic — no second text shuffle. Mask cost
+    is O(tokens x covered_positions) per doc (an array_contains per
+    token): linear for the typical low-dup-fraction corpus, quadratic
+    only for a long document that is MOSTLY duplicated spans — which
+    doc-level dedup (the cheaper pass) should have dropped first; run
+    this operator after it, as ``jobs/score_corpus.py`` does."""
     pos = _position_grams_idx(df, id_col, text_col, n)
     gd = (
         pos.groupBy("g")
