@@ -36,9 +36,14 @@ extent — intra-bucket clustering collapses geometrically because splits
 always use actual extents. All per-row arithmetic happens in DOUBLE
 space (bigint→double is monotone, so part ids stay monotone in the key;
 ratios are clamped into [0, m-1] BEFORE floor so nothing overflows), and
-lookups are O(1) ``element_at`` into literal arrays: 2048 entries for
-the grid level, ``n_parts`` entries per refinement level (a few MB of
-plan constant even at a million prefix-sum partitions).
+lookups are O(1) ``element_at`` into literal arrays whose size is
+BOUNDED BY CONSTRUCTION: ``F.lit(list)`` lowers to a CreateArray with
+one expression node per element (large arrays cost seconds of codegen
+per job — measured), so the grid level is trimmed to the populated
+coarse span (<= 2048 entries, usually a handful) and the refinement
+level re-splits only the top ``_MAX_HOT_REFINE`` hottest parts (worst
+offenders first; correctness never depends on balance, so the cap only
+bounds how much skew one refinement pass can repair).
 """
 
 from __future__ import annotations
@@ -50,6 +55,7 @@ from pyspark.sql import functions as F
 
 _N_COARSE = 2048
 _COARSE_W = 2.0 ** 63 / (_N_COARSE // 2)  # grid covers [-2^63, 2^63)
+_MAX_HOT_REFINE = 1024  # refinement re-splits at most this many hot parts
 
 
 def _coarse_id(dkey: Column) -> Column:
@@ -145,14 +151,22 @@ def _range_partition_expr(
     target = max(1, math.ceil(n_rows / n_parts))
 
     by_c = {r["__c"]: r for r in hist}
+    # trim the lookup arrays to the POPULATED coarse span: F.lit(list)
+    # lowers to a CreateArray with one child per element, so a full
+    # 2048-cell array would cost seconds of Janino codegen PER JOB
+    # (measured 6-8s on the pre-pass alone); the populated span is a
+    # handful of cells for any realistically-clustered key space and at
+    # most 2048 for keys spread across all of int64
+    c_lo, c_hi = min(by_c), max(by_c)
     buckets = []
-    for c in range(-(_N_COARSE // 2), _N_COARSE // 2):
+    for c in range(c_lo, c_hi + 1):
         r = by_c.get(c)
         buckets.append(
             (r.cnt, float(r.kmin), float(r.kmax)) if r is not None else (0, 0.0, 0.0)
         )
     bases, los, steps, maxsubs, got_parts = _build_ranges(buckets, target)
-    idx = (_coarse_id(dkey) + F.lit(_N_COARSE // 2 + 1)).cast("int")
+    clamped = F.greatest(F.least(_coarse_id(dkey), F.lit(c_hi)), F.lit(c_lo))
+    idx = (clamped - F.lit(c_lo) + F.lit(1)).cast("int")
     expr = _split_expr(dkey, idx, bases, los, steps, maxsubs)
 
     for _ in range(max(0, refine)):
@@ -169,11 +183,17 @@ def _range_partition_expr(
         if not any(r.cnt > 2 * target for r in counts):
             break
         by_p = {int(r["__p"]): r for r in counts}
+        # bound the level-2 literal arrays: re-split only the hottest parts
+        hot_ids = sorted(
+            (p for p, r in by_p.items() if r.cnt > 2 * target),
+            key=lambda p: -by_p[p].cnt,
+        )[:_MAX_HOT_REFINE]
+        hot_set = set(hot_ids)
         b2, l2, s2, m2 = [], [], [], []
         part = 0
         for p in range(got_parts):
             r = by_p.get(p)
-            if r is None or r.cnt <= 2 * target or r.kmax <= r.kmin:
+            if r is None or p not in hot_set or r.kmax <= r.kmin:
                 # keep (or collapse, if empty) as a single part; an empty
                 # part's entry is never hit, it only pads the lookup array
                 b2.append(float(part))
