@@ -150,3 +150,100 @@ def test_pack_chunks_property(spark, weights, chunk):
         assert per_chunk.iloc[-1] == total - chunk * (len(per_chunk) - 1)
     assert ((got["offset_in_chunk"] >= 0) & (got["offset_in_chunk"] < chunk)).all()
     assert (got["n_in_chunk"] >= 1).all()
+
+
+# ------------------------------------------ round-4 operator properties
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d", "boiler", "plate", "xx"]),
+            min_size=0, max_size=14,
+        ).map(" ".join),
+        min_size=1, max_size=12,
+    ),
+    n=st.integers(min_value=2, max_value=4),
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_remove_dup_spans_property(spark, docs, n):
+    """For ANY corpus over a tiny alphabet (dense gram collisions): the
+    Spark span removal equals a naive reference, and removed+kept token
+    counts conserve."""
+    import pandas as pd
+
+    from tgist_features_spark.operators.dedup import remove_dup_spans
+
+    from collections import defaultdict
+
+    gram_docs = defaultdict(set)
+    for d, txt in enumerate(docs):
+        tk = txt.split(" ")
+        for p in range(len(tk) - n + 1):
+            gram_docs[" ".join(tk[p : p + n])].add(d)
+
+    got = (
+        remove_dup_spans(
+            spark.createDataFrame(
+                pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+            ),
+            n=n,
+        )
+        .toPandas().set_index("doc_id").sort_index()
+    )
+    assert len(got) == len(docs)
+    for d, txt in enumerate(docs):
+        tk = txt.split(" ")
+        cov = set()
+        for p in range(len(tk) - n + 1):
+            if len(gram_docs[" ".join(tk[p : p + n])]) >= 2:
+                cov.update(range(p, p + n))
+        clean = " ".join(t for i, t in enumerate(tk) if i not in cov)
+        row = got.loc[d]
+        assert row.clean_text == clean, (d, txt)
+        assert row.n_tokens == len(tk) and row.n_removed == len(cov)
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["t1", "t2", "t3", "rare1", "rare2"]),
+            min_size=1, max_size=10,
+        ).map(" ".join),
+        min_size=1, max_size=10,
+    ),
+    min_count=st.integers(min_value=1, max_value=6),
+    hot_min=st.sampled_from([1, 3, 10**9]),
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_token_frequency_stats_property(spark, docs, min_count, hot_min):
+    """Integer outputs must equal the naive reference for ANY corpus,
+    min_count, and hot_min (the head/tail split must never change
+    values — it is physical only)."""
+    import pandas as pd
+
+    from tgist_features_spark.functions.text import token_frequency_stats
+
+    from collections import Counter
+
+    C = Counter(t for txt in docs for t in txt.split(" "))
+    got = (
+        token_frequency_stats(
+            spark.createDataFrame(
+                pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+            ),
+            min_count=min_count,
+            hot_min=hot_min,
+        )
+        .toPandas().set_index("doc_id").sort_index()
+    )
+    for d, txt in enumerate(docs):
+        tk = txt.split(" ")
+        n = len(tk)
+        sum_tf = sum(C[t] for t in tk)
+        oov = sum(1 for t in tk if C[t] < min_count)
+        row = got.loc[d]
+        assert row.n_tokens == n and row.sum_tf == sum_tf
+        assert row.mean_tf_x1e4 == (sum_tf * 10_000) // n
+        assert row.oov_count == oov
+        assert row.oov_rate_x1e6 == (oov * 1_000_000) // n
