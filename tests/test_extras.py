@@ -354,3 +354,62 @@ def test_table_io_compact_preserves_data_and_layout(spark, tiny_pdf, tmp_path):
     assert len(after) == len(before)
     assert (after["conv_id"].to_numpy() == before["conv_id"].to_numpy()).all()
     assert (after["text"].to_numpy() == before["text"].to_numpy()).all()
+
+
+def test_read_csv_quarantines_corrupt_lines(spark, tmp_path):
+    """CSV sidecar discipline: declared schema, headers dropped, malformed
+    and type-violating lines quarantined (not silently nulled), and a
+    write_csv round-trip comes back clean."""
+    from pyspark.sql import types as T
+
+    from tgist_features_spark.sources.csvio import read_csv, write_csv
+
+    p = tmp_path / "meta"
+    p.mkdir()
+    (p / "a.csv").write_text(
+        "doc_id,label\n1,pos\n2,neg\nnot,a,valid,row,xx\nbadint,pos\n3,pos\n"
+    )
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("label", T.StringType())]
+    )
+    clean, corrupt = read_csv(spark, str(p), schema)
+    got = sorted(tuple(r) for r in clean.collect())
+    assert got == [(1, "pos"), (2, "neg"), (3, "pos")]
+    bad = sorted(r[0] for r in corrupt.collect())
+    assert bad == ["badint,pos", "not,a,valid,row,xx"]
+
+    out = tmp_path / "roundtrip"
+    write_csv(clean, str(out))
+    clean2, corrupt2 = read_csv(spark, str(out), schema)
+    assert sorted(tuple(r) for r in clean2.collect()) == got
+    assert corrupt2.count() == 0
+
+
+def test_table_io_orc_roundtrip(spark, tmp_path):
+    """TableIO(fmt='orc'): bucket x day layout, read-back parity with the
+    parquet path, exists() recognition, and compact() on ORC files."""
+    import pandas as pd
+    import pytest as _pt
+
+    from tgist_features_spark.sources.table_io import TableIO
+
+    pdf = pd.DataFrame({
+        "conv_id": [f"c{i % 4}" for i in range(64)],
+        "ts": pd.to_datetime(1_700_000_000 + pd.Series(range(64)) * 86_400, unit="s"),
+        "v": range(64),
+    })
+    df = spark.createDataFrame(pdf)
+    io_orc = TableIO(spark, str(tmp_path / "orc_wh"), n_buckets=4, fmt="orc")
+    io_pq = TableIO(spark, str(tmp_path / "pq_wh"), n_buckets=4)
+    io_orc.write(df, "t")
+    io_pq.write(df, "t")
+    assert io_orc.exists("t")
+    a = io_orc.read("t").toPandas().sort_values("v").reset_index(drop=True)
+    b = io_pq.read("t").toPandas().sort_values("v").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)])
+    n = io_orc.compact("t", target_file_mb=512)
+    assert n >= 1
+    after = io_orc.read("t").toPandas().sort_values("v").reset_index(drop=True)
+    pd.testing.assert_frame_equal(after[sorted(after.columns)], b[sorted(b.columns)])
+    with _pt.raises(ValueError):
+        TableIO(spark, str(tmp_path), fmt="avro")

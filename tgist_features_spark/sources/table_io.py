@@ -27,12 +27,25 @@ from pyspark.sql import functions as F
 
 
 class TableIO:
-    """Thin scan/commit layer: Iceberg when available, parquet fallback."""
+    """Thin scan/commit layer: Iceberg when available, parquet fallback.
 
-    def __init__(self, spark: SparkSession, root: str, n_buckets: int = 16):
+    ``fmt`` selects the columnar file format ("parquet" default, "orc"
+    supported — both JVM-native, predicate-pushdown + column-pruning
+    capable; the engine's plans are format-agnostic). One format per
+    TableIO root: mixing formats inside one warehouse would make scans
+    layout-dependent.
+    """
+
+    FORMATS = ("parquet", "orc")
+
+    def __init__(self, spark: SparkSession, root: str, n_buckets: int = 16,
+                 fmt: str = "parquet"):
+        if fmt not in self.FORMATS:
+            raise ValueError(f"TableIO: fmt must be one of {self.FORMATS}")
         self.spark = spark
         self.root = root
         self.n_buckets = n_buckets
+        self.fmt = fmt
         self.iceberg = self._iceberg_available(spark)
 
     @staticmethod
@@ -63,10 +76,10 @@ class TableIO:
         writer = out.write.mode(mode)
         if parts:
             writer = writer.partitionBy(*parts)
-        writer.parquet(self.path(name))
+        writer.format(self.fmt).save(self.path(name))
 
     def append(self, df: DataFrame, name: str) -> None:
-        df.write.mode("append").parquet(self.path(name))
+        df.write.mode("append").format(self.fmt).save(self.path(name))
 
     def write_bucketed(
         self,
@@ -104,7 +117,7 @@ class TableIO:
         return tbl
 
     def read(self, name: str, drop_layout_cols: bool = True) -> DataFrame:
-        df = self.spark.read.parquet(self.path(name))
+        df = self.spark.read.format(self.fmt).load(self.path(name))
         if drop_layout_cols:
             df = df.drop("bucket", "day")
         return df
@@ -121,7 +134,8 @@ class TableIO:
         import shutil  # noqa: PLC0415
 
         src = self.path(name)
-        df = self.spark.read.parquet(src)  # hive-partition cols come back
+        # hive-partition cols come back from the directory layout
+        df = self.spark.read.format(self.fmt).load(src)
         part_cols = [c for c in ("bucket", "day") if c in df.columns]
         size = sum(
             os.path.getsize(os.path.join(dp, f))
@@ -136,7 +150,7 @@ class TableIO:
         w = writer.write.mode("overwrite")
         if part_cols:
             w = w.partitionBy(*part_cols)
-        w.parquet(tmp)
+        w.format(self.fmt).save(tmp)
         old = src + "__precompact"
         os.rename(src, old)
         os.rename(tmp, src)
@@ -145,7 +159,7 @@ class TableIO:
             1
             for _dp, _d, fs in os.walk(src)
             for f in fs
-            if f.endswith(".parquet")
+            if f.endswith((".parquet", ".orc"))
         )
 
     def delete_partition(self, name: str, partition: str) -> None:
@@ -170,7 +184,9 @@ class TableIO:
         return os.path.isdir(p) and any(
             # data files, or any hive-style partition dir (bucket=, day=,
             # ingest_batch=, ...)
-            f.endswith(".parquet") or f.startswith("part-") or "=" in f
+            f.endswith((".parquet", ".orc"))
+            or f.startswith("part-")
+            or "=" in f
             for f in os.listdir(p)
         )
 
