@@ -234,7 +234,9 @@ def test_ppm_roundtrip_and_real_image_decode(spark):
     import numpy as np
 
     from tgist_features_spark.functions.multimodal import (
+        decode_png,
         decode_ppm,
+        encode_png,
         encode_ppm,
         synthesize_media,
     )
@@ -242,7 +244,9 @@ def test_ppm_roundtrip_and_real_image_decode(spark):
     rng = np.random.default_rng(3)
     img = rng.integers(0, 256, size=(17, 23, 3), dtype=np.uint8)
     assert (decode_ppm(encode_ppm(img)) == img).all()
+    assert (decode_png(encode_png(img)) == img).all()
     assert decode_ppm(b"nonsense bytes") is None
+    assert decode_png(b"nonsense bytes") is None
 
     media = synthesize_media(spark, n=30, seed=7)
     out = image_features(media.filter("modality = 'image'")).toPandas()
@@ -252,8 +256,16 @@ def test_ppm_roundtrip_and_real_image_decode(spark):
     m = out.merge(meta, on="media_id")
     assert (m["width"] == m["meta_w"]).all()
     assert (m["height"] == m["meta_h"]).all()
+    mimes = set(meta.merge(
+        media.filter("modality = 'image'").select("media_id", "mime").toPandas(),
+        on="media_id",
+    )["mime"])
+    assert mimes == {"image/x-portable-pixmap", "image/png"}, mimes
     for r in m.itertuples():
-        pix = decode_ppm(bytes(r.payload))
+        raw = bytes(r.payload)
+        pix = decode_ppm(raw)
+        if pix is None:
+            pix = decode_png(raw)
         assert abs(r.mean_intensity - pix.mean(axis=2).mean()) < 1e-9
 
     # constant image -> constant resize output (area-average correctness)
@@ -413,3 +425,91 @@ def test_table_io_orc_roundtrip(spark, tmp_path):
     pd.testing.assert_frame_equal(after[sorted(after.columns)], b[sorted(b.columns)])
     with _pt.raises(ValueError):
         TableIO(spark, str(tmp_path), fmt="avro")
+
+
+def test_png_decode_all_filter_types_and_colortypes():
+    """The PNG decoder must invert all five scanline filters (a foreign
+    encoder picks per-row filters freely) and handle gray + RGBA inputs;
+    interlaced files return None (decode-or-fallback contract)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from tgist_features_spark.functions.multimodal import decode_png
+
+    def chunk(t, d):
+        body = t + d
+        return struct.pack(">I", len(d)) + body + struct.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF
+        )
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    rng = np.random.default_rng(9)
+    h, w = 7, 5
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    flat = img.reshape(h, w * 3).astype(np.int32)
+    raw = b""
+    prev = np.zeros(w * 3, np.int32)
+    for y in range(h):
+        f = y % 5
+        cur = flat[y]
+        enc = cur.copy()
+        if f == 1:
+            for x in range(w * 3 - 1, 2, -1):
+                enc[x] = (cur[x] - cur[x - 3]) % 256
+        elif f == 2:
+            enc = (cur - prev) % 256
+        elif f == 3:
+            for x in range(w * 3):
+                left = cur[x - 3] if x >= 3 else 0
+                enc[x] = (cur[x] - ((left + prev[x]) >> 1)) % 256
+        elif f == 4:
+            for x in range(w * 3):
+                a = cur[x - 3] if x >= 3 else 0
+                b = prev[x]
+                c = prev[x - 3] if x >= 3 else 0
+                enc[x] = (cur[x] - paeth(a, b, c)) % 256
+        raw += bytes([f]) + bytes(enc.astype(np.uint8))
+        prev = cur
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(png), img)
+
+    g = rng.integers(0, 256, size=(4, 4), dtype=np.uint8)
+    raw = b"".join(b"\x00" + bytes(g[y]) for y in range(4))
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    gg = decode_png(png)
+    assert gg.shape == (4, 4, 3) and np.array_equal(gg[:, :, 0], g)
+
+    rgba = rng.integers(0, 256, size=(3, 3, 4), dtype=np.uint8)
+    raw = b"".join(b"\x00" + bytes(rgba[y].ravel()) for y in range(3))
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 3, 8, 6, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(png), rgba[:, :, :3])
+
+    # interlaced -> None
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 3, 8, 2, 0, 0, 1))
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 30))
+        + chunk(b"IEND", b"")
+    )
+    assert decode_png(png) is None

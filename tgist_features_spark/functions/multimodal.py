@@ -3,14 +3,16 @@ with typed metadata.
 
 Decode status (container constraint, re-checked every round):
 
-* **REAL decoders** for container-free formats, pure numpy — PPM (P6)
-  images and PCM16 mono WAV audio parse from raw bytes with no external
-  library; width/height/duration/intensity/rms are genuine, and the
-  resize is a true area-average (anti-aliased) downsample.
-* **Deterministic stubs** only where a codec is unavoidable (JPEG/PNG/MP4
-  — PIL/ffmpeg/libvips are not installed in this sandbox). The stub keeps
-  the exact kernel signature, so a real deployment swaps the codec in and
-  nothing else changes.
+* **REAL decoders**, no external library — PPM (P6) images, PNG images
+  (round 4: full chunk walk, stdlib zlib inflate, numpy unfiltering of
+  all five scanline filter types; 8-bit gray/RGB/RGBA non-interlaced)
+  and PCM16 mono WAV audio; width/height/duration/intensity/rms come
+  from actual pixels/samples, and the resize is a true area-average
+  (anti-aliased) downsample.
+* **Deterministic stubs** only where a codec library is unavoidable
+  (JPEG/MP4 — PIL/ffmpeg/libvips are not installed in this sandbox). The
+  stub keeps the exact kernel signature, so a real deployment swaps the
+  codec in and nothing else changes.
 
 The Spark side is production-shaped either way: Arrow binary batches into
 ``mapInPandas`` (one Python call per batch, never per row — the per-payload
@@ -84,6 +86,119 @@ def decode_ppm(b: bytes) -> np.ndarray | None:
     return np.frombuffer(b, dtype=np.uint8, count=need, offset=off).reshape(h, w, 3)
 
 
+def encode_png(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 -> PNG (8-bit RGB, filter 0 per scanline,
+    non-interlaced). Real PNG via stdlib zlib — no codec library."""
+    import struct  # noqa: PLC0415
+    import zlib  # noqa: PLC0415
+
+    h, w, _ = img.shape
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        body = typ + data
+        return (
+            struct.pack(">I", len(data))
+            + body
+            + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit, RGB
+    raw = b"".join(
+        b"\x00" + img[y].astype(np.uint8).tobytes() for y in range(h)
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(b: bytes) -> np.ndarray | None:
+    """PNG -> (h, w, 3) uint8, or None if not decodable here.
+
+    A REAL decode of a real compressed format with zero external
+    libraries: chunk walk, stdlib ``zlib`` inflate, then numpy scanline
+    unfiltering for all five PNG filter types (Sub/Up/Average/Paeth have
+    left/top dependencies, so rows process sequentially; Up is fully
+    vectorized, the others loop per byte within the row). Supports 8-bit
+    gray/RGB/RGBA, non-interlaced (Adam7 returns None — the decode-or-
+    fallback contract, same as every other codec gap)."""
+    import struct  # noqa: PLC0415
+    import zlib  # noqa: PLC0415
+
+    if not b.startswith(b"\x89PNG\r\n\x1a\n"):
+        return None
+    pos, w, h = 8, None, None
+    depth = color = interlace = None
+    idat = []
+    while pos + 8 <= len(b):
+        ln, typ = struct.unpack(">I4s", b[pos : pos + 8])
+        pos += 8
+        data = b[pos : pos + ln]
+        pos += ln + 4  # skip CRC
+        if typ == b"IHDR" and len(data) >= 13:
+            w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data[:13]
+            )
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if w is None or depth != 8 or interlace != 0 or color not in (0, 2, 6):
+        return None
+    ch = {0: 1, 2: 3, 6: 4}[color]
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        return None
+    arr = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+    ftypes = arr[:, 0]
+    rows = arr[:, 1:].astype(np.int32)
+    out = np.zeros((h, stride), np.uint8)
+    prev = np.zeros(stride, np.int32)
+    for y in range(h):
+        f = int(ftypes[y])
+        row = rows[y]
+        if f == 0:
+            cur = row.copy()
+        elif f == 2:  # Up — vectorized
+            cur = row + prev
+        elif f == 1:  # Sub
+            cur = row.copy()
+            for x in range(ch, stride):
+                cur[x] = (cur[x] + cur[x - ch]) & 255
+        elif f == 3:  # Average
+            cur = row.copy()
+            for x in range(stride):
+                left = cur[x - ch] if x >= ch else 0
+                cur[x] = (row[x] + ((left + prev[x]) >> 1)) & 255
+        elif f == 4:  # Paeth
+            cur = row.copy()
+            for x in range(stride):
+                a = cur[x - ch] if x >= ch else 0
+                up = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+                cur[x] = (row[x] + pr) & 255
+        else:
+            return None
+        cur &= 255
+        out[y] = cur.astype(np.uint8)
+        prev = cur.astype(np.int32)
+    img = out.reshape(h, w, ch)
+    if ch == 1:
+        img = np.repeat(img[:, :, None].reshape(h, w, 1), 3, axis=2)
+    elif ch == 4:
+        img = img[:, :, :3]
+    return np.ascontiguousarray(img)
+
+
 def encode_wav_pcm16(samples: np.ndarray, rate: int) -> bytes:
     """Mono int16 samples -> minimal RIFF/WAVE PCM16 bytes."""
     data = samples.astype("<i2").tobytes()
@@ -150,7 +265,7 @@ def _resize_gray(gray: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
 
 
 def _decode_image_stub(payload: bytes) -> tuple[int, int, float, np.ndarray]:
-    """Deterministic fallback for codec formats (JPEG/PNG) this sandbox
+    """Deterministic fallback for codec formats (JPEG) this sandbox
     cannot decode (no PIL/libvips — environment, not design). Same
     signature as the real path; a deployment with codecs deletes it."""
     digest = hashlib.sha256(payload).digest()
@@ -178,7 +293,7 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 def image_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
     """Decode + feature-extract image payloads via mapInPandas.
 
-    PPM payloads decode for REAL (dims, mean intensity and the 8-float
+    PPM and PNG payloads decode for REAL (dims, mean intensity and the 8-float
     grayscale thumb all come from actual pixels); codec formats fall back
     to the deterministic stub. Arrow streams binary batches into the
     Python worker; one call per batch, never per row."""
@@ -192,6 +307,8 @@ def image_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
                     continue
                 b = bytes(payload)
                 img = decode_ppm(b)
+                if img is None:
+                    img = decode_png(b)
                 if img is not None:
                     gray = img.mean(axis=2)
                     w, h = img.shape[1], img.shape[0]
@@ -283,9 +400,9 @@ RESIZE_SCHEMA = T.StructType(
 def resize_images(df: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
     """Resize-to-fixed-shape: every image payload becomes an
     (out_w * out_h)-float array — the tensor-batch contract a training
-    pipeline feeds to a model. PPM payloads go through the REAL
+    pipeline feeds to a model. PPM and PNG payloads go through the REAL
     area-average resample of their actual pixels (grayscale, [0, 1]);
-    codec formats fall back to the deterministic stub tensor."""
+    remaining codec formats fall back to the deterministic stub tensor."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -296,6 +413,8 @@ def resize_images(df: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
                     continue
                 b = bytes(payload)
                 img = decode_ppm(b)
+                if img is None:
+                    img = decode_png(b)
                 if img is not None:
                     px = (
                         _resize_gray(img.mean(axis=2), out_h, out_w).ravel()
@@ -341,8 +460,9 @@ def frame_sample_stub(df: DataFrame, every_s: float = 1.0) -> DataFrame:
 
 def synthesize_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
     """Deterministic media table for tests: REAL binary formats where the
-    engine has real decoders — images are valid P6 PPMs, audio is valid
-    PCM16 WAV (sine + noise) — and opaque bytes for video (codec-stubbed).
+    engine has real decoders — images alternate valid P6 PPMs and valid
+    PNGs, audio is valid PCM16 WAV (sine + noise) — and opaque bytes for
+    video (codec-stubbed).
     """
     rng = np.random.default_rng(seed)
     rows = []
@@ -354,7 +474,9 @@ def synthesize_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
             meta_w = int(rng.integers(4, 48))
             meta_h = int(rng.integers(4, 48))
             img = rng.integers(0, 256, size=(meta_h, meta_w, 3), dtype=np.uint8)
-            payload = encode_ppm(img)
+            # alternate the two REAL image codecs so both decode paths stay
+            # exercised by every consumer of this fixture
+            payload = encode_ppm(img) if (i // 3) % 2 == 0 else encode_png(img)
         elif modality == "audio":
             rate = 8000
             n_samp = int(rng.integers(80, 2400))
@@ -374,7 +496,11 @@ def synthesize_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
                 modality,
                 bytearray(payload),
                 {
-                    "image": "image/x-portable-pixmap",
+                    "image": (
+                        "image/x-portable-pixmap"
+                        if payload[:2] == b"P6"
+                        else "image/png"
+                    ),
                     "audio": "audio/wav",
                     "video": "video/mp4",
                 }[modality],
