@@ -821,3 +821,34 @@ def test_group_centroids_match_numpy(spark):
         assert np.array_equal(
             np.array(got.loc[lab, "centroid"]), np.array(again.loc[lab, "centroid"])
         )
+
+
+def test_pack_chunks_pad_to_boundary(spark):
+    """Boundary-respecting packing: every doc gets exactly ceil(w/c)
+    chunks, no chunk mixes documents, the doc's tokens start at offset 0
+    of its first chunk, per-doc tokens conserve, and global chunk ids are
+    contiguous."""
+    import math
+
+    from tgist_features_spark.operators.packing import pack_chunks
+
+    rng = np.random.default_rng(11)
+    weights = {int(k): int(w) for k, w in enumerate(rng.integers(0, 300, 120))}
+    df = spark.createDataFrame(
+        pd.DataFrame({"k": list(weights), "w": list(weights.values())})
+    )
+    got = (
+        pack_chunks(df, "k", "w", 64, n_parts=5, pad_to_boundary=True)
+        .toPandas().sort_values(["k", "chunk_id"])
+    )
+    pos = {k: w for k, w in weights.items() if w > 0}
+    per_doc = got.groupby("k").agg(
+        n=("chunk_id", "count"), tok=("n_in_chunk", "sum")
+    )
+    assert per_doc["tok"].to_dict() == pos
+    assert all(per_doc.loc[k, "n"] == math.ceil(w / 64) for k, w in pos.items())
+    assert (got.groupby("chunk_id")["k"].nunique() == 1).all()
+    firsts = got.groupby("k").first()
+    assert (firsts["offset_in_chunk"] == 0).all()
+    total = sum(math.ceil(w / 64) for w in pos.values())
+    assert sorted(got["chunk_id"].unique()) == list(range(total))

@@ -223,6 +223,7 @@ def pack_chunks(
     chunk_size: int,
     n_parts: int = 0,
     refine: int = 1,
+    pad_to_boundary: bool = False,
 ) -> DataFrame:
     """Assign every row (document) its span of fixed-size chunks.
 
@@ -233,6 +234,13 @@ def pack_chunks(
     ``refine``: max exact re-count passes used to re-split parts left hot
     by intra-bucket key clustering (0 disables; the OUTPUT is identical
     either way — balance only affects prefix-sum task sizes).
+    ``pad_to_boundary=True`` gives the no-cross-document-attention
+    variant: every document starts at a fresh chunk boundary (its slot is
+    padded up to a multiple of ``chunk_size``), so no chunk ever mixes
+    two documents — the prefix sum simply runs over the PADDED weights
+    while the span arithmetic keeps the real ones (a document's tokens
+    sit at offset 0 of its first chunk; the final chunk's shortfall is
+    the padding a loader inserts).
 
     Returns one row per (document, chunk) incidence:
       key, n_tokens (doc total), chunk_id, offset_in_chunk (where the
@@ -261,11 +269,22 @@ def pack_chunks(
         return empty.limit(0)
 
     w = F.col(weight_col).cast("bigint")
+    cs = int(chunk_size)
+    # the prefix sum runs over __wsum (padded when pad_to_boundary); the
+    # span arithmetic below always uses the REAL weight __w
+    wsum = (
+        F.expr(f"(({weight_col} + {cs - 1}) div {cs}) * {cs}").cast("bigint")
+        if pad_to_boundary
+        else w
+    )
     parted = df.filter(w > 0).select(
-        F.col(key_col), w.alias("__w"), part_expr.alias("__part")
+        F.col(key_col),
+        w.alias("__w"),
+        wsum.alias("__wsum"),
+        part_expr.alias("__part"),
     )
 
-    totals = parted.groupBy("__part").agg(F.sum("__w").alias("__tot"))
+    totals = parted.groupBy("__part").agg(F.sum("__wsum").alias("__tot"))
     off_w = Window.orderBy("__part").rowsBetween(Window.unboundedPreceding, -1)
     offsets = totals.select(  # n_parts rows: single-task window is fine
         "__part", F.coalesce(F.sum("__tot").over(off_w), F.lit(0)).alias("__off")
@@ -279,10 +298,17 @@ def pack_chunks(
     cum = parted.join(F.broadcast(offsets), "__part").select(
         F.col(key_col),
         F.col("__w"),
-        (F.col("__off") + F.sum("__w").over(in_w)).alias("__cum"),
+        # __cum = end of the doc's REAL tokens: padded prefix of everything
+        # before it, plus its own real weight
+        (
+            F.col("__off")
+            + F.sum("__wsum").over(in_w)
+            - F.col("__wsum")
+            + F.col("__w")
+        ).alias("__cum"),
     )
 
-    c = F.lit(int(chunk_size))
+    c = F.lit(cs)
     prev = F.col("__cum") - F.col("__w")
     first = F.expr(f"(__cum - __w) div {int(chunk_size)}")
     last = F.expr(f"(__cum - 1) div {int(chunk_size)}")

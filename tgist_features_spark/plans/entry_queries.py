@@ -1670,6 +1670,37 @@ FROM s, unnest(generate_series(prev // 256, (cum - 1) // 256)) AS u(chunk_id)
 """
 
 
+def q_pack_padded(spark, sf):
+    """Document-boundary-respecting packing (round 4): every doc starts at
+    a fresh chunk boundary (no chunk mixes documents — the no-cross-doc-
+    attention training layout); same two-phase prefix sum, run over padded
+    weights. Integer-exact."""
+    from tgist_features_spark.operators.packing import pack_chunks
+
+    d = _t(spark, sf, "documents").withColumn(
+        "n_toks", F.size(F.split("text", " ")).cast("bigint")
+    )
+    return pack_chunks(
+        d, "doc_id", "n_toks", chunk_size=256, n_parts=8, pad_to_boundary=True
+    ).select("doc_id", "n_tokens", "chunk_id", "offset_in_chunk", "n_in_chunk")
+
+
+SQL_PACK_PADDED = """
+WITH w AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n FROM documents),
+c AS (SELECT doc_id, n,
+             (SUM(((n + 255) // 256) * 256) OVER (ORDER BY doc_id))::BIGINT AS pcum
+      FROM w WHERE n > 0),
+s AS (SELECT doc_id, n,
+             pcum - ((n + 255) // 256) * 256 AS prev,
+             pcum - ((n + 255) // 256) * 256 + n AS cum
+      FROM c)
+SELECT doc_id, n AS n_tokens, chunk_id,
+       GREATEST(prev, chunk_id * 256) - chunk_id * 256 AS offset_in_chunk,
+       LEAST(cum, (chunk_id + 1) * 256) - GREATEST(prev, chunk_id * 256) AS n_in_chunk
+FROM s, unnest(generate_series(prev // 256, (cum - 1) // 256)) AS u(chunk_id)
+"""
+
+
 def q_gopher_quality(spark, sf):
     """Gopher-style repetition filters (type-token ratio, top-bigram token
     coverage, duplicated-trigram fraction, composite keep flag) — zero-
@@ -2155,6 +2186,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "centroids": q_centroids,
     "cross_dedup": q_cross_dedup,
     "resample": q_resample,
+    "pack_padded": q_pack_padded,
 }
 
 ORACLES: dict[str, str] = {
@@ -2231,4 +2263,5 @@ ORACLES: dict[str, str] = {
     "centroids": SQL_CENTROIDS,
     "cross_dedup": SQL_CROSS_DEDUP,
     "resample": SQL_RESAMPLE,
+    "pack_padded": SQL_PACK_PADDED,
 }
