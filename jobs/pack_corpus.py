@@ -40,6 +40,9 @@ def main() -> None:
     ap.add_argument("--chunks-per-shard", type=int, default=512)
     ap.add_argument("--quality-filter", action="store_true",
                     help="drop docs failing the Gopher-style repetition filters")
+    ap.add_argument("--pad-to-boundary", action="store_true",
+                    help="every doc starts at a fresh chunk boundary (no "
+                         "chunk mixes documents; loader pads final chunks)")
     ap.add_argument("--n-parts", type=int, default=0,
                     help="prefix-sum parallelism (0 = derive from row count)")
     ap.add_argument("--output", default="noop", help="output path or 'noop'")
@@ -62,7 +65,8 @@ def main() -> None:
         "__n_toks", F.size(F.split(args.text_col, " ")).cast("bigint")
     )
     packed = pack_chunks(
-        weighted, args.key, "__n_toks", args.chunk_size, n_parts=args.n_parts
+        weighted, args.key, "__n_toks", args.chunk_size, n_parts=args.n_parts,
+        pad_to_boundary=args.pad_to_boundary,
     ).withColumn(
         "shard", F.expr(f"chunk_id div {int(args.chunks_per_shard)}")
     )
