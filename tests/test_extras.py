@@ -513,3 +513,61 @@ def test_png_decode_all_filter_types_and_colortypes():
         + chunk(b"IEND", b"")
     )
     assert decode_png(png) is None
+
+
+def test_table_io_upsert_touches_only_delta_buckets(spark, tmp_path):
+    """Keyed MERGE: replaced keys update, new keys insert, untouched rows
+    survive, and bucket partitions outside the delta's hash spread keep
+    their files byte-untouched (mtime check — the partition-scoped-rewrite
+    guarantee that makes upsert delta-sized at 100 TB)."""
+    import os
+    import time
+
+    import pandas as pd
+    import pytest as _pt
+
+    from tgist_features_spark.sources.table_io import TableIO
+
+    io_ = TableIO(spark, str(tmp_path / "wh"), n_buckets=8)
+    base = pd.DataFrame({
+        "conv_id": [f"c{i}" for i in range(64)],
+        "v": list(range(64)),
+    })
+    io_.upsert(spark.createDataFrame(base), "t")  # bootstrap path
+    tdir = io_.path("t")
+    before = {
+        os.path.join(dp, f): os.path.getmtime(os.path.join(dp, f))
+        for dp, _d, fs in os.walk(tdir)
+        for f in fs
+        if not f.startswith(("_", "."))
+    }
+    time.sleep(1.1)
+
+    delta = pd.DataFrame({"conv_id": ["c3", "c7", "NEW"], "v": [300, 700, 999]})
+    res = io_.upsert(spark.createDataFrame(delta), "t")
+    assert res["rows_upserted"] == 3 and 1 <= res["buckets_touched"] <= 3
+
+    got = io_.read("t").toPandas().set_index("conv_id")["v"].to_dict()
+    want = {f"c{i}": i for i in range(64)}
+    want.update({"c3": 300, "c7": 700, "NEW": 999})
+    assert got == want
+
+    # buckets outside the delta spread: files untouched
+    from pyspark.sql import functions as F
+
+    touched = {
+        int(r[0])
+        for r in spark.createDataFrame(delta)
+        .select(F.pmod(F.xxhash64("conv_id"), F.lit(8)))
+        .distinct()
+        .collect()
+    }
+    for path, mt in before.items():
+        bucket = int(path.split("bucket=")[1].split(os.sep)[0])
+        if bucket not in touched:
+            assert os.path.getmtime(path) == mt, f"bucket {bucket} rewritten"
+
+    # non-bucketed table: refuse the silent full rewrite
+    spark.createDataFrame(base).write.mode("overwrite").parquet(io_.path("flat"))
+    with _pt.raises(ValueError):
+        io_.upsert(spark.createDataFrame(delta), "flat")

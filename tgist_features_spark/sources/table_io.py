@@ -162,6 +162,62 @@ class TableIO:
             if f.endswith((".parquet", ".orc"))
         )
 
+    def upsert(self, df: DataFrame, name: str, key: str = "conv_id") -> dict:
+        """MERGE-by-key into a bucket-partitioned table, touching ONLY the
+        bucket partitions the incoming keys hash into: existing rows with
+        a matching key are replaced, new keys insert, and every other
+        bucket's files are left byte-untouched (verified by test via file
+        mtimes). This is the parquet-fallback form of an Iceberg MERGE
+        INTO commit — partition-scoped rewrite + dynamic overwrite —
+        sized by the DELTA's key spread, not the table.
+
+        Returns {"buckets_touched", "rows_upserted"}. The table must have
+        been written by ``write`` (bucket layout); non-bucketed tables
+        fall back to a full-table rewrite, which this method refuses
+        (explicit is better than a silent 100 TB rewrite)."""
+        p = self.path(name)
+        if not self.exists(name):
+            self.write(df, name, partition_on_ts=False)
+            n = df.count()
+            return {"buckets_touched": self.n_buckets, "rows_upserted": n}
+        if not any("=" in f for f in os.listdir(p)):
+            raise ValueError(
+                "TableIO.upsert: table is not partition-bucketed; a keyed "
+                "merge would rewrite the whole table — do that explicitly "
+                "with write(mode='overwrite') if you mean it"
+            )
+        delta = df.withColumn(
+            "bucket", F.pmod(F.xxhash64(key), F.lit(self.n_buckets))
+        )
+        touched = [
+            int(r["bucket"]) for r in delta.select("bucket").distinct().collect()
+        ]
+        # read ONLY the touched partitions (partition-pruned scan), drop
+        # rows whose key arrives in the delta, union the delta back
+        old = self.spark.read.format(self.fmt).load(p).filter(
+            F.col("bucket").isin(touched)
+        )
+        keys = delta.select(key).distinct()
+        # eager localCheckpoint BEFORE the overwrite: Spark (rightly)
+        # refuses to overwrite a path its own plan is reading; the
+        # materialized block set is delta-bucket-sized, not table-sized
+        merged = (
+            old.join(keys, key, "left_anti")
+            .unionByName(delta)
+            .localCheckpoint(eager=True)
+        )
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket")
+            .format(self.fmt)
+            .save(p)
+        )
+        return {
+            "buckets_touched": len(touched),
+            "rows_upserted": df.count(),
+        }
+
     def delete_partition(self, name: str, partition: str) -> None:
         """Remove one partition directory (e.g. ``bucket=3``) from a table.
 
