@@ -1701,6 +1701,66 @@ FROM s, unnest(generate_series(prev // 256, (cum - 1) // 256)) AS u(chunk_id)
 """
 
 
+def q_corpus_report(spark, sf):
+    """One-row corpus datasheet (round 4): the summary a training-data
+    curation run publishes next to its output — doc/token totals, exact
+    token-length quantiles, exact vocabulary size, exact duplicate-text
+    count. Doc-grain and token-grain aggregations meet in a 1-row x 1-row
+    cross join (both sides partial-agged; nothing big moves)."""
+    d = _t(spark, sf, "documents")
+    toks = F.split(F.col("text"), " ")
+    per = d.select(
+        F.size(toks).cast("bigint").alias("n_tok"),
+        F.coalesce(F.md5("text"), F.lit("__null__")).alias("fp"),
+    )
+    doc_stats = per.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("n_tok") > 0, F.col("n_tok")).otherwise(0)).alias(
+            "n_tokens"
+        ),
+        F.round(F.expr("percentile(n_tok, 0.5)"), 4).alias("p50_tokens"),
+        F.round(F.expr("percentile(n_tok, 0.95)"), 4).alias("p95_tokens"),
+        (F.count(F.lit(1)) - F.count_distinct("fp")).alias("n_dup_texts"),
+    )
+    vocab = (
+        d.select(F.explode_outer(toks).alias("tok"))
+        .filter(F.col("tok").isNotNull())
+        .agg(F.count_distinct("tok").alias("vocab_size"))
+    )
+    return doc_stats.crossJoin(vocab).select(
+        "n_docs",
+        "n_tokens",
+        F.expr("(n_tokens * 10000) div n_docs").alias("avg_tokens_x1e4"),
+        "p50_tokens",
+        "p95_tokens",
+        "vocab_size",
+        "n_dup_texts",
+    )
+
+
+SQL_CORPUS_REPORT = """
+WITH per AS (
+  SELECT len(string_split(text, ' '))::BIGINT AS n_tok,
+         COALESCE(md5(text), '__null__') AS fp
+  FROM documents),
+doc_stats AS (
+  SELECT COUNT(*)::BIGINT AS n_docs,
+         SUM(CASE WHEN n_tok > 0 THEN n_tok ELSE 0 END)::BIGINT AS n_tokens,
+         ROUND(quantile_cont(n_tok, 0.5), 4) AS p50_tokens,
+         ROUND(quantile_cont(n_tok, 0.95), 4) AS p95_tokens,
+         (COUNT(*) - COUNT(DISTINCT fp))::BIGINT AS n_dup_texts
+  FROM per),
+vocab AS (
+  SELECT COUNT(DISTINCT tok)::BIGINT AS vocab_size
+  FROM (SELECT unnest(string_split(text, ' ')) AS tok
+        FROM documents WHERE text IS NOT NULL))
+SELECT n_docs, n_tokens,
+       ((n_tokens * 10000) // n_docs)::BIGINT AS avg_tokens_x1e4,
+       p50_tokens, p95_tokens, vocab_size, n_dup_texts
+FROM doc_stats, vocab
+"""
+
+
 def q_gopher_quality(spark, sf):
     """Gopher-style repetition filters (type-token ratio, top-bigram token
     coverage, duplicated-trigram fraction, composite keep flag) — zero-
@@ -2187,6 +2247,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cross_dedup": q_cross_dedup,
     "resample": q_resample,
     "pack_padded": q_pack_padded,
+    "corpus_report": q_corpus_report,
 }
 
 ORACLES: dict[str, str] = {
@@ -2264,4 +2325,5 @@ ORACLES: dict[str, str] = {
     "cross_dedup": SQL_CROSS_DEDUP,
     "resample": SQL_RESAMPLE,
     "pack_padded": SQL_PACK_PADDED,
+    "corpus_report": SQL_CORPUS_REPORT,
 }
