@@ -36,6 +36,10 @@ def main() -> None:
                     help="min MinHash-estimated Jaccard to call a near-dup")
     ap.add_argument("--max-bucket", type=int, default=200,
                     help="LSH bucket cap (degenerate-bucket guard)")
+    ap.add_argument("--ref-input", default=None,
+                    help="reference corpus parquet: drop docs whose MinHash-"
+                         "estimated Jaccard vs ANY reference doc reaches the "
+                         "threshold (cross-corpus near-dedup stage)")
     ap.add_argument("--eval-input", default=None,
                     help="eval/benchmark docs parquet: drop kept docs "
                          "sharing any token n-gram with this set")
@@ -60,11 +64,12 @@ def main() -> None:
     warm_python_workers(spark)
 
     eval_docs = spark.read.parquet(args.eval_input) if args.eval_input else None
+    ref_docs = spark.read.parquet(args.ref_input) if args.ref_input else None
     t0 = time.perf_counter()
     kept, drop_log = dedup_corpus(
         docs, min_est_jaccard=args.threshold, max_bucket=args.max_bucket,
         transitive=args.transitive, eval_docs=eval_docs,
-        checkpoint_dir=args.checkpoint_dir,
+        checkpoint_dir=args.checkpoint_dir, ref_docs=ref_docs,
         decontam_ngram=args.decontam_ngram,
     )
     if args.output == "noop":
@@ -85,6 +90,7 @@ def main() -> None:
         "docs_dropped": n_in - n_kept,
         "threshold": args.threshold,
         "transitive": args.transitive,
+        "cross_ref": args.ref_input is not None,
         "decontaminated": args.eval_input is not None,
         "wall_s": round(wall, 3),
         "docs_per_sec": round(n_in / wall, 1),

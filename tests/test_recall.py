@@ -420,3 +420,30 @@ def test_cross_corpus_near_pairs_finds_planted_and_stays_cross(spark):
     # and every pair must go corpus -> ref
     assert all(a in {1, 2, 3} and b in {101, 102} for a, b in pairs)
     assert (3, 102) not in pairs
+
+
+def test_dedup_pipeline_ref_corpus_stage(spark):
+    """4th pipeline stage: docs near-duplicating the REFERENCE corpus drop
+    with reason='near_ref' and the reference doc as dup_of; kept+dropped
+    still partitions the input."""
+    import pandas as pd
+
+    from tgist_features_spark.plans.dedup_pipeline import dedup_corpus
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [base + " v1",
+                 "fully unrelated text about columnar execution engines here",
+                 "another unrelated document with its own words entirely now"],
+    }))
+    ref = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [900], "text": [base + " v9"],
+    }))
+    kept, drops = dedup_corpus(docs, min_est_jaccard=0.3, ref_docs=ref)
+    kd = kept.toPandas()
+    dd = drops.toPandas()
+    assert sorted(kd["doc_id"]) == [2, 3]
+    row = dd[dd["reason"] == "near_ref"].iloc[0]
+    assert row["doc_id"] == 1 and row["dup_of"] == 900
+    assert set(kd["doc_id"]) | set(dd["doc_id"]) == {1, 2, 3}

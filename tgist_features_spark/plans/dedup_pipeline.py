@@ -38,11 +38,21 @@ def dedup_corpus(
     eval_docs: DataFrame | None = None,
     decontam_ngram: int = 8,
     checkpoint_dir: str | None = None,
+    ref_docs: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (kept_docs, drop_log).
 
     ``drop_log`` columns: (doc_id, dup_of, reason in {'exact','near',
-    'contaminated'}, est_jaccard — null except pairwise near drops).
+    'contaminated','near_ref'}, est_jaccard — null except pairwise near
+    drops; for 'near_ref' rows ``dup_of`` is the REFERENCE doc id and
+    est_jaccard the MinHash estimate against it).
+
+    ``ref_docs`` adds the cross-corpus stage: any surviving doc whose
+    MinHash-estimated Jaccard against ANY reference document reaches
+    ``min_est_jaccard`` is dropped (operators/dedup.py
+    ``cross_corpus_near_pairs`` — two-sided banded join, the doc-level
+    sibling of eval decontamination). Runs after within-corpus dedup so
+    the cross probe scans the smallest corpus.
 
     ``eval_docs`` adds the third corpus-prep stage: any surviving doc that
     shares a token ``decontam_ngram``-gram with the eval set is dropped
@@ -146,4 +156,29 @@ def dedup_corpus(
         )
         kept = kept.join(hits.select(id_col), id_col, "left_anti")
         drop_log = drop_log.unionByName(contam)
+    if ref_docs is not None:
+        from tgist_features_spark.operators.dedup import (  # noqa: PLC0415
+            cross_corpus_near_pairs,
+        )
+
+        xpairs = cross_corpus_near_pairs(
+            kept, ref_docs,
+            id_col=id_col, text_col=text_col,
+            n_hashes=n_hashes, bands=bands,
+            min_est_jaccard=min_est_jaccard, max_bucket=max_bucket,
+        )
+        ref_drops = (
+            xpairs.groupBy(F.col("a").alias("doc_id"))
+            .agg(F.min(F.struct("b", "est_jaccard")).alias("best"))
+            .select(
+                "doc_id",
+                F.col("best.b").alias("dup_of"),
+                F.lit("near_ref").alias("reason"),
+                F.col("best.est_jaccard").alias("est_jaccard"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        xpairs.unpersist()
+        kept = kept.join(ref_drops.select("doc_id"), id_col, "left_anti")
+        drop_log = drop_log.unionByName(ref_drops)
     return kept, drop_log
