@@ -2161,13 +2161,13 @@ FROM j
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- first 50 keys = the driver correctness window (the driver caps
-    # its oracle run at 50 registry keys, in order). Round-4 rotation per
-    # the r03 verdict: (a) every query whose operator file changes this
-    # round sits in-window for fresh evidence, (b) the whole 18-key r02
-    # tail is rotated back in, so no key's newest green row is >1 round
-    # old, (c) 18 stable keys (r01+r02+r03 all green, operators untouched
-    # since r02) rotate out to the tail.
+    # --- first 50 keys = the driver correctness window (driver caps its
+    # oracle run at 50 keys, in order). Final round-4 rotation: every
+    # operator file touched this round, the full r02 tail, AND the 7 new
+    # round-4 queries are in-window; the keys rotated out are r03-green
+    # with their operator functions untouched this round, and the whole
+    # 75-key registry was swept bitwise vs its oracles at sf0.1 by the
+    # builder (COVERAGE.md).
     "pack_chunks": q_pack_chunks,
     "shuffle_order": q_shuffle_order,
     "span_dup": q_span_dup,
@@ -2200,27 +2200,33 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_ranks": q_window_ranks,
     "string_funcs": q_string_funcs,
     "feature_vector": q_feature_vector,
-    "embed_near_dup": q_embed_near_dup,
     "ann_lsh": q_ann_lsh,
     "ivf_ann": q_ivf_ann,
-    "train_split": q_train_split,
-    "group_sample": q_group_sample,
     "tfidf": q_tfidf,
     "bm25": q_bm25,
-    "temperature_resample": q_temperature_resample,
     "redact": q_redact,
     "chunk_windows": q_chunk_windows,
     "sessionize": q_sessionize,
     "date_parts": q_date_parts,
-    "semi_join": q_semi_join,
-    "range_join": q_range_join,
     "per_user_agg": q_per_user_agg,
     "tpch_q1": q_tpch_q1,
-    "grouping_sets": q_grouping_sets,
     "approx_distinct": q_approx_distinct,
-    # --- tail (past the driver cap this round): ALL hash-green in r03
-    # AND r02 (most also r01), operator files untouched since; rotate
-    # back in next round.
+    "span_removal": q_span_removal,
+    "tf_stats": q_tf_stats,
+    "centroids": q_centroids,
+    "cross_dedup": q_cross_dedup,
+    "resample": q_resample,
+    "pack_padded": q_pack_padded,
+    "corpus_report": q_corpus_report,
+    # --- tail (past the driver cap): every key r03-green (or r4
+    # builder-swept), operator functions untouched; rotate next round.
+    "embed_near_dup": q_embed_near_dup,
+    "train_split": q_train_split,
+    "group_sample": q_group_sample,
+    "temperature_resample": q_temperature_resample,
+    "semi_join": q_semi_join,
+    "range_join": q_range_join,
+    "grouping_sets": q_grouping_sets,
     "array_stats": q_array_stats,
     "percentiles": q_percentiles,
     "approx_percentile": q_approx_percentile,
@@ -2239,15 +2245,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pivot_counts": q_pivot_counts,
     "distinct_agg": q_distinct_agg,
     "json_extract": q_json_extract,
-    # --- round-4 additions (tail this round; builder-swept at both SFs,
-    # rotate into the window next round)
-    "span_removal": q_span_removal,
-    "tf_stats": q_tf_stats,
-    "centroids": q_centroids,
-    "cross_dedup": q_cross_dedup,
-    "resample": q_resample,
-    "pack_padded": q_pack_padded,
-    "corpus_report": q_corpus_report,
 }
 
 ORACLES: dict[str, str] = {
