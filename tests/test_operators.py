@@ -852,3 +852,62 @@ def test_pack_chunks_pad_to_boundary(spark):
     assert (firsts["offset_in_chunk"] == 0).all()
     total = sum(math.ceil(w / 64) for w in pos.values())
     assert sorted(got["chunk_id"].unique()) == list(range(total))
+
+
+# ------------------------------------------------- bounded range join
+
+
+def test_bounded_range_join_matches_naive(spark):
+    """Binned interval join must equal the naive equi+filter join on a
+    corpus with boundary deltas (exactly hi -> included, exactly lo ->
+    excluded), multiple entities, and a negative ("preceded-by") window."""
+    rng = np.random.default_rng(13)
+    rows = []
+    eid = 0
+    for u in range(5):
+        for _ in range(60):
+            rows.append((eid, u, int(rng.integers(0, 3600))))
+            eid += 1
+    # exact boundary pair: delta exactly 300s and exactly 0s
+    rows.append((9000, 9, 1000))
+    rows.append((9001, 9, 1300))   # 300s after -> INcluded for (0, 300]
+    rows.append((9002, 9, 1000))   # 0s after   -> EXcluded
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "off"])
+    pdf["ts"] = pd.to_datetime(pdf["off"], unit="s")
+    df = spark.createDataFrame(pdf[["event_id", "user_id", "ts"]])
+
+    from tgist_features_spark.operators.ranges import bounded_range_join
+
+    a = df.select(
+        F.col("event_id").alias("aid"), F.col("user_id").alias("u"),
+        F.col("ts").alias("ats"),
+    )
+    b = df.select(
+        F.col("event_id").alias("bid"), F.col("user_id").alias("bu"),
+        F.col("ts").alias("bts"),
+    )
+    for lo, hi in [(0, 300), (-300, 0), (-120, 180)]:
+        binned = (
+            bounded_range_join(a, b, "u", "bu", "ats", "bts", lo, hi)
+            .select("aid", "bid").toPandas()
+        )
+        naive = (
+            a.join(
+                b,
+                on=[
+                    F.col("u") == F.col("bu"),
+                    F.col("bts") > F.col("ats") + F.expr(f"INTERVAL {lo} SECONDS"),
+                    F.col("bts") <= F.col("ats") + F.expr(f"INTERVAL {hi} SECONDS"),
+                ],
+            ).select("aid", "bid").toPandas()
+        )
+        got = set(map(tuple, binned.to_numpy()))
+        want = set(map(tuple, naive.to_numpy()))
+        assert got == want, (lo, hi, got ^ want)
+    # the boundary pair specifically
+    binned = bounded_range_join(a, b, "u", "bu", "ats", "bts", 0, 300)
+    pairs9 = {
+        (r.aid, r.bid)
+        for r in binned.filter(F.col("u") == 9).select("aid", "bid").collect()
+    }
+    assert (9000, 9001) in pairs9 and (9000, 9002) not in pairs9

@@ -485,6 +485,15 @@ WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
 
 
 def q_range_join(spark, sf):
+    """Interval join via bucket binning (round-4 rewrite of the naive
+    equi+filter plan): per-key multiplicity is bounded by events per
+    (user, 5-minute window) instead of events per user, so a hot user
+    cannot quadratically degenerate the join (operators/ranges.py;
+    naive-equivalence pinned in tests, hot-entity speedup measured in
+    BASELINE.md). Left-count semantics restored by joining the pair
+    counts back onto the probe side."""
+    from tgist_features_spark.operators.ranges import bounded_range_join
+
     e = _t(spark, sf, "events")
     a = e.filter(F.col("event_id") % 23 == 0).select(
         F.col("event_id").alias("query_id"),
@@ -495,16 +504,14 @@ def q_range_join(spark, sf):
         F.col("event_id").alias("bid"), F.col("user_id").alias("bu"),
         F.col("ts").alias("bts"),
     )
-    j = a.join(
-        b,
-        on=[
-            F.col("u") == F.col("bu"),
-            F.col("bts") > F.col("ats"),
-            F.col("bts") <= F.col("ats") + F.expr("INTERVAL 300 SECONDS"),
-        ],
-        how="left",
+    pairs = bounded_range_join(
+        a, b, a_entity="u", b_entity="bu", a_ts="ats", b_ts="bts",
+        lo_s=0, hi_s=300,
     )
-    return j.groupBy("query_id").agg(F.count("bid").alias("n_follow"))
+    counts = pairs.groupBy("query_id").agg(F.count(F.lit(1)).alias("__n"))
+    return a.join(counts, "query_id", "left").select(
+        "query_id", F.coalesce("__n", F.lit(0)).alias("n_follow")
+    )
 
 
 SQL_RANGE_JOIN = """
