@@ -119,9 +119,10 @@ def decode_png(b: bytes) -> np.ndarray | None:
 
     A REAL decode of a real compressed format with zero external
     libraries: chunk walk, stdlib ``zlib`` inflate, then numpy scanline
-    unfiltering for all five PNG filter types (Sub/Up/Average/Paeth have
-    left/top dependencies, so rows process sequentially; Up is fully
-    vectorized, the others loop per byte within the row). Supports 8-bit
+    unfiltering for all five PNG filter types (rows process sequentially —
+    Average/Paeth need the previous row; Up is vectorized across the row
+    and Sub reduces to a per-channel-lane prefix sum; Average/Paeth loop
+    per byte, acceptable for feature-extraction batches). Supports 8-bit
     gray/RGB/RGBA, non-interlaced (Adam7 returns None — the decode-or-
     fallback contract, same as every other codec gap)."""
     import struct  # noqa: PLC0415
@@ -167,10 +168,11 @@ def decode_png(b: bytes) -> np.ndarray | None:
             cur = row.copy()
         elif f == 2:  # Up — vectorized
             cur = row + prev
-        elif f == 1:  # Sub
-            cur = row.copy()
-            for x in range(ch, stride):
-                cur[x] = (cur[x] + cur[x - ch]) & 255
+        elif f == 1:  # Sub — per-channel-lane prefix sum, fully vectorized
+            cur = (
+                np.cumsum(row.reshape(-1, ch), axis=0, dtype=np.int64)
+                .reshape(-1) & 255
+            ).astype(np.int32)
         elif f == 3:  # Average
             cur = row.copy()
             for x in range(stride):
