@@ -2213,7 +2213,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25": q_bm25,
     "redact": q_redact,
     "chunk_windows": q_chunk_windows,
-    "sessionize": q_sessionize,
+    "range_join": q_range_join,
     "date_parts": q_date_parts,
     "per_user_agg": q_per_user_agg,
     "tpch_q1": q_tpch_q1,
@@ -2232,7 +2232,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "group_sample": q_group_sample,
     "temperature_resample": q_temperature_resample,
     "semi_join": q_semi_join,
-    "range_join": q_range_join,
+    "sessionize": q_sessionize,
     "grouping_sets": q_grouping_sets,
     "array_stats": q_array_stats,
     "percentiles": q_percentiles,
