@@ -571,3 +571,53 @@ def test_table_io_upsert_touches_only_delta_buckets(spark, tmp_path):
     spark.createDataFrame(base).write.mode("overwrite").parquet(io_.path("flat"))
     with _pt.raises(ValueError):
         io_.upsert(spark.createDataFrame(delta), "flat")
+
+
+def test_table_io_upsert_key_contract_and_day_refusal(spark, tmp_path):
+    """upsert owns its bucketing: bootstrap records the key, a different
+    key on the same table refuses; day-partitioned write() tables refuse;
+    compact preserves the marker."""
+    import pandas as pd
+    import pytest as _pt
+
+    from tgist_features_spark.sources.table_io import TableIO
+
+    io_ = TableIO(spark, str(tmp_path / "wh"), n_buckets=4)
+    df = spark.createDataFrame(
+        pd.DataFrame({"user_id": [f"u{i}" for i in range(20)], "v": range(20)})
+    )
+    res = io_.upsert(df, "dim", key="user_id")
+    assert res["rows_upserted"] == 20
+    with _pt.raises(ValueError, match="different key"):
+        io_.upsert(df.withColumnRenamed("user_id", "conv_id"), "dim", key="conv_id")
+    # marker survives compaction, so the contract survives maintenance
+    io_.compact("dim", target_file_mb=512)
+    again = io_.upsert(
+        spark.createDataFrame(pd.DataFrame({"user_id": ["u3"], "v": [999]})),
+        "dim", key="user_id",
+    )
+    assert again["rows_upserted"] == 1
+    got = io_.read("dim").toPandas().set_index("user_id")["v"].to_dict()
+    assert got["u3"] == 999 and len(got) == 20
+
+    # day-partitioned write() table: keyed merge refused
+    ts_df = spark.createDataFrame(
+        pd.DataFrame({
+            "conv_id": ["a", "b"],
+            "ts": pd.to_datetime([1_700_000_000, 1_700_090_000], unit="s"),
+            "v": [1, 2],
+        })
+    )
+    io_.write(ts_df, "facts")  # bucket x day layout
+    with _pt.raises(ValueError, match="day="):
+        io_.upsert(ts_df, "facts", key="conv_id")
+
+
+def test_bounded_range_join_rejects_zero_width_window(spark):
+    import pytest as _pt
+
+    from tgist_features_spark.operators.ranges import bounded_range_join
+
+    df = spark.createDataFrame([(1, 1)], "a: long, b: long")
+    with _pt.raises(ValueError, match="microsecond"):
+        bounded_range_join(df, df, "a", "a", "b", "b", 0.0, 2e-7)

@@ -151,6 +151,11 @@ def _range_partition_expr(
     target = max(1, math.ceil(n_rows / n_parts))
 
     by_c = {r["__c"]: r for r in hist}
+    if None in by_c:
+        raise ValueError(
+            "pack_chunks: null keys with positive weight — the key column "
+            "must be a unique integral id (filter or assign ids first)"
+        )
     # trim the lookup arrays to the POPULATED coarse span: F.lit(list)
     # lowers to a CreateArray with one child per element, so a full
     # 2048-cell array would cost seconds of Janino codegen PER JOB

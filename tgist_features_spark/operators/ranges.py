@@ -46,6 +46,10 @@ def bounded_range_join(
         raise ValueError("bounded_range_join: need hi_s > lo_s")
     w = int(round((hi_s - lo_s) * 1_000_000))
     lo = int(round(lo_s * 1_000_000))
+    if w < 1:
+        # post-rounding guard: a sub-microsecond window would make the
+        # bucket div-by-zero NULL out silently instead of erroring
+        raise ValueError("bounded_range_join: window must be >= 1 microsecond")
     ak = (
         a.withColumn("__au", us(F.col(a_ts)))
         .withColumn("__ka", F.expr(f"__au div {w}"))

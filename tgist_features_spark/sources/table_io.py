@@ -109,7 +109,7 @@ class TableIO:
             df.write.mode(mode)
             .bucketBy(n, key)
             .option("path", self.path(tbl))
-            .format("parquet")
+            .format(self.fmt)
         )
         if sort_cols:
             writer = writer.sortBy(*sort_cols)
@@ -128,12 +128,18 @@ class TableIO:
         small file per micro-batch and partition until the scan is
         metadata-bound. Preserves the partition directory layout
         (bucket=/day= columns are re-derived from the hive-read columns).
-        Atomic at the table level: rewrite into a sibling temp dir, then
-        swap directories (the Iceberg form is a rewrite-data-files commit).
+        Swap is a two-rename sequence (POSIX has no atomic directory
+        exchange): a crash between the renames leaves the data intact in
+        ``<table>__precompact``, and the NEXT compact/read-side call to
+        this method restores it automatically before proceeding (the
+        Iceberg form is a genuinely atomic rewrite-data-files commit).
         Returns the new file count."""
         import shutil  # noqa: PLC0415
 
         src = self.path(name)
+        old = src + "__precompact"
+        if not os.path.isdir(src) and os.path.isdir(old):
+            os.rename(old, src)  # self-heal a crashed prior swap
         # hive-partition cols come back from the directory layout
         df = self.spark.read.format(self.fmt).load(src)
         part_cols = [c for c in ("bucket", "day") if c in df.columns]
@@ -151,9 +157,13 @@ class TableIO:
         if part_cols:
             w = w.partitionBy(*part_cols)
         w.format(self.fmt).save(tmp)
-        old = src + "__precompact"
         os.rename(src, old)
         os.rename(tmp, src)
+        # carry table-level metadata (the upsert bucketing marker) across
+        # the rewrite — it is not a data file, so the Spark job drops it
+        old_marker = os.path.join(old, self._UPSERT_MARKER)
+        if os.path.exists(old_marker):
+            shutil.copy(old_marker, os.path.join(src, self._UPSERT_MARKER))
         shutil.rmtree(old)
         return sum(
             1
@@ -162,36 +172,76 @@ class TableIO:
             if f.endswith((".parquet", ".orc"))
         )
 
+    _UPSERT_MARKER = "_upsert_key"
+
     def upsert(self, df: DataFrame, name: str, key: str = "conv_id") -> dict:
-        """MERGE-by-key into a bucket-partitioned table, touching ONLY the
-        bucket partitions the incoming keys hash into: existing rows with
-        a matching key are replaced, new keys insert, and every other
+        """MERGE-by-key into a bucket(key)-partitioned table, touching ONLY
+        the bucket partitions the incoming keys hash into: existing rows
+        with a matching key are replaced, new keys insert, and every other
         bucket's files are left byte-untouched (verified by test via file
         mtimes). This is the parquet-fallback form of an Iceberg MERGE
         INTO commit — partition-scoped rewrite + dynamic overwrite —
         sized by the DELTA's key spread, not the table.
 
-        Returns {"buckets_touched", "rows_upserted"}. The table must have
-        been written by ``write`` (bucket layout); non-bucketed tables
-        fall back to a full-table rewrite, which this method refuses
-        (explicit is better than a silent 100 TB rewrite)."""
+        Layout contract: upsert OWNS its table's bucketing — the bootstrap
+        write hashes ``key`` (not conv_id) and records it in a
+        ``_upsert_key`` marker; later upserts verify the key matches, so
+        two callers cannot silently merge on different bucketing
+        functions. A table created by ``write`` is accepted only when it
+        is bucket-only (no day= partitions — a keyed merge across time
+        partitions could strand a key's old row in a day the overwrite
+        never touches) AND ``key`` is conv_id (write's bucketing column);
+        anything else raises rather than corrupting.
+
+        Returns {"buckets_touched", "rows_upserted"}."""
         p = self.path(name)
-        if not self.exists(name):
-            self.write(df, name, partition_on_ts=False)
-            n = df.count()
-            return {"buckets_touched": self.n_buckets, "rows_upserted": n}
-        if not any("=" in f for f in os.listdir(p)):
-            raise ValueError(
-                "TableIO.upsert: table is not partition-bucketed; a keyed "
-                "merge would rewrite the whole table — do that explicitly "
-                "with write(mode='overwrite') if you mean it"
-            )
+        marker = os.path.join(p, self._UPSERT_MARKER)
         delta = df.withColumn(
             "bucket", F.pmod(F.xxhash64(key), F.lit(self.n_buckets))
-        )
-        touched = [
-            int(r["bucket"]) for r in delta.select("bucket").distinct().collect()
-        ]
+        ).localCheckpoint(eager=True)  # one execution of the incoming plan
+        per_bucket = delta.groupBy("bucket").count().collect()
+        touched = [int(r["bucket"]) for r in per_bucket]
+        n_rows = sum(int(r["count"]) for r in per_bucket)
+
+        if not self.exists(name):
+            delta.write.mode("overwrite").partitionBy("bucket").format(
+                self.fmt
+            ).save(p)
+            with open(marker, "w") as fh:
+                fh.write(key)
+            return {"buckets_touched": len(touched), "rows_upserted": n_rows}
+
+        if os.path.exists(marker):
+            stored = open(marker).read().strip()
+            if stored != key:
+                raise ValueError(
+                    f"TableIO.upsert: table bucketed by {stored!r}, "
+                    f"upsert key is {key!r} — merging on a different key "
+                    "would leave duplicate rows in foreign buckets"
+                )
+        else:
+            entries = os.listdir(p)
+            if not any(f.startswith("bucket=") for f in entries):
+                raise ValueError(
+                    "TableIO.upsert: table is not bucket-partitioned; a "
+                    "keyed merge would rewrite the whole table — do that "
+                    "explicitly with write(mode='overwrite')"
+                )
+            has_day = any(
+                d.startswith("day=")
+                for f in entries
+                if os.path.isdir(os.path.join(p, f))
+                for d in os.listdir(os.path.join(p, f))
+            )
+            if has_day or key != "conv_id":
+                raise ValueError(
+                    "TableIO.upsert: table written by write() is mergeable "
+                    "only when bucket-only (no day= partitions) and keyed "
+                    "by conv_id — its buckets hash conv_id"
+                )
+            with open(marker, "w") as fh:
+                fh.write(key)  # adopt: write() bucketing == this key
+
         # read ONLY the touched partitions (partition-pruned scan), drop
         # rows whose key arrives in the delta, union the delta back
         old = self.spark.read.format(self.fmt).load(p).filter(
@@ -213,10 +263,7 @@ class TableIO:
             .format(self.fmt)
             .save(p)
         )
-        return {
-            "buckets_touched": len(touched),
-            "rows_upserted": df.count(),
-        }
+        return {"buckets_touched": len(touched), "rows_upserted": n_rows}
 
     def delete_partition(self, name: str, partition: str) -> None:
         """Remove one partition directory (e.g. ``bucket=3``) from a table.
