@@ -204,11 +204,22 @@ class TableIO:
         n_rows = sum(int(r["count"]) for r in per_bucket)
 
         if not self.exists(name):
-            delta.write.mode("overwrite").partitionBy("bucket").format(
-                self.fmt
-            ).save(p)
+            # marker BEFORE data: a crash between the two leaves an empty
+            # table dir that the next call simply re-bootstraps (the
+            # reverse order would strand a keyless table that a retry with
+            # a non-conv_id key could no longer adopt)
+            os.makedirs(p, exist_ok=True)
             with open(marker, "w") as fh:
                 fh.write(key)
+            # dynamic overwrite: a plain overwrite would clear the whole
+            # directory, marker included
+            (
+                delta.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("bucket")
+                .format(self.fmt)
+                .save(p)
+            )
             return {"buckets_touched": len(touched), "rows_upserted": n_rows}
 
         if os.path.exists(marker):
