@@ -247,3 +247,51 @@ def test_token_frequency_stats_property(spark, docs, min_count, hot_min):
         assert row.mean_tf_x1e4 == (sum_tf * 10_000) // n
         assert row.oov_count == oov
         assert row.oov_rate_x1e6 == (oov * 1_000_000) // n
+
+
+@given(
+    n_events=st.integers(min_value=1, max_value=80),
+    lo=st.integers(min_value=-400, max_value=200),
+    width=st.integers(min_value=1, max_value=500),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_bounded_range_join_property(spark, n_events, lo, width, seed):
+    """For ANY window (lo, lo+width] and random event times (duplicates
+    included), the binned join equals the naive equi+filter join."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from tgist_features_spark.operators.ranges import bounded_range_join
+
+    rng = np.random.default_rng(seed)
+    pdf = pd.DataFrame({
+        "eid": range(n_events),
+        "u": rng.integers(0, 3, n_events),
+        "off": rng.integers(0, 2000, n_events),
+    })
+    pdf["ts"] = pd.to_datetime(pdf["off"], unit="s")
+    df = spark.createDataFrame(pdf[["eid", "u", "ts"]])
+    a = df.select(F.col("eid").alias("aid"), F.col("u"), F.col("ts").alias("ats"))
+    b = df.select(
+        F.col("eid").alias("bid"), F.col("u").alias("bu"), F.col("ts").alias("bts")
+    )
+    hi = lo + width
+    got = {
+        (r.aid, r.bid)
+        for r in bounded_range_join(a, b, "u", "bu", "ats", "bts", lo, hi)
+        .select("aid", "bid").collect()
+    }
+    want = {
+        (r.aid, r.bid)
+        for r in a.join(
+            b,
+            on=[
+                F.col("u") == F.col("bu"),
+                F.col("bts") > F.col("ats") + F.expr(f"INTERVAL {lo} SECONDS"),
+                F.col("bts") <= F.col("ats") + F.expr(f"INTERVAL {hi} SECONDS"),
+            ],
+        ).select("aid", "bid").collect()
+    }
+    assert got == want
