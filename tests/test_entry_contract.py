@@ -83,3 +83,26 @@ def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
     assert len(df.schema.fields) > 0
+
+
+def test_driver_window_composition():
+    """The driver checks the FIRST 50 registry keys: every query whose
+    operator changed in round 4 and all seven new round-4 queries must sit
+    inside that window (registry comments record the rotation rationale).
+    Guards against accidental reordering."""
+    ks = list(entry_mod.queries())
+    window = set(ks[:50])
+    must_be_checked = {
+        # operator files touched in round 4
+        "pack_chunks", "shuffle_order", "span_dup", "ngram_jaccard",
+        "dedup_minhash", "dedup_simhash", "decontaminate", "dedup_exact",
+        "gopher_quality", "asof_backward", "asof_forward", "asof_tolerance",
+        "asof_salted", "dup_clusters", "range_join",
+        # new round-4 queries
+        "span_removal", "tf_stats", "centroids", "cross_dedup",
+        "resample", "pack_padded", "corpus_report",
+    }
+    missing = must_be_checked - window
+    assert not missing, f"driver window lost round-4 evidence for: {missing}"
+    assert len(ks) == len(set(ks)) == 75
+    assert set(entry_mod.oracle_sql()) == set(ks)
