@@ -823,6 +823,35 @@ def test_group_centroids_match_numpy(spark):
         )
 
 
+def test_group_centroid_components_reassemble(spark):
+    """The flat (label, dim, n_vecs, value_x1e7) rows carry exactly the
+    array centroid: value_x1e7 / scale reassembled over dim must be
+    bitwise equal to group_centroids' output, and n_vecs must agree on
+    every row (negative components included — exercises the pmod
+    floor-div)."""
+    from tgist_features_spark.operators.similarity import (
+        group_centroid_components,
+        group_centroids,
+    )
+
+    rng = np.random.default_rng(7)
+    labels = rng.integers(0, 5, 300)
+    vecs = rng.normal(size=(300, 12)).astype(np.float32)
+    df = spark.createDataFrame(
+        pd.DataFrame({"label": labels, "embedding": list(map(list, vecs))})
+    )
+    arr = group_centroids(df).toPandas().set_index("label").sort_index()
+    flat = group_centroid_components(df).toPandas()
+    assert set(flat.columns) == {"label", "dim", "n_vecs", "value_x1e7"}
+    assert str(flat["value_x1e7"].dtype) == "int64"
+    for lab, sub in flat.groupby("label"):
+        sub = sub.sort_values("dim")
+        assert sub["dim"].tolist() == list(range(12))
+        assert (sub["n_vecs"] == arr.loc[lab, "n_vecs"]).all()
+        rebuilt = (sub["value_x1e7"].to_numpy() / 1e7)
+        assert np.array_equal(rebuilt, np.array(arr.loc[lab, "centroid"])), lab
+
+
 def test_pack_chunks_pad_to_boundary(spark):
     """Boundary-respecting packing: every doc gets exactly ceil(w/c)
     chunks, no chunk mixes documents, the doc's tokens start at offset 0

@@ -342,6 +342,63 @@ def ivf_ann_topk(
     )
 
 
+def _centroid_dim_sums(
+    df: DataFrame, vec_col: str, group_col: str, scale: int
+) -> DataFrame:
+    """(group, dim)-keyed fixed-point component sums — the shared partial
+    aggregation under both centroid shapes. The shuffle moves only
+    ~n_groups x dims rows after map-side combine."""
+    return (
+        df.select(
+            F.col(group_col).alias("g"),
+            F.posexplode(vec_col).alias("dim", "v"),
+        )
+        .groupBy("g", "dim")
+        .agg(
+            # floor(x + 0.5) quantization, NOT round(): identical IEEE ops in
+            # every engine, no round-tie rule to disagree on (BASELINE.md
+            # rounding-trap class)
+            F.sum(
+                F.floor(F.col("v").cast("double") * scale + F.lit(0.5)).cast("bigint")
+            ).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def group_centroid_components(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    group_col: str = "label",
+    scale: int = 10_000_000,
+) -> DataFrame:
+    """Flat (scalar-row) centroid shape: one row per (group, dim) with the
+    EXACT fixed-point mean component as a bigint. Returns
+    (group_col, dim: int, n_vecs: bigint, value_x1e7: bigint).
+
+    This is the harness-friendly twin of ``group_centroids``: the array
+    shape is what an IVF bootstrap consumes, but an array<double> column
+    defeats row-canonicalizing comparators (a driver that sorts output
+    columns cannot factorize a list). The component rows carry identical
+    information — ``value_x1e7 / scale`` reassembled over dim is the
+    centroid — and every column is a scalar the comparator can hash.
+
+    Exactness: value_x1e7 = floor(s / n) over exact bigint sums. The
+    floor-div is expressed as (s - pmod(s, n)) / n: the numerator is
+    exactly divisible by n, the integer quotient is < 2^53, so the IEEE
+    double division is exact and the bigint cast lossless (negatives
+    included — pmod, not %, so trunc-vs-floor never bites)."""
+    dims = _centroid_dim_sums(df, vec_col, group_col, scale)
+    return dims.select(
+        F.col("g").alias(group_col),
+        F.col("dim").cast("int").alias("dim"),
+        F.col("n").cast("bigint").alias("n_vecs"),
+        ((F.col("s") - F.pmod("s", "n")) / F.col("n"))
+        .cast("bigint")
+        .alias("value_x1e7"),
+    )
+
+
 def group_centroids(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -364,22 +421,7 @@ def group_centroids(
     shuffle moves ~n_groups x dims rows after map-side combine), then a
     (group)-keyed re-assembly via sort of the TINY per-group dim list.
     No collect, no driver work, no UDF."""
-    dims = (
-        df.select(
-            F.col(group_col).alias("g"),
-            F.posexplode(vec_col).alias("dim", "v"),
-        )
-        .groupBy("g", "dim")
-        .agg(
-            # floor(x + 0.5) quantization, NOT round(): identical IEEE ops in
-            # every engine, no round-tie rule to disagree on (BASELINE.md
-            # rounding-trap class)
-            F.sum(
-                F.floor(F.col("v").cast("double") * scale + F.lit(0.5)).cast("bigint")
-            ).alias("s"),
-            F.count(F.lit(1)).alias("n"),
-        )
-    )
+    dims = _centroid_dim_sums(df, vec_col, group_col, scale)
     assembled = dims.groupBy("g").agg(
         F.max("n").cast("bigint").alias("n_vecs"),
         # array_sort on structs orders by the first field (dim), so the

@@ -2052,29 +2052,31 @@ FROM pd
 
 
 def q_centroids(spark, sf):
-    """Per-label embedding centroids (round 4): mean-pool over fixed-point
-    quantized components (floor(v * 1e7 + 0.5) bigint sums — exact and
-    order-independent, so the double outputs are bitwise reproducible in
-    any engine; see the operator docstring)."""
-    from tgist_features_spark.operators.similarity import group_centroids
+    """Per-label embedding centroids (round 5 reshape): mean-pool over
+    fixed-point quantized components (floor(v * 1e7 + 0.5) bigint sums —
+    exact and order-independent). Emitted as flat (label, dim, n_vecs,
+    value_x1e7) scalar rows rather than an array<double> column: the
+    values are identical (value_x1e7/1e7 reassembled over dim is the
+    centroid, pinned by pytest against group_centroids), but every column
+    is a scalar a row-canonicalizing comparator can hash."""
+    from tgist_features_spark.operators.similarity import group_centroid_components
 
-    return group_centroids(
+    return group_centroid_components(
         _t(spark, sf, "embeddings"), vec_col="embedding", group_col="label"
     )
 
 
 SQL_CENTROIDS = """
-WITH e AS (SELECT label, u.i AS dim, embedding[u.i] AS v
+WITH e AS (SELECT label, u.i - 1 AS dim, embedding[u.i] AS v
            FROM embeddings,
                 unnest(range(1, len(embedding) + 1)) AS u(i)),
 q AS (SELECT label, dim,
              SUM(CAST(floor(CAST(v AS DOUBLE) * 10000000 + 0.5) AS BIGINT))::BIGINT AS s,
              COUNT(*)::BIGINT AS n
-      FROM e GROUP BY 1, 2),
-c AS (SELECT label, MAX(n)::BIGINT AS n_vecs,
-             list((s - ((s % n) + n) % n) / n / 10000000.0 ORDER BY dim) AS centroid
-      FROM q GROUP BY label)
-SELECT label, n_vecs, centroid FROM c
+      FROM e GROUP BY 1, 2)
+SELECT label, dim::INT AS dim, n AS n_vecs,
+       ((s - ((s % n) + n) % n) // n)::BIGINT AS value_x1e7
+FROM q
 """
 
 
