@@ -397,6 +397,39 @@ def test_read_csv_quarantines_corrupt_lines(spark, tmp_path):
     assert corrupt2.count() == 0
 
 
+def test_read_csv_header_rules_by_schema_kind(spark, tmp_path):
+    """Header-drop scoping (review finding): with a non-string field the
+    header is removed from the QUARANTINE (it can never parse as data),
+    near-header data rows survive; with an all-string schema the
+    equality drop applies pre-parse (documented trade)."""
+    from pyspark.sql import types as T
+
+    from tgist_features_spark.sources.csvio import read_csv
+
+    p = tmp_path / "meta2"
+    p.mkdir()
+    # doc_id is LONG: the header line cannot be a data row
+    (p / "a.csv").write_text("doc_id,label\n1,label\n2,doc_id\n")
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("label", T.StringType())]
+    )
+    clean, corrupt = read_csv(spark, str(p), schema)
+    assert sorted(tuple(r) for r in clean.collect()) == [(1, "label"), (2, "doc_id")]
+    assert corrupt.count() == 0  # header neither data nor corrupt
+
+    q = tmp_path / "meta3"
+    q.mkdir()
+    # all-string schema: equality is the only header rule — the data row
+    # identical to the header rendering is dropped WITH the header
+    (q / "a.csv").write_text("k,v\nx,y\nk,v\nk,w\n")
+    s2 = T.StructType(
+        [T.StructField("k", T.StringType()), T.StructField("v", T.StringType())]
+    )
+    clean2, corrupt2 = read_csv(spark, str(q), s2)
+    assert sorted(tuple(r) for r in clean2.collect()) == [("k", "w"), ("x", "y")]
+    assert corrupt2.count() == 0
+
+
 def test_table_io_orc_roundtrip(spark, tmp_path):
     """TableIO(fmt='orc'): bucket x day layout, read-back parity with the
     parquet path, exists() recognition, and compact() on ORC files."""
@@ -513,6 +546,57 @@ def test_png_decode_all_filter_types_and_colortypes():
         + chunk(b"IEND", b"")
     )
     assert decode_png(png) is None
+
+
+def test_table_io_compact_heals_post_swap_crash(spark, tiny_pdf, tmp_path):
+    """A crash AFTER the rename swap but before cleanup leaves a stale
+    <table>__precompact beside the new table; the next compact must
+    discard it and proceed (a review finding: the old code failed on a
+    non-empty rename destination), and the upsert-key marker must survive
+    because it is copied into the replacement BEFORE the swap."""
+    import os
+    import shutil
+
+    import pandas as pd
+
+    from tgist_features_spark.sources.table_io import TableIO
+
+    io_ = TableIO(spark, str(tmp_path / "wh"), n_buckets=4)
+    base = pd.DataFrame({"conv_id": [f"c{i}" for i in range(32)], "v": range(32)})
+    io_.upsert(spark.createDataFrame(base), "t")  # writes the _upsert_key marker
+    src = io_.path("t")
+    # simulate the post-swap crash window: a superseded snapshot lingers
+    shutil.copytree(src, src + "__precompact")
+    n = io_.compact("t")
+    assert n >= 1
+    assert not os.path.isdir(src + "__precompact"), "stale snapshot not reclaimed"
+    assert os.path.exists(os.path.join(src, "_upsert_key")), "marker lost in swap"
+    got = io_.read("t").toPandas().set_index("conv_id")["v"].to_dict()
+    assert got == {f"c{i}": i for i in range(32)}
+    # marker still authoritative: a follow-up upsert works
+    io_.upsert(spark.createDataFrame(pd.DataFrame({"conv_id": ["c1"], "v": [100]})), "t")
+    assert io_.read("t").toPandas().set_index("conv_id")["v"].to_dict()["c1"] == 100
+
+
+def test_table_io_upsert_rejects_duplicate_delta_keys(spark, tmp_path):
+    """MERGE needs one row per key in the delta — a duplicate would
+    survive the anti-join+union as duplicate rows (review finding); the
+    operator must refuse rather than silently violate the docstring."""
+    import pandas as pd
+    import pytest as _pt
+
+    from tgist_features_spark.sources.table_io import TableIO
+
+    io_ = TableIO(spark, str(tmp_path / "wh"), n_buckets=4)
+    base = pd.DataFrame({"conv_id": ["a", "b"], "v": [1, 2]})
+    io_.upsert(spark.createDataFrame(base), "t")
+    dup = pd.DataFrame({"conv_id": ["a", "a", "c"], "v": [10, 11, 3]})
+    with _pt.raises(ValueError, match="distinct"):
+        io_.upsert(spark.createDataFrame(dup), "t")
+    # table unchanged by the refused merge
+    assert io_.read("t").toPandas().set_index("conv_id")["v"].to_dict() == {
+        "a": 1, "b": 2,
+    }
 
 
 def test_table_io_upsert_touches_only_delta_buckets(spark, tmp_path):

@@ -244,10 +244,18 @@ def test_connected_components_vs_union_find(spark):
 
 
 def test_connected_components_reliable_checkpoint_parity(spark, tmp_path):
-    """checkpoint_dir mode (reliable checkpoint(), cluster fault-tolerant)
-    must produce exactly the labels of the default localCheckpoint mode,
-    and must leave its blocks under the given directory."""
+    """checkpoint_dir mode (reliable per-iteration parquet checkpoints,
+    cluster fault-tolerant) must produce exactly the labels of the default
+    localCheckpoint mode, must actually write under the given directory
+    during the run, and must leave NOTHING behind afterwards (superseded
+    iterations reclaimed in-loop, run dir removed on exit) — checkpoint
+    garbage accumulating across runs on a shared cluster path was a
+    review finding."""
     import os
+
+    # patch the CONCRETE class — pyspark 4's pyspark.sql.DataFrame is an
+    # abstract facade; instances are classic.dataframe.DataFrame
+    from pyspark.sql.classic.dataframe import DataFrame as ClassicDF
 
     from tgist_features_spark.operators.components import connected_components
 
@@ -262,12 +270,30 @@ def test_connected_components_reliable_checkpoint_parity(spark, tmp_path):
         .toPandas().set_index("id")["comp"].to_dict()
     )
     ckdir = str(tmp_path / "cc_ckpt")
-    reliable = (
-        connected_components(spark.createDataFrame(pdf), checkpoint_dir=ckdir)
-        .toPandas().set_index("id")["comp"].to_dict()
-    )
+    seen_during_run = []
+    orig = ClassicDF.count
+
+    def counting(self):
+        if os.path.isdir(ckdir):
+            for run in os.listdir(ckdir):
+                seen_during_run.extend(os.listdir(os.path.join(ckdir, run)))
+        return orig(self)
+
+    ClassicDF.count = counting
+    try:
+        reliable = (
+            connected_components(spark.createDataFrame(pdf), checkpoint_dir=ckdir)
+            .toPandas().set_index("id")["comp"].to_dict()
+        )
+    finally:
+        ClassicDF.count = orig
     assert reliable == local == _union_find_ref(pairs)
-    assert os.path.isdir(ckdir) and os.listdir(ckdir), "no reliable blocks written"
+    assert any(e.startswith("iter-") for e in seen_during_run), (
+        "no reliable checkpoints observed during the run"
+    )
+    assert not (os.path.isdir(ckdir) and os.listdir(ckdir)), (
+        f"checkpoint garbage left behind: {os.listdir(ckdir)}"
+    )
 
 
 def test_connected_components_random_graph(spark):

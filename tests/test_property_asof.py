@@ -257,8 +257,10 @@ def test_token_frequency_stats_property(spark, docs, min_count, hot_min):
 )
 @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
 def test_bounded_range_join_property(spark, n_events, lo, width, seed):
-    """For ANY window (lo, lo+width] and random event times (duplicates
-    included), the binned join equals the naive equi+filter join."""
+    """For ANY window (lo, lo+width] and random event times — including
+    PRE-1970 (negative epoch) ones, which pin the floor-div bucket math
+    against trunc-div bucket loss — the binned join equals the naive
+    equi+filter join."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import functions as F
@@ -269,7 +271,7 @@ def test_bounded_range_join_property(spark, n_events, lo, width, seed):
     pdf = pd.DataFrame({
         "eid": range(n_events),
         "u": rng.integers(0, 3, n_events),
-        "off": rng.integers(0, 2000, n_events),
+        "off": rng.integers(-2000, 2000, n_events),
     })
     pdf["ts"] = pd.to_datetime(pdf["off"], unit="s")
     df = spark.createDataFrame(pdf[["eid", "u", "ts"]])

@@ -19,13 +19,22 @@ the per-round materialization cost many times over.
 Checkpoint durability: ``localCheckpoint`` blocks live on executors and
 are NOT fault-tolerant — on a real cluster an executor loss
 mid-iteration kills the job (lineage is already truncated). Pass
-``checkpoint_dir`` to use RELIABLE ``checkpoint()`` instead: blocks go
-to that (HDFS/S3/shared) path and survive executor loss, at the cost of
-a filesystem write+read round-trip per iteration. Measured on the sf0.1
-SimHash pair set against local disk the two modes are wall-parity (~2.5s
-steady either way — the label relation is tiny compared to the join
-work); on a real cluster the round-trip goes to shared storage, so
-expect reliable mode to cost more there, paid back the first time a
+``checkpoint_dir`` for RELIABLE per-iteration checkpoints: each
+iteration's label relation is written to (and read back from) a parquet
+directory under a per-run subpath of that (HDFS/S3/shared) location, so
+it survives executor loss, at the cost of a filesystem round-trip per
+iteration. Explicit write/read-back is used instead of RDD-level
+``df.checkpoint()`` deliberately: ``sc.setCheckpointDir`` is a
+session-GLOBAL mutation that would silently redirect every other
+checkpoint user, and RDD checkpoint files are never reclaimed without
+the ``spark.cleaner.referenceTracking.cleanCheckpoints`` conf — whereas
+here each superseded iteration's directory is deleted as the loop
+advances (via the Hadoop FileSystem API, so any scheme works) and the
+whole run directory is removed on exit. Measured on the sf0.1 SimHash
+pair set against local disk the two modes are wall-parity (~2.5s steady
+either way — the label relation is tiny compared to the join work); on
+a real cluster the round-trip goes to shared storage, so expect
+reliable mode to cost more there, paid back the first time a
 multi-round job survives an executor loss. Default stays executor-local
 — right for single-node runs; set ``checkpoint_dir`` on clusters.
 
@@ -57,68 +66,108 @@ def connected_components(
 
     ``checkpoint_dir=None`` (default): per-iteration eager
     ``localCheckpoint`` — fastest, executor-local, not fault-tolerant.
-    ``checkpoint_dir=<path>``: per-iteration reliable ``checkpoint()``
-    into that directory — survives executor loss on a real cluster (see
-    module docstring for the measured cost of each mode).
+    ``checkpoint_dir=<path>``: per-iteration reliable parquet
+    checkpoints under a unique subdirectory of that path — survives
+    executor loss on a real cluster; superseded iterations are deleted
+    as the loop advances and the subdirectory is removed on exit, so
+    nothing accumulates across runs and no session-global checkpoint
+    config is touched (see module docstring).
     """
+    spark = pairs.sparkSession
+    run_dir: str | None = None
+    seq = 0
     if checkpoint_dir is not None:
-        sc = pairs.sparkSession.sparkContext
-        sc.setCheckpointDir(checkpoint_dir)
+        import uuid  # noqa: PLC0415
+
+        run_dir = f"{checkpoint_dir.rstrip('/')}/cc-{uuid.uuid4().hex}"
 
         def _ckpt(df: DataFrame) -> DataFrame:
-            return df.checkpoint(eager=True)
+            nonlocal seq
+            p = f"{run_dir}/iter-{seq}"
+            seq += 1
+            df.write.mode("overwrite").parquet(p)
+            out = spark.read.parquet(p)
+            out._cc_ckpt_path = p  # noqa: SLF001 — consumed by _drop below
+            return out
     else:
 
         def _ckpt(df: DataFrame) -> DataFrame:
             return df.localCheckpoint(eager=True)
 
-    e = _ckpt(
-        pairs.select(F.col(a_col).alias("s"), F.col(b_col).alias("d"))
-        .union(pairs.select(F.col(b_col).alias("s"), F.col(a_col).alias("d")))
-        .distinct()
-    )
-    labels = _ckpt(
-        e.select(F.col("s").alias("id"))
-        .distinct()
-        .withColumn("comp", F.col("id"))
-    )
-    for _ in range(max_iters):
-        # (a) min neighbor label per node
-        nbr = (
-            e.join(labels.withColumnRenamed("id", "d"), "d")
-            .groupBy("s")
-            .agg(F.min("comp").alias("nbr_comp"))
-            .withColumnRenamed("s", "id")
+    def _drop(df: DataFrame | None) -> None:
+        """Delete a superseded reliable checkpoint (no-op in local mode).
+        Hadoop FileSystem API, so HDFS/S3/local paths all work."""
+        p = getattr(df, "_cc_ckpt_path", None)
+        if p is None:
+            return
+        jvm = spark._jvm  # noqa: SLF001
+        jpath = jvm.org.apache.hadoop.fs.Path(p)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
+        fs.delete(jpath, True)
+
+    try:
+        e = _ckpt(
+            pairs.select(F.col(a_col).alias("s"), F.col(b_col).alias("d"))
+            .union(pairs.select(F.col(b_col).alias("s"), F.col(a_col).alias("d")))
+            .distinct()
         )
-        stepped = (
-            labels.join(nbr, "id", "left")
-            .select(
-                "id",
-                F.least(F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))).alias("comp"),
+        labels = _ckpt(
+            e.select(F.col("s").alias("id"))
+            .distinct()
+            .withColumn("comp", F.col("id"))
+        )
+        for _ in range(max_iters):
+            # (a) min neighbor label per node
+            nbr = (
+                e.join(labels.withColumnRenamed("id", "d"), "d")
+                .groupBy("s")
+                .agg(F.min("comp").alias("nbr_comp"))
+                .withColumnRenamed("s", "id")
             )
-        )
-        # (b) pointer jump: follow my label's label (squares the distance)
-        jump = labels.select(
-            F.col("id").alias("comp"), F.col("comp").alias("jumped")
-        )
-        new_labels = _ckpt(
-            stepped.join(jump, "comp", "left")
-            .select(
-                "id",
-                F.least(F.col("comp"), F.coalesce("jumped", F.col("comp"))).alias("comp"),
+            stepped = (
+                labels.join(nbr, "id", "left")
+                .select(
+                    "id",
+                    F.least(F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))).alias("comp"),
+                )
             )
+            # (b) pointer jump: follow my label's label (squares the distance)
+            jump = labels.select(
+                F.col("id").alias("comp"), F.col("comp").alias("jumped")
+            )
+            new_labels = _ckpt(
+                stepped.join(jump, "comp", "left")
+                .select(
+                    "id",
+                    F.least(F.col("comp"), F.coalesce("jumped", F.col("comp"))).alias("comp"),
+                )
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .filter(F.col("n.comp") != F.col("o.comp"))
+                .count()
+            )
+            # the convergence count was old `labels`' last reader — its
+            # checkpoint files are now superseded and safe to reclaim
+            _drop(labels)
+            labels = new_labels
+            if changed == 0:
+                if run_dir is not None:
+                    # detach the result from the run dir so the whole dir
+                    # can be reclaimed now; durability was needed ACROSS
+                    # the iterations, the returned relation has the same
+                    # executor-block guarantee as the default mode
+                    labels = labels.localCheckpoint(eager=True)
+                return labels
+        raise RuntimeError(
+            f"connected_components: no convergence after {max_iters} iterations "
+            "— pathological graph or a bug; raise max_iters explicitly if the "
+            "input really has diameter > 2^{max_iters}"
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            return labels
-    raise RuntimeError(
-        f"connected_components: no convergence after {max_iters} iterations "
-        "— pathological graph or a bug; raise max_iters explicitly if the "
-        "input really has diameter > 2^{max_iters}"
-    )
+    finally:
+        if run_dir is not None:
+            jvm = spark._jvm  # noqa: SLF001
+            jpath = jvm.org.apache.hadoop.fs.Path(run_dir)
+            fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
+            fs.delete(jpath, True)

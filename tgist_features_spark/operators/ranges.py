@@ -39,9 +39,15 @@ def bounded_range_join(
     the "what followed within N minutes" shape (use a negative window
     for "what preceded"). Column names must not collide across sides.
 
-    Bucket arithmetic is integer ``div`` over epoch-microseconds (no
-    doubles near 2^53); ``div`` truncates toward zero, which equals
-    floor on the non-negative values real epoch timestamps produce."""
+    Bucket arithmetic is integer FLOOR division over epoch-microseconds
+    (no doubles near 2^53). Spark's ``div`` truncates toward zero, which
+    diverges from floor on negative operands (pre-1970 timestamps, or any
+    ``__bu - lo - 1`` that goes negative under a large positive ``lo``) —
+    a trunc-binned row lands one bucket high and its true matches are
+    silently lost. Floor is recovered exactly as
+    ``(x - pmod(x, w)) div w``: pmod's remainder is non-negative, the
+    adjusted numerator is exactly divisible, and trunc of an exact
+    multiple equals floor for any sign."""
     if not hi_s > lo_s:
         raise ValueError("bounded_range_join: need hi_s > lo_s")
     w = int(round((hi_s - lo_s) * 1_000_000))
@@ -50,16 +56,20 @@ def bounded_range_join(
         # post-rounding guard: a sub-microsecond window would make the
         # bucket div-by-zero NULL out silently instead of erroring
         raise ValueError("bounded_range_join: window must be >= 1 microsecond")
+
+    def _fdiv(x: str) -> str:
+        return f"(({x}) - pmod({x}, {w})) div {w}"
+
     ak = (
         a.withColumn("__au", us(F.col(a_ts)))
-        .withColumn("__ka", F.expr(f"__au div {w}"))
+        .withColumn("__ka", F.expr(_fdiv("__au")))
         .withColumn("__bk", F.explode(F.array(F.col("__ka"), F.col("__ka") + 1)))
         .drop("__ka")
         .alias("A")
     )
     bk = (
         b.withColumn("__bu", us(F.col(b_ts)))
-        .withColumn("__bk", F.expr(f"(__bu - {lo} - 1) div {w}"))
+        .withColumn("__bk", F.expr(_fdiv(f"__bu - {lo} - 1")))
         .alias("B")
     )
     cond = (

@@ -28,9 +28,29 @@ def read_csv(
     sep: str = ",",
     header: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
-    """Returns (clean, corrupt). ``header=True`` drops lines equal to the
-    schema's own header rendering (the standard per-file header) before
-    parsing, so headers neither parse as data nor count as corrupt."""
+    """Returns (clean, corrupt).
+
+    Limitation (inherent to the line-based text scan): quoted fields with
+    EMBEDDED NEWLINES are split across lines — the fragments neither
+    parse nor reach the corrupt set intact. Multiline CSV needs the
+    native csv source's ``multiLine`` mode (and loses the SPARK-21610-free
+    corrupt column this reader exists for); this reader targets the
+    one-record-per-line sidecar shape.
+
+    ``header=True`` discards the per-file header line without losing
+    data rows:
+
+    * schema has >= 1 non-string field — header lines cannot parse (their
+      cells are the column NAMES, and at least one column demands a
+      non-string type), so they land in the corrupt set and are dropped
+      FROM THE QUARANTINE by header-rendering equality. A legitimate
+      data row that happens to render like the header parses fine and is
+      never touched.
+    * all-string schema — any line parses, so the only available rule is
+      pre-parse equality with the header rendering; a data row exactly
+      equal to ``"col1<sep>col2..."`` is indistinguishable from a header
+      and is dropped with it (documented trade — a text scan has no line
+      numbers to scope the drop to each file's first line)."""
     full = T.StructType(
         list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType(), True)]
     )
@@ -39,9 +59,10 @@ def read_csv(
         "columnNameOfCorruptRecord": CORRUPT_COL,
         "sep": sep,
     }
+    hdr = sep.join(f.name for f in schema.fields)
+    all_string = all(isinstance(f.dataType, T.StringType) for f in schema.fields)
     lines = spark.read.text(path)
-    if header:
-        hdr = sep.join(f.name for f in schema.fields)
+    if header and all_string:
         lines = lines.filter(F.col("value") != hdr)
     parsed = lines.select(
         F.col("value"),
@@ -50,7 +71,10 @@ def read_csv(
     clean = parsed.filter(F.col(f"c.{CORRUPT_COL}").isNull()).select(
         *[F.col(f"c.{f.name}").alias(f.name) for f in schema.fields]
     )
-    corrupt = parsed.filter(F.col(f"c.{CORRUPT_COL}").isNotNull()).select(
+    corrupt_pred = F.col(f"c.{CORRUPT_COL}").isNotNull()
+    if header and not all_string:
+        corrupt_pred = corrupt_pred & (F.col("value") != hdr)
+    corrupt = parsed.filter(corrupt_pred).select(
         F.col("value").alias(CORRUPT_COL)
     )
     return clean, corrupt

@@ -130,16 +130,26 @@ class TableIO:
         (bucket=/day= columns are re-derived from the hive-read columns).
         Swap is a two-rename sequence (POSIX has no atomic directory
         exchange): a crash between the renames leaves the data intact in
-        ``<table>__precompact``, and the NEXT compact/read-side call to
-        this method restores it automatically before proceeding (the
-        Iceberg form is a genuinely atomic rewrite-data-files commit).
+        ``<table>__precompact`` and the NEXT call restores it; a crash
+        after the swap (before cleanup) leaves a superseded
+        ``__precompact`` beside the new table and the next call discards
+        it. The upsert-key marker is copied into the replacement BEFORE
+        the swap, so neither window can lose it. (The Iceberg form is a
+        genuinely atomic rewrite-data-files commit.)
         Returns the new file count."""
         import shutil  # noqa: PLC0415
 
         src = self.path(name)
         old = src + "__precompact"
         if not os.path.isdir(src) and os.path.isdir(old):
-            os.rename(old, src)  # self-heal a crashed prior swap
+            os.rename(old, src)  # crash between the two renames: restore
+        elif os.path.isdir(src) and os.path.isdir(old):
+            # crash AFTER the swap completed but before cleanup: src already
+            # holds the complete compacted copy (rename is atomic) and the
+            # marker was copied into it pre-swap, so the leftover is just
+            # the superseded snapshot — drop it, or the rename below would
+            # fail on a non-empty destination
+            shutil.rmtree(old)
         # hive-partition cols come back from the directory layout
         df = self.spark.read.format(self.fmt).load(src)
         part_cols = [c for c in ("bucket", "day") if c in df.columns]
@@ -157,13 +167,14 @@ class TableIO:
         if part_cols:
             w = w.partitionBy(*part_cols)
         w.format(self.fmt).save(tmp)
+        # carry table-level metadata (the upsert bucketing marker) across
+        # the rewrite BEFORE the swap — once tmp becomes src the marker is
+        # already in place, so no crash window can lose it
+        src_marker = os.path.join(src, self._UPSERT_MARKER)
+        if os.path.exists(src_marker):
+            shutil.copy(src_marker, os.path.join(tmp, self._UPSERT_MARKER))
         os.rename(src, old)
         os.rename(tmp, src)
-        # carry table-level metadata (the upsert bucketing marker) across
-        # the rewrite — it is not a data file, so the Spark job drops it
-        old_marker = os.path.join(old, self._UPSERT_MARKER)
-        if os.path.exists(old_marker):
-            shutil.copy(old_marker, os.path.join(src, self._UPSERT_MARKER))
         shutil.rmtree(old)
         return sum(
             1
@@ -199,9 +210,23 @@ class TableIO:
         delta = df.withColumn(
             "bucket", F.pmod(F.xxhash64(key), F.lit(self.n_buckets))
         ).localCheckpoint(eager=True)  # one execution of the incoming plan
-        per_bucket = delta.groupBy("bucket").count().collect()
+        per_bucket = delta.groupBy("bucket").agg(
+            F.count(F.lit(1)).alias("count"),
+            F.count_distinct(F.col(key)).alias("n_keys"),
+        ).collect()
         touched = [int(r["bucket"]) for r in per_bucket]
         n_rows = sum(int(r["count"]) for r in per_bucket)
+        # MERGE semantics need one row per key in the delta: buckets
+        # partition the key space, so per-bucket distincts sum to the
+        # global distinct count and the check costs nothing extra
+        n_keys = sum(int(r["n_keys"]) for r in per_bucket)
+        if n_keys != n_rows:
+            raise ValueError(
+                f"TableIO.upsert: delta has {n_rows} rows but only "
+                f"{n_keys} distinct {key!r} values — a duplicated key "
+                "would survive the merge as duplicate rows; dedupe the "
+                "delta first (there is no row order to define last-wins)"
+            )
 
         if not self.exists(name):
             # marker BEFORE data: a crash between the two leaves an empty
