@@ -40,6 +40,15 @@ def main() -> None:
                     help="reference corpus parquet: drop docs whose MinHash-"
                          "estimated Jaccard vs ANY reference doc reaches the "
                          "threshold (cross-corpus near-dedup stage)")
+    ap.add_argument("--ref-sig-cache", default=None,
+                    help="directory caching the reference corpus's MinHash "
+                         "signatures: first run (with --ref-input) signs the "
+                         "reference ONCE and writes here; later runs reuse "
+                         "the cache and may omit --ref-input entirely — the "
+                         "production shape for deduping every incoming batch "
+                         "against a static trained corpus. The cache is "
+                         "stamped with its signature parameters and refuses "
+                         "a mismatched reuse.")
     ap.add_argument("--eval-input", default=None,
                     help="eval/benchmark docs parquet: drop kept docs "
                          "sharing any token n-gram with this set")
@@ -65,12 +74,49 @@ def main() -> None:
 
     eval_docs = spark.read.parquet(args.eval_input) if args.eval_input else None
     ref_docs = spark.read.parquet(args.ref_input) if args.ref_input else None
+    ref_sigs = None
+    if args.ref_sig_cache:
+        # parameters the cross stage will use (pipeline defaults) — a cache
+        # signed differently produces incomparable band hashes, so the
+        # stamp is the compatibility contract
+        params = {"n_hashes": 128, "shingle": 3, "seed": 42}
+        stamp = os.path.join(args.ref_sig_cache, "_params.json")
+        sig_path = os.path.join(args.ref_sig_cache, "sigs")
+        if os.path.exists(stamp):
+            with open(stamp) as fh:
+                stored = json.load(fh)
+            if stored != params:
+                raise SystemExit(
+                    f"--ref-sig-cache was built with {stored}, this job "
+                    f"needs {params}; use a fresh cache directory"
+                )
+        else:
+            if ref_docs is None:
+                raise SystemExit(
+                    "--ref-sig-cache has no cache yet; provide --ref-input "
+                    "for the one-time signing pass"
+                )
+            from tgist_features_spark.operators.dedup import (  # noqa: PLC0415
+                minhash_signatures,
+            )
+
+            minhash_signatures(
+                ref_docs, n_hashes=params["n_hashes"],
+                shingle=params["shingle"], seed=params["seed"],
+                parallelism=spark.sparkContext.defaultParallelism,
+            ).write.mode("overwrite").parquet(sig_path)
+            # stamp AFTER data: a crash mid-write leaves no stamp and the
+            # next run simply re-signs
+            with open(stamp, "w") as fh:
+                json.dump(params, fh)
+        ref_sigs = spark.read.parquet(sig_path)
+        ref_docs = None  # the signatures stand in for the reference corpus
     t0 = time.perf_counter()
     kept, drop_log = dedup_corpus(
         docs, min_est_jaccard=args.threshold, max_bucket=args.max_bucket,
         transitive=args.transitive, eval_docs=eval_docs,
         checkpoint_dir=args.checkpoint_dir, ref_docs=ref_docs,
-        decontam_ngram=args.decontam_ngram,
+        ref_signatures=ref_sigs, decontam_ngram=args.decontam_ngram,
     )
     if args.output == "noop":
         # count() materializes the whole DAG — a separate noop write would
@@ -90,7 +136,8 @@ def main() -> None:
         "docs_dropped": n_in - n_kept,
         "threshold": args.threshold,
         "transitive": args.transitive,
-        "cross_ref": args.ref_input is not None,
+        "cross_ref": args.ref_input is not None or ref_sigs is not None,
+        "ref_sigs_cached": ref_sigs is not None,
         "decontaminated": args.eval_input is not None,
         "wall_s": round(wall, 3),
         "docs_per_sec": round(n_in / wall, 1),

@@ -752,6 +752,35 @@ def test_cross_doc_span_stats_hot_gram_divert_is_equivalent(spark):
     assert (capped["n_dup_spans"] >= 6).all()
 
 
+def test_remove_dup_spans_hot_gram_divert_is_equivalent(spark):
+    """remove_dup_spans' max_df divert (ported from cross_doc_span_stats)
+    is a physical optimization only: with a boilerplate gram in EVERY doc
+    (df 30 > max_df 3) the capped plan must produce exactly the uncapped
+    plan's output — byte-equal clean_text included."""
+    from tgist_features_spark.operators.dedup import remove_dup_spans
+
+    boiler = "this page is for informational purposes only contact support"
+    docs = {
+        i: boiler + " " + " ".join(f"w{i}_{j}" for j in range(6)) for i in range(30)
+    }
+    docs[100] = docs[0].replace("w0_", "x_")
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(docs), "text": list(docs.values())})
+    )
+    capped = (
+        remove_dup_spans(df, n=4, max_df=3)
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    uncapped = (
+        remove_dup_spans(df, n=4, max_df=None)
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(capped, uncapped)
+    # boilerplate spans removed everywhere, per-doc unique words kept
+    assert (capped["n_removed"] >= 4).all()
+    assert capped.loc[0, "clean_text"].startswith("w0_")
+
+
 def test_remove_dup_spans_matches_naive(spark):
     """Span REMOVAL must equal a naive per-doc reference: tokens covered by
     any cross-doc duplicated n-gram position are deleted, everything else

@@ -447,3 +447,46 @@ def test_dedup_pipeline_ref_corpus_stage(spark):
     row = dd[dd["reason"] == "near_ref"].iloc[0]
     assert row["doc_id"] == 1 and row["dup_of"] == 900
     assert set(kd["doc_id"]) | set(dd["doc_id"]) == {1, 2, 3}
+
+
+def test_dedup_pipeline_cached_ref_signatures(spark, tmp_path):
+    """The static-reference production shape: sign the reference corpus
+    ONCE, persist the signatures, and feed them back — results must be
+    IDENTICAL to the recompute path (same signature fn + seed), the
+    reference text never needs to be re-read, and a width-mismatched
+    cache fails loudly instead of silently missing pairs."""
+    import pandas as pd
+    import pytest as _pt
+    from pyspark.sql import functions as SF
+
+    from tgist_features_spark.operators.dedup import minhash_signatures
+    from tgist_features_spark.plans.dedup_pipeline import dedup_corpus
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [base + " v1",
+                 "fully unrelated text about columnar execution engines here",
+                 "another unrelated document with its own words entirely now"],
+    }))
+    ref = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [900], "text": [base + " v9"],
+    }))
+    # one-time signing pass (pipeline defaults: n_hashes=128, shingle=3)
+    sig_path = str(tmp_path / "ref_sigs")
+    minhash_signatures(ref, n_hashes=128, shingle=3, seed=42).write.parquet(sig_path)
+    cached = spark.read.parquet(sig_path)
+
+    k1, d1 = dedup_corpus(docs, min_est_jaccard=0.3, ref_docs=ref)
+    k2, d2 = dedup_corpus(docs, min_est_jaccard=0.3, ref_signatures=cached)
+    cols = ["doc_id", "dup_of", "reason", "est_jaccard"]
+    pd.testing.assert_frame_equal(
+        d1.toPandas()[cols].sort_values("doc_id").reset_index(drop=True),
+        d2.toPandas()[cols].sort_values("doc_id").reset_index(drop=True),
+    )
+    assert sorted(k2.toPandas()["doc_id"]) == sorted(k1.toPandas()["doc_id"])
+
+    # wrong-width cache: refuse, don't under-match
+    bad = cached.withColumn("sig", SF.slice("sig", 1, 64))
+    with _pt.raises(Exception, match="signature width"):
+        dedup_corpus(docs, min_est_jaccard=0.3, ref_signatures=bad)[1].collect()

@@ -852,6 +852,7 @@ def remove_dup_spans(
     text_col: str = "text",
     n: int = 8,
     min_docs: int = 2,
+    max_df: int | None = 10_000,
 ) -> DataFrame:
     """Span-level dedup as an ACTION, not just a statistic: delete every
     token covered by an n-gram that occurs in >= ``min_docs`` documents —
@@ -874,18 +875,46 @@ def remove_dup_spans(
     token): linear for the typical low-dup-fraction corpus, quadratic
     only for a long document that is MOSTLY duplicated spans — which
     doc-level dedup (the cheaper pass) should have dropped first; run
-    this operator after it, as ``jobs/score_corpus.py`` does."""
+    this operator after it, as ``jobs/score_corpus.py`` does.
+
+    ``max_df`` bounds the positions-to-dup-grams join's hot keys exactly
+    as in ``cross_doc_span_stats`` (see that docstring): a gram in more
+    than ``max_df`` docs is dup by definition (max_df is clamped to
+    >= min_docs), so its positions are flagged through a broadcast of the
+    small heavy-hitter tail and their shuffle key is salted per-doc — a
+    universal boilerplate gram no longer concentrates a join key at
+    scale. Capped and uncapped plans produce IDENTICAL output (pinned by
+    test); ``max_df=None`` keeps the single-join plan."""
     pos = _position_grams_idx(df, id_col, text_col, n)
-    gd = (
-        pos.groupBy("g")
-        .agg(F.count_distinct("id").alias("__nd"))
-        .filter(F.col("__nd") >= min_docs)
-        .select("g")
-    )
-    starts = (
-        pos.join(gd, "g")
-        .groupBy("id")
-        .agg(F.sort_array(F.collect_set("p")).alias("__starts"))
+    gd_all = pos.groupBy("g").agg(F.count_distinct("id").alias("__nd"))
+    if max_df is None or n < 2:
+        gd = gd_all.filter(F.col("__nd") >= min_docs).select("g")
+        dup_pos = pos.join(gd, "g")
+    else:
+        max_df = max(max_df, min_docs)  # hot must imply dup
+        dup_grams = (
+            gd_all.filter(F.col("__nd") >= min_docs)
+            .select("g", (F.col("__nd") > max_df).cast("int").alias("__hot"))
+            .localCheckpoint(eager=True)
+        )
+        hot = dup_grams.filter(F.col("__hot") == 1).select("g", "__hot")
+        cold_dup = dup_grams.filter(F.col("__hot") == 0).select(
+            "g", F.lit(1).alias("__cold")
+        )
+        # every n>=2 gram contains a space, so a space-free salted key can
+        # never collide with a real gram in the cold join below
+        salted = F.concat(
+            F.lit("\x00"),
+            F.translate(F.col("id").cast("string"), " ", ""),
+        )
+        pos2 = pos.join(F.broadcast(hot), "g", "left").withColumn(
+            "__jk", F.when(F.col("__hot") == 1, salted).otherwise(F.col("g"))
+        )
+        dup_pos = pos2.join(
+            cold_dup.withColumnRenamed("g", "__jk"), "__jk", "left"
+        ).filter((F.col("__hot") == 1) | (F.col("__cold") == 1))
+    starts = dup_pos.groupBy("id").agg(
+        F.sort_array(F.collect_set("p")).alias("__starts")
     )
     joined = df.join(
         starts.withColumnRenamed("id", id_col), id_col, "left"
@@ -928,7 +957,7 @@ def remove_dup_spans(
 
 def cross_corpus_near_pairs(
     df: DataFrame,
-    ref: DataFrame,
+    ref: DataFrame | None,
     id_col: str = "doc_id",
     text_col: str = "text",
     n_hashes: int = 128,
@@ -937,6 +966,7 @@ def cross_corpus_near_pairs(
     seed: int = 42,
     min_est_jaccard: float = 0.5,
     max_bucket: int | None = 200,
+    ref_signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs BETWEEN two corpora: (a from ``df``, b from
     ``ref``, est_jaccard) — the document-level decontamination /
@@ -954,15 +984,49 @@ def cross_corpus_near_pairs(
 
     Like the self-join variant, the (small) pair result is eagerly
     persisted so both signature caches release before returning — callers
-    should ``unpersist()`` it when done."""
+    should ``unpersist()`` it when done.
+
+    ``ref_signatures`` skips signing the reference side: pass a
+    precomputed (id, sig) relation — ``minhash_signatures`` output,
+    typically persisted once via TableIO for a STATIC reference corpus
+    ("dedup every incoming batch against the trained corpus") — and
+    ``ref`` may be None. The cache MUST have been built with the same
+    ``n_hashes``/``shingle``/``seed`` or band hashes stop being
+    comparable; signature width is validated against ``n_hashes`` in the
+    plan (a width-mismatched cache fails loudly, a wrong seed or shingle
+    cannot be detected from the data and is on the caller — stamp cache
+    paths with those parameters, as jobs/dedup_corpus.py does)."""
     rows = n_hashes // bands
     par = df.sparkSession.sparkContext.defaultParallelism
     sig_a = minhash_signatures(
         df, id_col, text_col, n_hashes, shingle, seed, parallelism=par
     ).persist()
-    sig_b = minhash_signatures(
-        ref, id_col, text_col, n_hashes, shingle, seed, parallelism=par
-    ).persist()
+    own_b = ref_signatures is None
+    if own_b:
+        if ref is None:
+            raise ValueError(
+                "cross_corpus_near_pairs: need ref docs or ref_signatures"
+            )
+        sig_b = minhash_signatures(
+            ref, id_col, text_col, n_hashes, shingle, seed, parallelism=par
+        ).persist()
+    else:
+        sig_b = ref_signatures.select(
+            "id",
+            F.when(F.size("sig") == n_hashes, F.col("sig"))
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "cross_corpus_near_pairs: cached signature width "
+                        ),
+                        F.size("sig").cast("string"),
+                        F.lit(f" != n_hashes {n_hashes}"),
+                    )
+                )
+            )
+            .alias("sig"),
+        )
     ba = cap_buckets(_banded_numeric(sig_a, bands, rows), ["band", "bhash"], max_bucket)
     bb = cap_buckets(_banded_numeric(sig_b, bands, rows), ["band", "bhash"], max_bucket)
     cand = (
@@ -994,5 +1058,6 @@ def cross_corpus_near_pairs(
     )
     out.count()
     sig_a.unpersist()
-    sig_b.unpersist()
+    if own_b:
+        sig_b.unpersist()
     return out

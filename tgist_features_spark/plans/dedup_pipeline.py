@@ -39,6 +39,7 @@ def dedup_corpus(
     decontam_ngram: int = 8,
     checkpoint_dir: str | None = None,
     ref_docs: DataFrame | None = None,
+    ref_signatures: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (kept_docs, drop_log).
 
@@ -52,7 +53,11 @@ def dedup_corpus(
     ``min_est_jaccard`` is dropped (operators/dedup.py
     ``cross_corpus_near_pairs`` — two-sided banded join, the doc-level
     sibling of eval decontamination). Runs after within-corpus dedup so
-    the cross probe scans the smallest corpus.
+    the cross probe scans the smallest corpus. ``ref_signatures`` feeds
+    that stage a precomputed (id, sig) MinHash relation for the reference
+    side so a STATIC reference corpus is signed once, not per run (with
+    it set, ``ref_docs`` may be None) — see the operator docstring for
+    the parameter-compatibility contract.
 
     ``eval_docs`` adds the third corpus-prep stage: any surviving doc that
     shares a token ``decontam_ngram``-gram with the eval set is dropped
@@ -156,7 +161,7 @@ def dedup_corpus(
         )
         kept = kept.join(hits.select(id_col), id_col, "left_anti")
         drop_log = drop_log.unionByName(contam)
-    if ref_docs is not None:
+    if ref_docs is not None or ref_signatures is not None:
         from tgist_features_spark.operators.dedup import (  # noqa: PLC0415
             cross_corpus_near_pairs,
         )
@@ -166,6 +171,7 @@ def dedup_corpus(
             id_col=id_col, text_col=text_col,
             n_hashes=n_hashes, bands=bands,
             min_est_jaccard=min_est_jaccard, max_bucket=max_bucket,
+            ref_signatures=ref_signatures,
         )
         ref_drops = (
             xpairs.groupBy(F.col("a").alias("doc_id"))
