@@ -86,23 +86,33 @@ def test_entry_smoke(spark):
 
 
 def test_driver_window_composition():
-    """The driver checks the FIRST 50 registry keys: every query whose
-    operator changed in round 4 and all seven new round-4 queries must sit
-    inside that window (registry comments record the rotation rationale).
-    Guards against accidental reordering."""
+    """The driver checks the FIRST 50 registry keys: the full r04 tail
+    (whose newest driver evidence would otherwise go stale), the reshaped
+    centroids query (the r04 red row), and every query whose operator
+    file changed in round 5 must sit inside that window (registry
+    comments record the rotation rationale). Guards against accidental
+    reordering."""
     ks = list(entry_mod.queries())
     window = set(ks[:50])
     must_be_checked = {
-        # operator files touched in round 4
-        "pack_chunks", "shuffle_order", "span_dup", "ngram_jaccard",
+        # the entire r04 tail — rotated back in so no key's driver
+        # evidence is more than one round old
+        "embed_near_dup", "train_split", "group_sample",
+        "temperature_resample", "semi_join", "sessionize",
+        "grouping_sets", "array_stats", "percentiles",
+        "approx_percentile", "anti_join", "set_except", "cosine_topk",
+        "session_stats", "cumulative", "cube", "intersect", "lag_lead",
+        "rolling_counts", "rolling_time", "ffill", "topk_per_user",
+        "pivot_counts", "distinct_agg", "json_extract",
+        # the r04 red row, reshaped this round
+        "centroids",
+        # operator files touched in round 5 (dedup.py, ranges.py,
+        # components.py, similarity.py)
+        "span_removal", "cross_dedup", "span_dup", "ngram_jaccard",
         "dedup_minhash", "dedup_simhash", "decontaminate", "dedup_exact",
-        "gopher_quality", "asof_backward", "asof_forward", "asof_tolerance",
-        "asof_salted", "dup_clusters", "range_join",
-        # new round-4 queries
-        "span_removal", "tf_stats", "centroids", "cross_dedup",
-        "resample", "pack_padded", "corpus_report",
+        "range_join", "dup_clusters", "knn_brute", "ann_lsh", "ivf_ann",
     }
     missing = must_be_checked - window
-    assert not missing, f"driver window lost round-4 evidence for: {missing}"
+    assert not missing, f"driver window lost round-5 evidence for: {missing}"
     assert len(ks) == len(set(ks)) == 75
     assert set(entry_mod.oracle_sql()) == set(ks)

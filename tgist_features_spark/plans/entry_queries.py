@@ -2171,64 +2171,16 @@ FROM j
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- first 50 keys = the driver correctness window (driver caps its
-    # oracle run at 50 keys, in order). Final round-4 rotation: every
-    # operator file touched this round, the full r02 tail, AND the 7 new
-    # round-4 queries are in-window; the keys rotated out are r03-green
-    # with their operator functions untouched this round, and the whole
-    # 75-key registry was swept bitwise vs its oracles at sf0.1 by the
-    # builder (COVERAGE.md).
-    "pack_chunks": q_pack_chunks,
-    "shuffle_order": q_shuffle_order,
-    "span_dup": q_span_dup,
-    "ngram_jaccard": q_ngram_jaccard,
-    "dedup_minhash": q_dedup_minhash,
-    "dedup_simhash": q_dedup_simhash,
-    "decontaminate": q_decontaminate,
-    "dedup_exact": q_dedup_exact,
-    "gopher_quality": q_gopher_quality,
-    "asof_backward": q_asof_backward,
-    "asof_forward": q_asof_forward,
-    "asof_tolerance": q_asof_tolerance,
-    "asof_salted": q_asof_salted,
-    "dup_clusters": q_dup_clusters,
-    "canonical_order": q_canonical_order,
-    "rollup": q_rollup,
-    "global_topk": q_global_topk,
-    "union_counts": q_union_counts,
-    "broadcast_join": q_broadcast_join,
-    "fingerprint": q_fingerprint,
-    "ngram_stats": q_ngram_stats,
-    "lang_id": q_lang_id,
-    "bpeish_tokens": q_bpeish_tokens,
-    "multimodal_bytes": q_multimodal_bytes,
-    "knn_brute": q_knn_brute,
-    "sql_shipping": q_sql_shipping,
-    "smj_join": q_smj_join,
-    "tokenize": q_tokenize,
-    "quality": q_quality,
-    "window_ranks": q_window_ranks,
-    "string_funcs": q_string_funcs,
-    "feature_vector": q_feature_vector,
-    "ann_lsh": q_ann_lsh,
-    "ivf_ann": q_ivf_ann,
-    "tfidf": q_tfidf,
-    "bm25": q_bm25,
-    "redact": q_redact,
-    "chunk_windows": q_chunk_windows,
-    "range_join": q_range_join,
-    "date_parts": q_date_parts,
-    "per_user_agg": q_per_user_agg,
-    "tpch_q1": q_tpch_q1,
-    "approx_distinct": q_approx_distinct,
-    "span_removal": q_span_removal,
-    "tf_stats": q_tf_stats,
+    # oracle run at 50 keys, in order). Round-5 rotation: the ENTIRE
+    # 25-key r04 tail is back in-window (so every registry key's newest
+    # driver evidence is <= 1 round old), plus the reshaped `centroids`
+    # (the one r04 red row), plus every query whose operator file changed
+    # this round (dedup.py: span divert + ref-signature cache; ranges.py:
+    # floor-div binning; components.py: checkpoint hygiene; similarity.py:
+    # centroid split), plus the flagship as-of family and stable
+    # high-value fills. Keys rotated out are r04-green with operator
+    # functions untouched this round.
     "centroids": q_centroids,
-    "cross_dedup": q_cross_dedup,
-    "resample": q_resample,
-    "pack_padded": q_pack_padded,
-    "corpus_report": q_corpus_report,
-    # --- tail (past the driver cap): every key r03-green (or r4
-    # builder-swept), operator functions untouched; rotate next round.
     "embed_near_dup": q_embed_near_dup,
     "train_split": q_train_split,
     "group_sample": q_group_sample,
@@ -2254,6 +2206,57 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pivot_counts": q_pivot_counts,
     "distinct_agg": q_distinct_agg,
     "json_extract": q_json_extract,
+    "span_removal": q_span_removal,
+    "cross_dedup": q_cross_dedup,
+    "span_dup": q_span_dup,
+    "ngram_jaccard": q_ngram_jaccard,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "decontaminate": q_decontaminate,
+    "dedup_exact": q_dedup_exact,
+    "range_join": q_range_join,
+    "dup_clusters": q_dup_clusters,
+    "knn_brute": q_knn_brute,
+    "ann_lsh": q_ann_lsh,
+    "ivf_ann": q_ivf_ann,
+    "asof_backward": q_asof_backward,
+    "asof_forward": q_asof_forward,
+    "asof_tolerance": q_asof_tolerance,
+    "asof_salted": q_asof_salted,
+    "tf_stats": q_tf_stats,
+    "resample": q_resample,
+    "pack_chunks": q_pack_chunks,
+    "tpch_q1": q_tpch_q1,
+    "per_user_agg": q_per_user_agg,
+    "tfidf": q_tfidf,
+    "corpus_report": q_corpus_report,
+    # --- tail (past the driver cap): every key r04-green in the driver
+    # run, operator functions untouched this round; rotate next round.
+    "canonical_order": q_canonical_order,
+    "rollup": q_rollup,
+    "global_topk": q_global_topk,
+    "union_counts": q_union_counts,
+    "broadcast_join": q_broadcast_join,
+    "fingerprint": q_fingerprint,
+    "ngram_stats": q_ngram_stats,
+    "lang_id": q_lang_id,
+    "bpeish_tokens": q_bpeish_tokens,
+    "multimodal_bytes": q_multimodal_bytes,
+    "sql_shipping": q_sql_shipping,
+    "smj_join": q_smj_join,
+    "tokenize": q_tokenize,
+    "quality": q_quality,
+    "window_ranks": q_window_ranks,
+    "string_funcs": q_string_funcs,
+    "feature_vector": q_feature_vector,
+    "bm25": q_bm25,
+    "redact": q_redact,
+    "chunk_windows": q_chunk_windows,
+    "date_parts": q_date_parts,
+    "approx_distinct": q_approx_distinct,
+    "shuffle_order": q_shuffle_order,
+    "pack_padded": q_pack_padded,
+    "gopher_quality": q_gopher_quality,
 }
 
 ORACLES: dict[str, str] = {
