@@ -752,6 +752,49 @@ def test_cross_doc_span_stats_hot_gram_divert_is_equivalent(spark):
     assert (capped["n_dup_spans"] >= 6).all()
 
 
+def test_banded_numeric_loop_form_matches_unrolled(spark):
+    """The transform-loop band hashing (round-5 cold-codegen cut) must
+    produce bit-identical (band, bhash) rows to the original unrolled
+    CreateArray form — bucket assignment, and therefore LSH recall, is
+    untouchable."""
+    from pyspark.sql import functions as F
+
+    from tgist_features_spark.operators.dedup import _banded_numeric
+
+    rng = np.random.default_rng(0)
+    pdf = pd.DataFrame({
+        "id": range(50),
+        "sig": [rng.integers(-2**62, 2**62, 128).tolist() for _ in range(50)],
+    })
+    df = spark.createDataFrame(pdf)
+    got = _banded_numeric(df, 64, 2).toPandas().sort_values(
+        ["id", "band"]).reset_index(drop=True)
+    ref = df.select(
+        "id",
+        F.posexplode(F.array(*[
+            F.xxhash64(*[F.element_at("sig", i * 2 + j + 1) for j in range(2)])
+            for i in range(64)
+        ])).alias("band", "bhash"),
+    ).toPandas().sort_values(["id", "band"]).reset_index(drop=True)
+    assert got.equals(ref)
+    # odd rows-per-band width too (4 bands x 3 rows over a 12-long sig)
+    pdf2 = pd.DataFrame({
+        "id": range(20),
+        "sig": [rng.integers(-2**62, 2**62, 12).tolist() for _ in range(20)],
+    })
+    df2 = spark.createDataFrame(pdf2)
+    got2 = _banded_numeric(df2, 4, 3).toPandas().sort_values(
+        ["id", "band"]).reset_index(drop=True)
+    ref2 = df2.select(
+        "id",
+        F.posexplode(F.array(*[
+            F.xxhash64(*[F.element_at("sig", i * 3 + j + 1) for j in range(3)])
+            for i in range(4)
+        ])).alias("band", "bhash"),
+    ).toPandas().sort_values(["id", "band"]).reset_index(drop=True)
+    assert got2.equals(ref2)
+
+
 def test_remove_dup_spans_hot_gram_divert_is_equivalent(spark):
     """remove_dup_spans' max_df divert (ported from cross_doc_span_stats)
     is a physical optimization only: with a boilerplate gram in EVERY doc

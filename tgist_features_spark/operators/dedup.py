@@ -204,8 +204,10 @@ def minhash_signatures(
     seed: int = 42,
     parallelism: int | None = None,
 ) -> DataFrame:
-    if parallelism:
-        # single-file sources otherwise feed the UDF one task
+    if parallelism and df.rdd.getNumPartitions() < parallelism:
+        # single-file sources otherwise feed the UDF one task; when the
+        # upstream plan already fans out (e.g. it ends in a shuffle), the
+        # extra full exchange is pure latency and is skipped
         df = df.repartition(parallelism)
     @pandas_udf(T.ArrayType(T.LongType()))
     def mh(texts: pd.Series) -> pd.Series:
@@ -218,17 +220,33 @@ def _banded_numeric(sigs: DataFrame, bands: int, rows: int) -> DataFrame:
     """(id, band, bhash) — the exploded LSH band relation WITHOUT the
     signature payload: the band-equality shuffle moves three narrow
     columns; the band hash is numeric (xxhash64 over the band's signature
-    elements), no array-slice/string casts in the wide projection."""
-    return sigs.select(
-        "id",
-        F.posexplode(
-            F.array(*[
-                F.xxhash64(*[
-                    F.element_at("sig", i * rows + j + 1) for j in range(rows)
-                ])
-                for i in range(bands)
-            ])
-        ).alias("band", "bhash"),
+    elements), no array-slice/string casts in the wide projection.
+
+    The band array is built with ONE ``transform`` lambda over the band
+    indices, not ``bands`` unrolled xxhash64 nodes: a 64-wide CreateArray
+    of hash expressions compiles to a Janino method wall (~3s of cold
+    codegen measured at bands=64 — the F.lit(list) trap class, see
+    BASELINE.md), while the loop form is a constant-size body. Hash
+    VALUES are identical (same xxhash64 over the same ``rows`` elements;
+    only the band index moved from Python unrolling into the lambda
+    variable), so bucket assignment — and therefore candidate recall —
+    is bit-for-bit unchanged (pinned by test)."""
+    band_hashes = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda i: F.xxhash64(*[
+            F.element_at("sig", i * rows + j + 1) for j in range(rows)
+        ]),
+    )
+    # posexplode_OUTER, not posexplode: InferFiltersFromGenerate would
+    # otherwise push an inferred size(band_hashes) > 0 filter below the
+    # projection and evaluate the whole band-hash array a SECOND time per
+    # row (the measured gram-explode trap, BASELINE.md); outer generates
+    # are exempt, and the array is never empty (bands >= 1), so the
+    # null-row filter is a no-op that only exists to keep the schema
+    # non-nullable.
+    return (
+        sigs.select("id", F.posexplode_outer(band_hashes).alias("band", "bhash"))
+        .filter(F.col("band").isNotNull())
     )
 
 
@@ -260,6 +278,53 @@ def minhash_lsh_pairs(
     an eager ``localCheckpoint`` would self-clean but measures ~3s slower
     per call (it bypasses AQE), the wrong trade for a bounded pair cache.
     """
+    pairs, sigs, _banded_raw = _lsh_pairs_lazy(
+        df, id_col, text_col, n_hashes, bands, shingle, seed,
+        min_est_jaccard, max_bucket,
+    )
+    out = (
+        pairs
+        # persist + count (NOT localCheckpoint: measured ~3s slower here —
+        # the RDD checkpoint path bypasses AQE's runtime re-planning):
+        # materializes the small pair set while the signature cache is hot
+        .persist()
+    )
+    n_pairs = out.count()
+    if max_bucket is not None and logger.isEnabledFor(logging.INFO):
+        dropped = (
+            _banded_raw.groupBy("band", "bhash")
+            .count()
+            .filter(F.col("count") > max_bucket)
+            .count()
+        )
+        if dropped:
+            logger.info(
+                "minhash_lsh_pairs: capped %d oversized buckets to %d rows "
+                "each; %d candidate pairs kept", dropped, max_bucket, n_pairs,
+            )
+    sigs.unpersist()
+    return out
+
+
+def _lsh_pairs_lazy(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int,
+    bands: int,
+    shingle: int,
+    seed: int,
+    min_est_jaccard: float,
+    max_bucket: int | None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The un-materialized core of ``minhash_lsh_pairs``: returns (lazy
+    pairs, PERSISTED-but-unmaterialized signature cache, raw band
+    relation). Callers that immediately reduce the pairs (the dedup
+    pipeline's near-drop aggregation) fuse that reduction into the single
+    job that materializes everything, instead of paying a separate
+    persist+count barrier here — one fewer serial action in the stage
+    chain. The caller OWNS ``sigs.unpersist()`` once its consumers have
+    materialized."""
     rows = n_hashes // bands
     sigs = minhash_signatures(
         df, id_col, text_col, n_hashes, shingle, seed,
@@ -295,26 +360,8 @@ def minhash_lsh_pairs(
         cand.withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= min_est_jaccard)
         .select("a", "b", "est_jaccard")
-        # persist + count (NOT localCheckpoint: measured ~3s slower here —
-        # the RDD checkpoint path bypasses AQE's runtime re-planning):
-        # materializes the small pair set while the signature cache is hot
-        .persist()
     )
-    n_pairs = out.count()
-    if max_bucket is not None and logger.isEnabledFor(logging.INFO):
-        dropped = (
-            banded_raw.groupBy("band", "bhash")
-            .count()
-            .filter(F.col("count") > max_bucket)
-            .count()
-        )
-        if dropped:
-            logger.info(
-                "minhash_lsh_pairs: capped %d oversized buckets to %d rows "
-                "each; %d candidate pairs kept", dropped, max_bucket, n_pairs,
-            )
-    sigs.unpersist()
-    return out
+    return out, sigs, banded_raw
 
 
 # ------------------------------------------------------------------ SimHash

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from tgist_features_spark.operators.dedup import minhash_lsh_pairs
+from tgist_features_spark.operators.dedup import _lsh_pairs_lazy
 
 
 def dedup_corpus(
@@ -79,8 +79,32 @@ def dedup_corpus(
     # silently drop — NULL-text docs must dedup against each other and be
     # ACCOUNTED for in the drop log (kept + dropped partitions the input)
     fp_expr = F.coalesce(F.md5(F.col(text_col)), F.lit("__null_text__"))
+    # ONE hash aggregation produces the kept rows directly: min_by over
+    # the (unique) id carries the winning row's full payload through the
+    # map-side combine, so the exact stage is a single exchange instead
+    # of agg + broadcast semi-join — and the final kept-side recompute
+    # re-runs one stage, not two. Same rows as the join formulation by
+    # construction (the min-id row per fingerprint).
+    cols = docs.columns
+    winners = (
+        docs.withColumn("__fp", fp_expr)
+        .groupBy("__fp")
+        .agg(F.min_by(F.struct(*cols), F.col(id_col)).alias("__row"))
+    )
+    # LAZY localCheckpoint: exact_kept has two consumers (the signature
+    # path inside the near-drop job, and the final kept anti-join); the
+    # first action materializes it to executor blocks and the second
+    # reuses them instead of re-running the exact aggregation. Lazy — not
+    # eager — so no extra barrier enters the stage chain, and
+    # localCheckpoint — not persist — so the blocks self-clean when the
+    # caller drops the returned DataFrames.
+    exact_kept = winners.select(
+        *[F.col(f"__row.{c}").alias(c) for c in cols]
+    ).localCheckpoint(eager=False)
     with_fp = docs.select(F.col(id_col), fp_expr.alias("fp"))
-    fp = with_fp.groupBy("fp").agg(F.min(id_col).alias("keep_id"))
+    fp = winners.select(
+        F.col("__fp").alias("fp"), F.col(f"__row.{id_col}").alias("keep_id")
+    )
     exact_drops = (
         with_fp.join(fp, "fp")
         .filter(F.col(id_col) != F.col("keep_id"))
@@ -91,18 +115,15 @@ def dedup_corpus(
             F.lit(None).cast("double").alias("est_jaccard"),
         )
     )
-    exact_kept = docs.join(
-        fp.select(F.col("keep_id").alias(id_col)), id_col, "left_semi"
-    )
 
-    pairs = minhash_lsh_pairs(
-        exact_kept,
-        id_col=id_col,
-        text_col=text_col,
-        n_hashes=n_hashes,
-        bands=bands,
-        min_est_jaccard=min_est_jaccard,
-        max_bucket=max_bucket,
+    # lazy pair core: the near-drop reduction below is the FIRST action,
+    # so signatures, band join, scoring and the drop aggregation all run
+    # inside one job — no separate pair persist+count barrier in the
+    # serial stage chain (the signature cache is still released right
+    # after that job materializes)
+    pairs, sig_cache, _braw = _lsh_pairs_lazy(
+        exact_kept, id_col, text_col, n_hashes, bands, 3, 42,
+        min_est_jaccard, max_bucket,
     )
     if transitive:
         from tgist_features_spark.operators.components import (  # noqa: PLC0415
@@ -136,13 +157,14 @@ def dedup_corpus(
             )
             .localCheckpoint(eager=True)
         )
-    # near_drops is the ONLY consumer of the (persisted) candidate pairs:
-    # the eager localCheckpoint above materialized it, so release the pair
-    # cache now — repeated pipeline runs in one session accumulate nothing
-    # (the checkpointed near-drop blocks self-clean when the caller drops
-    # the returned DataFrames, unlike a persist, which would outlive them).
+    # near_drops' eager localCheckpoint (or the component iteration's own
+    # first checkpoint in transitive mode) was the action that
+    # materialized the lazy pair plan — and with it the signature cache,
+    # whose only consumers have now run: release it, so repeated pipeline
+    # runs in one session accumulate nothing (the checkpointed near-drop
+    # blocks self-clean when the caller drops the returned DataFrames).
     # Both downstream outputs (kept, drop_log) read the materialized log.
-    pairs.unpersist()
+    sig_cache.unpersist()
     kept = exact_kept.join(near_drops.select("doc_id"), id_col, "left_anti")
     drop_log = exact_drops.unionByName(near_drops)
     if eval_docs is not None:
