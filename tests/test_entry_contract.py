@@ -111,8 +111,10 @@ def test_driver_window_composition():
         "span_removal", "cross_dedup", "span_dup", "ngram_jaccard",
         "dedup_minhash", "dedup_simhash", "decontaminate", "dedup_exact",
         "range_join", "dup_clusters", "knn_brute", "ann_lsh", "ivf_ann",
+        # new round-5 queries needing first-time driver evidence
+        "hard_negatives", "group_norm", "debounce", "length_histogram",
     }
     missing = must_be_checked - window
     assert not missing, f"driver window lost round-5 evidence for: {missing}"
-    assert len(ks) == len(set(ks)) == 75
+    assert len(ks) == len(set(ks)) == 79
     assert set(entry_mod.oracle_sql()) == set(ks)

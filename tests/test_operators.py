@@ -1038,3 +1038,102 @@ def test_bounded_range_join_matches_naive(spark):
         for r in binned.filter(F.col("u") == 9).select("aid", "bid").collect()
     }
     assert (9000, 9001) in pairs9 and (9000, 9002) not in pairs9
+
+
+# ------------------------------------------------- round-5 operators
+
+
+def test_group_standardize_integer_exact(spark):
+    """dev/mean fixed-point values must equal a pure-integer Python
+    reference (floor semantics, negatives included), and every row of the
+    input must come back exactly once."""
+    from tgist_features_spark.operators.aggregates import group_standardize
+
+    rng = np.random.default_rng(5)
+    pdf = pd.DataFrame({
+        "doc_id": range(200),
+        "g": rng.choice(["a", "b", "c"], 200),
+        "x": rng.integers(0, 5000, 200),
+    })
+    got = (
+        group_standardize(spark.createDataFrame(pdf), "x", "g")
+        .toPandas().set_index("doc_id").sort_index()
+    )
+    assert len(got) == 200
+    for g, sub in pdf.groupby("g"):
+        n, sm = len(sub), int(sub["x"].sum())
+        want_mean = (sm * 10000) // n
+        for _, row in sub.iterrows():
+            r = got.loc[row["doc_id"]]
+            assert r["n_group"] == n
+            assert r["mean_x10000"] == want_mean
+            assert r["dev_x10000"] == ((int(row["x"]) * n - sm) * 10000) // n
+    # floor (not trunc) on negative deviations: python // is floor — the
+    # assertion above already pins it for every below-mean row
+    assert (got["dev_x10000"] < 0).any() and (got["dev_x10000"] > 0).any()
+
+
+def test_debounce_matches_pandas(spark):
+    """Lag-based debounce vs a pandas reference: first row per stream
+    survives, gaps >= threshold survive, sub-threshold rows drop; equal
+    timestamps are ordered by the tiebreak."""
+    from tgist_features_spark.operators.windows import debounce
+
+    rng = np.random.default_rng(9)
+    rows = []
+    eid = 0
+    for u in range(5):
+        t = 0
+        for _ in range(40):
+            t += int(rng.integers(0, 90))
+            rows.append((eid, u, pd.Timestamp(t, unit="s")))
+            eid += 1
+    pdf = pd.DataFrame(rows, columns=["event_id", "u", "ts"])
+    got = set(
+        debounce(
+            spark.createDataFrame(pdf), ["u"], "ts", 30.0,
+            order_tiebreak="event_id",
+        ).toPandas()["event_id"]
+    )
+    want = set()
+    for u, sub in pdf.groupby("u"):
+        sub = sub.sort_values(["ts", "event_id"])
+        prev = None
+        for _, r in sub.iterrows():
+            if prev is None or (r["ts"] - prev).total_seconds() >= 30.0:
+                want.add(r["event_id"])
+            prev = r["ts"]  # lag rule: previous ROW, kept or not
+    assert got == want
+    assert len(want) < len(pdf)  # the test corpus actually debounces
+
+
+def test_hard_negatives_excludes_same_label(spark):
+    """Every returned neighbor has a label different from its query's,
+    ranks are contiguous from 1, and the top negative matches a numpy
+    exhaustive reference."""
+    from tgist_features_spark.operators.similarity import hard_negatives
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(60, 8)).astype(np.float64)
+    labels = (np.arange(60) % 4)
+    pdf = pd.DataFrame({
+        "vec_id": range(60), "label": labels, "embedding": list(map(list, vecs)),
+    })
+    df = spark.createDataFrame(pdf)
+    q = df.filter("vec_id < 3").select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_vec"),
+    )
+    got = hard_negatives(df, q, k=5).toPandas()
+    for qid, sub in got.groupby("q_id"):
+        assert sorted(sub["rank"]) == [1, 2, 3, 4, 5]
+        assert (sub["neighbor_label"] != labels[qid]).all()
+        # numpy reference for the top hit
+        sims = vecs @ vecs[qid] / (
+            np.linalg.norm(vecs, axis=1) * np.linalg.norm(vecs[qid])
+        )
+        sims = np.round(sims, 6)
+        mask = labels != labels[qid]
+        order = sorted(np.where(mask)[0], key=lambda i: (-sims[i], i))
+        assert sub.sort_values("rank")["neighbor_id"].iloc[0] == order[0]

@@ -77,3 +77,51 @@ def salted_agg(
     return phase1.groupBy(entity).agg(
         *[fin(F.col(f"__p_{name}")).alias(name) for name, (_, fin) in partials.items()]
     )
+
+
+def group_standardize(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    scale: int = 10_000,
+) -> DataFrame:
+    """Per-group feature standardization with INTEGER-EXACT arithmetic —
+    the "how unusual is this doc within its language/source stratum"
+    normalization a quality-filtering pipeline wants before thresholding
+    across heterogeneous strata.
+
+    Appends (n_group, mean_x1eK, dev_x1eK) to every input row, where
+    mean_x1eK = floor(sum * scale / n) and
+    dev_x1eK  = floor((x * n - sum) * scale / n)
+    over exact bigint sums — deviation-from-mean in fixed point, computed
+    without a single float, so the output is bitwise reproducible in any
+    engine (the cross-engine rounding trap class, BASELINE.md). A
+    std-division variant would need float sqrt; deviation x group-n is
+    the rank-preserving form that stays exact.
+
+    Floor division is (a - pmod(a, n)) / n — exact for negatives too (the
+    numerator is exactly divisible, the quotient < 2^53, the bigint cast
+    lossless). Overflow bound: |x| * n * scale must stay under 2^63 —
+    e.g. 10^4-char docs x 10^9-doc groups x 10^4 scale is 10^17 < 9.2e18.
+
+    Scale shape: one tiny per-group aggregation (n_groups rows after
+    map-side combine) broadcast-joined back onto the stream — the big
+    side is never shuffled."""
+    x = F.col(value_col).cast("bigint")
+    stats = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_group"),
+        F.sum(x).alias("__sum"),
+    )
+
+    def _fdiv(a: Column, n: Column) -> Column:
+        return ((a - F.pmod(a, n)) / n).cast("bigint")
+
+    joined = df.join(F.broadcast(stats), group_col)
+    num_mean = F.col("__sum") * F.lit(scale)
+    num_dev = (x * F.col("n_group") - F.col("__sum")) * F.lit(scale)
+    return joined.select(
+        *df.columns,
+        "n_group",
+        _fdiv(num_mean, F.col("n_group")).alias(f"mean_x{scale}"),
+        _fdiv(num_dev, F.col("n_group")).alias(f"dev_x{scale}"),
+    )

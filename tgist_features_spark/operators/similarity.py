@@ -70,6 +70,53 @@ def cosine_topk(
     )
 
 
+def hard_negatives(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    (q_id, q_vec, q_label), the ``k`` corpus vectors MOST similar to the
+    query whose label DIFFERS from the query's — the vectors a
+    contrastive batch wants as negatives precisely because the model
+    currently confuses them with the positives.
+
+    Returns (q_id, rank, neighbor_id, neighbor_label, cos).
+
+    Scale shape: same as ``cosine_topk`` — the (small) query set is
+    broadcast, the corpus is scanned once and never shuffled; the label
+    filter rides the broadcast join condition so mismatched pairs are
+    dropped before the cosine evaluates, and the only shuffle is the
+    per-query window rank over the q_id domain. The exhaustive scan is
+    the exactness baseline; at 100 TB swap the corpus side for the
+    LSH/IVF candidate generators in this module and re-rank exactly,
+    exactly as ``ann_lsh``/``ivf_ann`` do for nearest-neighbor search."""
+    base = df.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    q = queries.select(
+        F.col("q_id"),
+        F.col("q_label"),
+        F.col("q_vec").cast("array<double>").alias("qv"),
+    )
+    scored = (
+        base.join(F.broadcast(q), on=F.col("neighbor_label") != F.col("q_label"))
+        .withColumn("cos", F.round(_cosine("v", "qv"), 6))
+        .select("q_id", "neighbor_id", "neighbor_label", "cos")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "neighbor_id", "neighbor_label", "cos")
+    )
+
+
 def queries_from_ids(
     df: DataFrame, ids: list[int], id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:

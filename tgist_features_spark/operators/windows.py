@@ -232,3 +232,40 @@ def resample_ffill(
             F.col("__last").isNull().cast("int").alias("is_gap"),
         )
     )
+
+
+def debounce(
+    df: DataFrame,
+    entity_cols: list[str],
+    ts_col: str,
+    min_gap_s: float,
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Telemetry debounce: within each entity stream, keep a row only if
+    at least ``min_gap_s`` seconds passed since the PREVIOUS row (the
+    stream's first row always survives) — the duplicate-burst filter for
+    retried events, double-clicks, and at-least-once ingestion.
+
+    This is the lag-based (previous ROW) rule, one window pass and
+    exactly expressible in any SQL engine. The chained variant
+    ("previous KEPT row") is inherently sequential per entity — that
+    shape belongs to the stateful streaming path
+    (streaming/stream.py), not a batch window.
+
+    Appends gap_us (microseconds since the previous row, null on the
+    first) and keeps only surviving rows. Ties (gap == min_gap) are
+    dropped: the rule is gap >= min_gap in integer microseconds.
+
+    Scale shape: one shuffle on the entity columns, one codegen window
+    pass — identical cost to any lag feature; no skew risk beyond the
+    entity distribution itself (salt upstream if one entity dominates)."""
+    order = [F.col(ts_col)]
+    if order_tiebreak:
+        order.append(F.col(order_tiebreak))
+    w = Window.partitionBy(*entity_cols).orderBy(*order)
+    gap = us(F.col(ts_col)) - F.lag(us(F.col(ts_col))).over(w)
+    min_gap_us = int(round(min_gap_s * 1_000_000))
+    return (
+        df.withColumn("gap_us", gap)
+        .filter(F.col("gap_us").isNull() | (F.col("gap_us") >= min_gap_us))
+    )

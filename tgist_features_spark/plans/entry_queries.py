@@ -1179,6 +1179,37 @@ FROM s QUALIFY rank <= 3
 """
 
 
+def q_hard_negatives(spark, sf):
+    """Hard-negative mining (round 5): per query vector, the top-3 most
+    cosine-similar embeddings with a DIFFERENT label — the contrastive-
+    batch construction step (operators/similarity.py hard_negatives;
+    broadcast queries, corpus never shuffled)."""
+    from tgist_features_spark.operators.similarity import hard_negatives
+
+    emb = _t(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_vec"),
+    )
+    return hard_negatives(emb, q, k=3)
+
+
+SQL_HARD_NEGATIVES = """
+WITH q AS (SELECT vec_id AS q_id, label AS q_label,
+                  CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id % 100 = 0),
+s AS (
+  SELECT q.q_id, e.vec_id AS neighbor_id, e.label AS neighbor_label,
+         ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS cos
+  FROM embeddings e JOIN q ON e.label <> q.q_label)
+SELECT q_id,
+       CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank,
+       neighbor_id, neighbor_label, cos
+FROM s QUALIFY rank <= 3
+"""
+
+
 _ANN_CLUSTERS = 8
 _ANN_SCALE = 4.0
 
@@ -2169,6 +2200,86 @@ FROM j
 """
 
 
+def q_group_norm(spark, sf):
+    """Per-group standardization (round 5): each doc's integer-exact
+    fixed-point deviation from its language stratum's mean char count
+    (operators/aggregates.py group_standardize — tiny stats broadcast,
+    corpus never shuffled, zero floats)."""
+    from tgist_features_spark.operators.aggregates import group_standardize
+
+    d = _t(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+    return group_standardize(d, value_col="n_chars", group_col="lang").select(
+        "doc_id", "lang", "n_chars", "n_group", "mean_x10000", "dev_x10000"
+    )
+
+
+SQL_GROUP_NORM = """
+WITH s AS (SELECT lang, COUNT(*)::BIGINT AS n_group, SUM(n_chars)::BIGINT AS sm
+           FROM documents GROUP BY lang)
+SELECT d.doc_id, d.lang, d.n_chars, s.n_group,
+       ((sm * 10000 - (((sm * 10000) % n_group) + n_group) % n_group)
+        // n_group)::BIGINT AS mean_x10000,
+       (((d.n_chars * n_group - sm) * 10000
+         - ((((d.n_chars * n_group - sm) * 10000) % n_group) + n_group) % n_group)
+        // n_group)::BIGINT AS dev_x10000
+FROM documents d JOIN s USING (lang)
+"""
+
+
+def q_debounce(spark, sf):
+    """Burst debounce (round 5): per (user, event_type) stream, keep only
+    events >= 30s after the previous event (operators/windows.py
+    debounce — one window pass, lag-based rule; event_id tiebreak makes
+    equal-timestamp order deterministic)."""
+    from tgist_features_spark.operators.windows import debounce
+
+    e = _t(spark, sf, "events").select("event_id", "user_id", "event_type", "ts")
+    return debounce(
+        e, ["user_id", "event_type"], "ts", 30.0, order_tiebreak="event_id"
+    ).select("event_id", "user_id", "event_type", "gap_us")
+
+
+SQL_DEBOUNCE = """
+WITH g AS (
+  SELECT event_id, user_id, event_type,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id, event_type ORDER BY ts, event_id) AS gap_us
+  FROM events)
+SELECT event_id, user_id, event_type, gap_us
+FROM g WHERE gap_us IS NULL OR gap_us >= 30000000
+"""
+
+
+def q_length_histogram(spark, sf):
+    """Corpus length histogram (round 5): 64-char-wide doc-length buckets
+    with per-bucket counts and extrema — the datasheet companion of
+    corpus_report; one hash aggregation, integer bucket arithmetic (no
+    doubles near 2^53)."""
+    d = _t(spark, sf, "documents")
+    b = F.expr("n_chars div 64")
+    return (
+        d.groupBy(b.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .select(
+            F.col("bucket").cast("bigint").alias("bucket"),
+            "n_docs", "min_chars", "max_chars", "sum_chars",
+        )
+    )
+
+
+SQL_LENGTH_HISTOGRAM = """
+SELECT (n_chars // 64)::BIGINT AS bucket, COUNT(*)::BIGINT AS n_docs,
+       MIN(n_chars)::BIGINT AS min_chars, MAX(n_chars)::BIGINT AS max_chars,
+       SUM(n_chars)::BIGINT AS sum_chars
+FROM documents GROUP BY 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- first 50 keys = the driver correctness window (driver caps its
     # oracle run at 50 keys, in order). Round-5 rotation: the ENTIRE
@@ -2226,12 +2337,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tf_stats": q_tf_stats,
     "resample": q_resample,
     "pack_chunks": q_pack_chunks,
+    # the four NEW round-5 queries need first-time driver evidence
+    "hard_negatives": q_hard_negatives,
+    "group_norm": q_group_norm,
+    "debounce": q_debounce,
+    "length_histogram": q_length_histogram,
+    # --- tail (past the driver cap): every key r04-green in the driver
+    # run, operator functions untouched this round; rotate next round.
     "tpch_q1": q_tpch_q1,
     "per_user_agg": q_per_user_agg,
     "tfidf": q_tfidf,
     "corpus_report": q_corpus_report,
-    # --- tail (past the driver cap): every key r04-green in the driver
-    # run, operator functions untouched this round; rotate next round.
     "canonical_order": q_canonical_order,
     "rollup": q_rollup,
     "global_topk": q_global_topk,
@@ -2319,6 +2435,10 @@ ORACLES: dict[str, str] = {
     "bm25": SQL_BM25,
     "cosine_topk": SQL_COSINE_TOPK,
     "knn_brute": SQL_KNN_BRUTE,
+    "hard_negatives": SQL_HARD_NEGATIVES,
+    "group_norm": SQL_GROUP_NORM,
+    "debounce": SQL_DEBOUNCE,
+    "length_histogram": SQL_LENGTH_HISTOGRAM,
     "embed_near_dup": SQL_EMBED_NEAR_DUP,
     "grouping_sets": SQL_GROUPING_SETS,
     "sql_shipping": SQL_SQL_SHIPPING,
