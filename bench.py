@@ -56,6 +56,14 @@ R4_OPS = [
     "cross_dedup",
 ]
 
+# round-5 additions
+R5_OPS = [
+    "hard_negatives",
+    "group_norm",
+    "debounce",
+    "length_histogram",
+]
+
 HEADLINE = [
     "feature_vector",
     "sessionize",
@@ -192,6 +200,7 @@ def main() -> None:
     loadavgs["steady_end"] = round(os.getloadavg()[0], 2)
     training: dict[str, float] | None = None
     r4ops: dict[str, float] | None = None
+    r5ops: dict[str, float] | None = None
     if RUN_TRAINING:
         training = {}
         loadavgs["training"] = _wait_for_quiet_host(max_wait_s=180)
@@ -207,6 +216,13 @@ def main() -> None:
             t0 = time.perf_counter()
             QUERIES[name](spark, SF_DIR).write.mode("overwrite").format("noop").save()
             r4ops[name] = round(time.perf_counter() - t0, 3)
+        r5ops = {}
+        loadavgs["r5_ops"] = _wait_for_quiet_host(max_wait_s=180)
+        for name in R5_OPS:  # warm pass, then steady wall
+            QUERIES[name](spark, SF_DIR).write.mode("overwrite").format("noop").save()
+            t0 = time.perf_counter()
+            QUERIES[name](spark, SF_DIR).write.mode("overwrite").format("noop").save()
+            r5ops[name] = round(time.perf_counter() - t0, 3)
     skew = None
     if RUN_SKEW:
         _ensure_corpus()
@@ -228,6 +244,8 @@ def main() -> None:
         result["training_ops_steady"] = training
     if r4ops is not None:
         result["r4_ops_steady"] = r4ops
+    if r5ops is not None:
+        result["r5_ops_steady"] = r5ops
     if skew is not None:
         result["skew_asof"] = skew
 
