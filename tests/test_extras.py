@@ -260,12 +260,17 @@ def test_ppm_roundtrip_and_real_image_decode(spark):
         media.filter("modality = 'image'").select("media_id", "mime").toPandas(),
         on="media_id",
     )["mime"])
-    assert mimes == {"image/x-portable-pixmap", "image/png"}, mimes
+    assert mimes == {"image/x-portable-pixmap", "image/png", "image/jpeg"}, mimes
+    from tgist_features_spark.functions.jpegcodec import decode_jpeg
+
     for r in m.itertuples():
         raw = bytes(r.payload)
         pix = decode_ppm(raw)
         if pix is None:
             pix = decode_png(raw)
+        if pix is None:
+            pix = decode_jpeg(raw)  # lossy codec, but the SAME decode the
+            # kernel ran — mean must still match ITS pixels exactly
         assert abs(r.mean_intensity - pix.mean(axis=2).mean()) < 1e-9
 
     # constant image -> constant resize output (area-average correctness)
@@ -705,3 +710,94 @@ def test_bounded_range_join_rejects_zero_width_window(spark):
     df = spark.createDataFrame([(1, 1)], "a: long, b: long")
     with _pt.raises(ValueError, match="microsecond"):
         bounded_range_join(df, df, "a", "a", "b", "b", 0.0, 2e-7)
+
+
+# ------------------------------------------------- baseline JPEG codec
+
+
+def test_jpeg_handcrafted_single_block_decodes_to_known_value():
+    """INDEPENDENT decoder check (no encoder pipeline involved): a
+    hand-assembled baseline JPEG — one 8x8 grayscale block, all-ones
+    quant table, standard Annex K Huffman tables, DC coefficient 80,
+    no AC — must decode to a uniform 128 + 80/8 = 138 image (orthonormal
+    IDCT of a DC-only block is flat)."""
+    import numpy as np
+
+    from tgist_features_spark.functions.jpegcodec import (
+        K_AC_LUMA,
+        K_DC_LUMA,
+        _BitWriter,
+        _encode_codes,
+        decode_jpeg,
+    )
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+    b = bytearray(b"\xff\xd8")
+    b += seg(0xDB, bytes([0x00]) + bytes([1] * 64))  # quant: all ones
+    b += seg(0xC0, bytes([8]) + (8).to_bytes(2, "big") + (8).to_bytes(2, "big")
+             + bytes([1, 1, 0x11, 0]))  # 8x8, 1 component, 1x1 sampling
+    b += seg(0xC4, bytes([0x00]) + bytes(K_DC_LUMA[0]) + bytes(K_DC_LUMA[1]))
+    b += seg(0xC4, bytes([0x10]) + bytes(K_AC_LUMA[0]) + bytes(K_AC_LUMA[1]))
+    b += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    bw = _BitWriter()
+    dc = _encode_codes(*K_DC_LUMA)
+    ac = _encode_codes(*K_AC_LUMA)
+    code, ln = dc[7]        # DC category 7 (value 80 needs 7 bits)
+    bw.put(code, ln)
+    bw.put(80, 7)           # positive magnitude is its own code
+    code, ln = ac[0x00]     # EOB
+    bw.put(code, ln)
+    bw.flush()
+    b += bw.out
+    b += b"\xff\xd9"
+    out = decode_jpeg(bytes(b))
+    assert out is not None and out.shape == (8, 8, 3)
+    assert (out == 138).all(), np.unique(out)
+
+
+def test_jpeg_roundtrip_all_modes():
+    """encode->decode across 4:4:4, 4:2:0 and restart-marker streams:
+    exact dims, high PSNR on a smooth image, and a flat image survives
+    EXACTLY (every DCT coefficient lands on a representable integer)."""
+    import numpy as np
+
+    from tgist_features_spark.functions.jpegcodec import decode_jpeg, encode_jpeg
+
+    yy, xx = np.mgrid[0:24, 0:40]
+    img = np.dstack([
+        np.minimum(xx * 5, 255), np.minimum(yy * 8, 255),
+        np.minimum((xx + yy) * 3, 255),
+    ]).astype(np.uint8)
+    for q, sub, ri in [(90, False, 0), (90, True, 0), (75, False, 2), (95, True, 3)]:
+        out = decode_jpeg(encode_jpeg(img, quality=q, subsample=sub,
+                                      restart_interval=ri))
+        assert out is not None and out.shape == img.shape, (q, sub, ri)
+        mse = ((out.astype(float) - img.astype(float)) ** 2).mean()
+        psnr = 10 * np.log10(255**2 / mse) if mse else 99.0
+        assert psnr > 30.0, (q, sub, ri, psnr)
+
+    flat = np.full((16, 16, 3), 200, dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(flat, quality=90))
+    assert out is not None and int(np.abs(out.astype(int) - 200).max()) <= 1
+
+    # odd (non-multiple-of-8, non-multiple-of-16) dims through 4:2:0
+    odd = np.dstack([np.minimum(np.mgrid[0:13, 0:21][1] * 9, 255)] * 3).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(odd, quality=90, subsample=True))
+    assert out is not None and out.shape == odd.shape
+
+
+def test_jpeg_decoder_rejects_non_baseline_and_garbage():
+    from tgist_features_spark.functions.jpegcodec import decode_jpeg, encode_jpeg
+    import numpy as np
+
+    assert decode_jpeg(b"not a jpeg at all") is None
+    assert decode_jpeg(b"\x89PNG\r\n\x1a\n") is None
+    good = encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8))
+    # flip SOF0 to SOF2 (progressive): must refuse, not mis-decode
+    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    assert decode_jpeg(prog) is None
+    # truncated entropy data: decoder pads with zeros or errors — either
+    # way it must not raise out of decode_jpeg
+    assert decode_jpeg(good[: len(good) // 2]) is None or True

@@ -5,14 +5,17 @@ Decode status (container constraint, re-checked every round):
 
 * **REAL decoders**, no external library — PPM (P6) images, PNG images
   (round 4: full chunk walk, stdlib zlib inflate, numpy unfiltering of
-  all five scanline filter types; 8-bit gray/RGB/RGBA non-interlaced)
-  and PCM16 mono WAV audio; width/height/duration/intensity/rms come
-  from actual pixels/samples, and the resize is a true area-average
-  (anti-aliased) downsample.
+  all five scanline filter types; 8-bit gray/RGB/RGBA non-interlaced),
+  baseline JPEG (round 5: full marker walk, canonical Huffman entropy
+  decode with byte-unstuffing and restart markers, vectorized
+  dequantize + IDCT, 4:4:4/4:2:2/4:2:0 chroma, JFIF YCbCr->RGB — see
+  functions/jpegcodec.py) and PCM16 mono WAV audio;
+  width/height/duration/intensity/rms come from actual pixels/samples,
+  and the resize is a true area-average (anti-aliased) downsample.
 * **Deterministic stubs** only where a codec library is unavoidable
-  (JPEG/MP4 — PIL/ffmpeg/libvips are not installed in this sandbox). The
-  stub keeps the exact kernel signature, so a real deployment swaps the
-  codec in and nothing else changes.
+  (MP4, progressive/arithmetic JPEG — ffmpeg/libvips are not installed
+  in this sandbox). The stub keeps the exact kernel signature, so a
+  real deployment swaps the codec in and nothing else changes.
 
 The Spark side is production-shaped either way: Arrow binary batches into
 ``mapInPandas`` (one Python call per batch, never per row — the per-payload
@@ -30,6 +33,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from tgist_features_spark.functions.jpegcodec import decode_jpeg, encode_jpeg
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -267,8 +272,9 @@ def _resize_gray(gray: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
 
 
 def _decode_image_stub(payload: bytes) -> tuple[int, int, float, np.ndarray]:
-    """Deterministic fallback for codec formats (JPEG) this sandbox
-    cannot decode (no PIL/libvips — environment, not design). Same
+    """Deterministic fallback for image formats outside the real
+    decoders' coverage (progressive/arithmetic JPEG, WebP, ... — no
+    PIL/libvips in this sandbox; environment, not design). Same
     signature as the real path; a deployment with codecs deletes it."""
     digest = hashlib.sha256(payload).digest()
     rng = np.random.default_rng(int.from_bytes(digest[:8], "little"))
@@ -311,6 +317,8 @@ def image_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
                 img = decode_ppm(b)
                 if img is None:
                     img = decode_png(b)
+                if img is None:
+                    img = decode_jpeg(b)
                 if img is not None:
                     gray = img.mean(axis=2)
                     w, h = img.shape[1], img.shape[0]
@@ -417,6 +425,8 @@ def resize_images(df: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
                 img = decode_ppm(b)
                 if img is None:
                     img = decode_png(b)
+                if img is None:
+                    img = decode_jpeg(b)
                 if img is not None:
                     px = (
                         _resize_gray(img.mean(axis=2), out_h, out_w).ravel()
@@ -476,9 +486,15 @@ def synthesize_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
             meta_w = int(rng.integers(4, 48))
             meta_h = int(rng.integers(4, 48))
             img = rng.integers(0, 256, size=(meta_h, meta_w, 3), dtype=np.uint8)
-            # alternate the two REAL image codecs so both decode paths stay
+            # cycle the three REAL image codecs so every decode path stays
             # exercised by every consumer of this fixture
-            payload = encode_ppm(img) if (i // 3) % 2 == 0 else encode_png(img)
+            kind = (i // 3) % 3
+            if kind == 0:
+                payload = encode_ppm(img)
+            elif kind == 1:
+                payload = encode_png(img)
+            else:
+                payload = encode_jpeg(img, quality=95)
         elif modality == "audio":
             rate = 8000
             n_samp = int(rng.integers(80, 2400))
@@ -501,6 +517,8 @@ def synthesize_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
                     "image": (
                         "image/x-portable-pixmap"
                         if payload[:2] == b"P6"
+                        else "image/jpeg"
+                        if payload[:2] == b"\xff\xd8"
                         else "image/png"
                     ),
                     "audio": "audio/wav",
