@@ -323,3 +323,102 @@ def test_doc_feature_fns_are_stream_compatible(spark, tmp_path):
         got = got[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
         want = want[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
         pd.testing.assert_frame_equal(got, want)
+
+
+def test_stream_static_enrichment_matches_batch(spark, corpus_dir, tiny_pdf):
+    """T6: enriching the transcript stream with a static role-weight dim
+    must equal the batch broadcast join row-for-row; unmatched stream
+    rows survive (left join), and the dimension columns ride along."""
+    import pandas as pd
+
+    from tgist_features_spark.streaming.stream import (
+        enrich_with_static,
+        read_transcript_stream,
+    )
+
+    dim = spark.createDataFrame(pd.DataFrame({
+        "role": ["user", "assistant"],
+        "role_weight": [1.0, 2.0],
+    }))
+    stream = read_transcript_stream(spark, corpus_dir)
+    name = _run_to_memory(
+        enrich_with_static(stream, dim, on="role"), "append"
+    )
+    got = (
+        spark.sql(f"SELECT conv_id, turn_idx, role, role_weight FROM {name}")
+        .toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    batch = (
+        transcripts_df(spark, tiny_pdf)
+        .join(F.broadcast(dim), on="role", how="left")
+        .select("conv_id", "turn_idx", "role", "role_weight")
+        .toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    assert len(got) == len(batch) == len(tiny_pdf)
+    m = got.merge(batch, on=["conv_id", "turn_idx"], suffixes=("", "_b"))
+    assert (m["role"] == m["role_b"]).all()
+    assert ((m["role_weight"] == m["role_weight_b"])
+            | (m["role_weight"].isna() & m["role_weight_b"].isna())).all()
+
+
+def test_stateful_debounce_chained_rule_across_batches(spark, tmp_path):
+    """T7: the CHAINED debounce (gap measured from the last KEPT event)
+    must match a sequential reference, including a chain that crosses a
+    micro-batch boundary — the shape the batch window operator refuses."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from tgist_features_spark.streaming.stream import stateful_debounce
+
+    # bursts 10s apart within each user stream; threshold 25s means the
+    # chained rule keeps every third event — the lag rule would keep NONE
+    # after the first (every consecutive gap is 10s < 25s)
+    rows = []
+    eid = 0
+    for u in range(3):
+        for k in range(12):
+            rows.append((eid, u, "click", pd.Timestamp(100 * u + 10 * k, unit="s")))
+            eid += 1
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "event_type", "ts"])
+
+    src = str(tmp_path / "ev")
+    os.makedirs(src, exist_ok=True)
+    early = pdf[pdf["event_id"] % 12 < 6]   # first half of every stream
+    late = pdf[pdf["event_id"] % 12 >= 6]
+    schema = "event_id long, user_id long, event_type string, ts timestamp"
+    spark.createDataFrame(early, schema=schema).coalesce(1).write.mode(
+        "overwrite").parquet(src + "/b=0")
+    spark.createDataFrame(late, schema=schema).coalesce(1).write.mode(
+        "overwrite").parquet(src + "/b=1")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/b=*")
+    )
+    name = _run_to_memory(stateful_debounce(stream, 25.0), "append")
+    got = (
+        spark.sql(f"SELECT user_id, event_id, gap_s FROM {name}")
+        .toPandas().sort_values("event_id").reset_index(drop=True)
+    )
+
+    # sequential chained reference
+    want = []
+    for u, sub in pdf.groupby("user_id"):
+        sub = sub.sort_values(["ts", "event_id"])
+        last = None
+        for _, r in sub.iterrows():
+            t = r["ts"].value // 1000  # us
+            if last is None or t - last >= 25_000_000:
+                want.append((r["event_id"], np.nan if last is None else (t - last) / 1e6))
+                last = t
+    want_ids = [w[0] for w in want]
+    assert got["event_id"].tolist() == sorted(want_ids)
+    wmap = dict(want)
+    for r in got.itertuples():
+        w = wmap[r.event_id]
+        assert (np.isnan(w) and np.isnan(r.gap_s)) or w == r.gap_s
+    # the chained rule kept every 3rd event (30s spacing >= 25s)
+    per_user = got.groupby("user_id")["event_id"].count()
+    assert (per_user == 4).all(), per_user.to_dict()

@@ -321,3 +321,105 @@ def stream_features_writer(
         .option("checkpointLocation", ckpt)
         .outputMode("append")
     )
+
+
+def enrich_with_static(
+    stream: DataFrame,
+    static_dim: DataFrame,
+    on: list[str] | str,
+    how: str = "left",
+) -> DataFrame:
+    """T6: stream-static enrichment join — each micro-batch joins
+    against a (small) static dimension with a broadcast hint, so the
+    stream side never shuffles and the state store is never involved
+    (stream-static joins are stateless by definition: only the stream
+    side triggers processing).
+
+    Refresh semantics worth knowing at scale: a FILE-backed static side
+    is re-listed per micro-batch, so replacing the dimension's files
+    rolls new attributes into subsequent batches without restarting the
+    query; a fully static in-memory frame is fixed for the query's
+    lifetime. Inner and left joins are supported by Spark for
+    stream-static; right/full (which would need to emit unmatched STATIC
+    rows at end-of-stream) are not — this wrapper inherits that rule."""
+    return stream.join(F.broadcast(static_dim), on=on, how=how)
+
+
+DEBOUNCE_OUT_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("gap_s", T.DoubleType()),
+])
+_DEBOUNCE_STATE = T.StructType([T.StructField("last_kept_us", T.LongType())])
+
+
+def stateful_debounce(
+    stream: DataFrame,
+    min_gap_s: float,
+    delay: str = "30 minutes",
+) -> DataFrame:
+    """T7: CHAINED debounce — keep an event only if >= ``min_gap_s``
+    after the last KEPT event of its (user_id, event_type) stream.
+
+    This is the rule the batch ``debounce`` operator
+    (operators/windows.py) explicitly does NOT implement: the kept-chain
+    is inherently sequential per stream (row k's fate depends on which
+    earlier rows survived), which a window function cannot express but
+    per-key state carried across micro-batches can. Within a batch rows
+    process in (ts, event_id) order; across batches the watermark + the
+    carried last-kept timestamp keep the chain consistent for in-order
+    delivery (late rows beyond the watermark are the upstream dedup
+    stage's problem, same contract as the incremental turn state).
+
+    The per-batch loop is a Python scan over the (small) per-key batch —
+    honest about being the stateful slow path; the batch operator stays
+    the vectorized bulk rule."""
+    min_gap_us = int(round(min_gap_s * 1_000_000))
+
+    def fn(key: Any, pdfs, state: GroupState):
+        last_kept = state.get[0] if state.exists else None
+        frames = []
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+            ts_us = pdf["ts"].to_numpy(dtype="datetime64[us]").astype("int64")
+            keep = np.zeros(len(pdf), dtype=bool)
+            gaps = []
+            for i, t in enumerate(ts_us):
+                if last_kept is None or t - last_kept >= min_gap_us:
+                    keep[i] = True
+                    # seconds since the previous KEPT event, carried
+                    # across micro-batches; nan only for the first ever
+                    gaps.append(
+                        np.nan if last_kept is None else (t - last_kept) / 1e6
+                    )
+                    last_kept = int(t)
+            kept = pdf[keep]
+            frames.append(pd.DataFrame({
+                "user_id": key[0],
+                "event_type": key[1],
+                "event_id": kept["event_id"].to_numpy(),
+                "ts": kept["ts"].to_numpy(),
+                "gap_s": np.array(gaps, dtype=np.float64),
+            }))
+        state.update((int(last_kept) if last_kept is not None else None,))
+        yield (
+            pd.concat(frames, ignore_index=True)
+            if frames
+            else pd.DataFrame(columns=[f.name for f in DEBOUNCE_OUT_SCHEMA.fields])
+        )
+
+    return (
+        stream.withWatermark("ts", delay)
+        .groupBy("user_id", "event_type")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=DEBOUNCE_OUT_SCHEMA,
+            stateStructType=_DEBOUNCE_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
