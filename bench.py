@@ -62,6 +62,7 @@ R5_OPS = [
     "group_norm",
     "debounce",
     "length_histogram",
+    "mad_outliers",
 ]
 
 HEADLINE = [

@@ -1137,3 +1137,31 @@ def test_hard_negatives_excludes_same_label(spark):
         mask = labels != labels[qid]
         order = sorted(np.where(mask)[0], key=lambda i: (-sims[i], i))
         assert sub.sort_values("rank")["neighbor_id"].iloc[0] == order[0]
+
+
+def test_group_mad_outliers_matches_numpy(spark):
+    """Exact median/MAD per group vs numpy (interpolated median), flag
+    boundary exercised by a planted extreme value."""
+    from tgist_features_spark.operators.aggregates import group_mad_outliers
+
+    rng = np.random.default_rng(13)
+    pdf = pd.DataFrame({
+        "doc_id": range(121),
+        "g": ["a"] * 60 + ["b"] * 61,
+        "x": np.concatenate([
+            rng.integers(90, 110, 60), rng.integers(400, 420, 60), [9999],
+        ]),
+    })
+    got = (
+        group_mad_outliers(spark.createDataFrame(pdf), "x", "g")
+        .toPandas().set_index("doc_id").sort_index()
+    )
+    for g, sub in pdf.groupby("g"):
+        med = np.percentile(sub["x"], 50, method="linear")
+        mad = np.percentile(np.abs(sub["x"] - med), 50, method="linear")
+        rows = got.loc[sub["doc_id"]]
+        assert (rows["med"] == med).all(), g
+        assert (rows["mad"] == mad).all(), g
+        want = (np.abs(sub["x"].to_numpy() - med) > 3.0 * mad).astype(int)
+        assert (rows["is_outlier"].to_numpy() == want).all(), g
+    assert got.loc[120, "is_outlier"] == 1  # the planted extreme

@@ -125,3 +125,52 @@ def group_standardize(
         _fdiv(num_mean, F.col("n_group")).alias(f"mean_x{scale}"),
         _fdiv(num_dev, F.col("n_group")).alias(f"dev_x{scale}"),
     )
+
+
+def group_mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    k: float = 3.0,
+) -> DataFrame:
+    """Robust per-group outlier flags: median + median-absolute-deviation
+    (the robust z-score a quality pipeline prefers over mean/std, which
+    one giant document can drag arbitrarily). Appends
+    (med, mad, is_outlier) to every row: is_outlier = |x - med| > k*mad.
+
+    EXACT medians (Spark ``percentile``, sort-based), not
+    ``approx_percentile`` — the oracle-reproducibility rule for registry
+    operators. Determinism across engines: integer inputs make the
+    interpolated median land on halves and the MAD on quarters, both
+    exactly representable doubles, so the flag's comparison is exact
+    (no rounding-trap exposure). Cost: exact percentile sorts each
+    group's values on one reducer — right for the datasheet/profiling
+    context this targets; a streaming-scale variant would swap in a
+    fixed-width histogram sketch and accept approximation.
+
+    Two tiny per-group relations broadcast back; the big side is
+    scanned twice (once per statistic round) and never shuffled."""
+    x = F.col(value_col).cast("double")
+    med = df.groupBy(group_col).agg(
+        F.percentile(x, F.lit(0.5)).alias("med")
+    )
+    with_med = df.join(F.broadcast(med), group_col)
+    mad = (
+        with_med.groupBy(group_col)
+        .agg(
+            F.percentile(
+                F.abs(x - F.col("med")), F.lit(0.5)
+            ).alias("mad")
+        )
+    )
+    return (
+        with_med.join(F.broadcast(mad), group_col)
+        .select(
+            *df.columns,
+            "med",
+            "mad",
+            (F.abs(x - F.col("med")) > F.lit(float(k)) * F.col("mad"))
+            .cast("int")
+            .alias("is_outlier"),
+        )
+    )

@@ -2250,6 +2250,30 @@ FROM g WHERE gap_us IS NULL OR gap_us >= 30000000
 """
 
 
+def q_mad_outliers(spark, sf):
+    """Robust outlier flags (round 5): per-lang exact median + MAD over
+    doc char counts, |x - med| > 3*mad flag (operators/aggregates.py
+    group_mad_outliers — exact percentiles, broadcast stats, integer
+    inputs keep every statistic exactly representable)."""
+    from tgist_features_spark.operators.aggregates import group_mad_outliers
+
+    d = _t(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+    return group_mad_outliers(d, value_col="n_chars", group_col="lang").select(
+        "doc_id", "lang", "n_chars", "med", "mad", "is_outlier"
+    )
+
+
+SQL_MAD_OUTLIERS = """
+WITH med AS (SELECT lang, median(n_chars::DOUBLE) AS med
+             FROM documents GROUP BY lang),
+mad AS (SELECT d.lang, median(abs(d.n_chars::DOUBLE - m.med)) AS mad
+        FROM documents d JOIN med m USING (lang) GROUP BY d.lang)
+SELECT d.doc_id, d.lang, d.n_chars, m.med, a.mad,
+       (abs(d.n_chars::DOUBLE - m.med) > 3.0 * a.mad)::INT AS is_outlier
+FROM documents d JOIN med m USING (lang) JOIN mad a USING (lang)
+"""
+
+
 def q_length_histogram(spark, sf):
     """Corpus length histogram (round 5): 64-char-wide doc-length buckets
     with per-bucket counts and extrema — the datasheet companion of
@@ -2336,14 +2360,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_salted": q_asof_salted,
     "tf_stats": q_tf_stats,
     "resample": q_resample,
-    "pack_chunks": q_pack_chunks,
-    # the four NEW round-5 queries need first-time driver evidence
+    # the five NEW round-5 queries need first-time driver evidence
     "hard_negatives": q_hard_negatives,
     "group_norm": q_group_norm,
     "debounce": q_debounce,
     "length_histogram": q_length_histogram,
+    "mad_outliers": q_mad_outliers,
     # --- tail (past the driver cap): every key r04-green in the driver
     # run, operator functions untouched this round; rotate next round.
+    "pack_chunks": q_pack_chunks,
     "tpch_q1": q_tpch_q1,
     "per_user_agg": q_per_user_agg,
     "tfidf": q_tfidf,
@@ -2439,6 +2464,7 @@ ORACLES: dict[str, str] = {
     "group_norm": SQL_GROUP_NORM,
     "debounce": SQL_DEBOUNCE,
     "length_histogram": SQL_LENGTH_HISTOGRAM,
+    "mad_outliers": SQL_MAD_OUTLIERS,
     "embed_near_dup": SQL_EMBED_NEAR_DUP,
     "grouping_sets": SQL_GROUPING_SETS,
     "sql_shipping": SQL_SQL_SHIPPING,
