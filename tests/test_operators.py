@@ -1165,3 +1165,67 @@ def test_group_mad_outliers_matches_numpy(spark):
         want = (np.abs(sub["x"].to_numpy() - med) > 3.0 * mad).astype(int)
         assert (rows["is_outlier"].to_numpy() == want).all(), g
     assert got.loc[120, "is_outlier"] == 1  # the planted extreme
+
+
+def test_budget_sample_matches_naive_and_is_prefix_stable(spark):
+    """The histogram-cut selection must equal the naive per-group
+    hash-ordered cumsum rule exactly; raising one group's budget only
+    APPENDS to its selection; unbudgeted groups are dropped; and the
+    result is layout-independent."""
+    import hashlib
+
+    from tgist_features_spark.operators.sampling import budget_sample
+
+    rng = np.random.default_rng(21)
+    pdf = pd.DataFrame({
+        "doc_id": range(600),
+        "g": rng.choice(["a", "b", "nope"], 600, p=[0.5, 0.3, 0.2]),
+        "w": rng.integers(1, 50, 600),
+    })
+    budgets = {"a": 900, "b": 400}
+
+    def naive(budgets_):
+        keep = set()
+        for g, sub in pdf.groupby("g"):
+            if g not in budgets_:
+                continue
+            hv = {
+                r.doc_id: int(
+                    hashlib.md5(f"{r.doc_id}budget".encode()).hexdigest()[:15], 16
+                )
+                for r in sub.itertuples()
+            }
+            run = 0
+            for did in sorted(sub["doc_id"], key=lambda d: (hv[d], d)):
+                wv = int(pdf.loc[pdf["doc_id"] == did, "w"].iloc[0])
+                if run + wv > budgets_[g]:
+                    break  # prefix rule: first crossing row ends the group
+                run += wv
+                keep.add(did)
+        return keep
+
+    df = spark.createDataFrame(pdf)
+    got = set(
+        budget_sample(df, "g", "w", budgets, "doc_id").toPandas()["doc_id"]
+    )
+    assert got == naive(budgets)
+    # weight conservation under the budget
+    kept_pdf = pdf[pdf["doc_id"].isin(got)]
+    for g, cap in budgets.items():
+        assert kept_pdf[kept_pdf["g"] == g]["w"].sum() <= cap
+    assert not (kept_pdf["g"] == "nope").any()
+
+    # prefix stability: bigger budget for 'a' keeps every old 'a' row
+    got2 = set(
+        budget_sample(df, "g", "w", {"a": 1500, "b": 400}, "doc_id")
+        .toPandas()["doc_id"]
+    )
+    old_a = {d for d in got if (pdf.loc[pdf["doc_id"] == d, "g"] == "a").iloc[0]}
+    assert old_a <= got2
+
+    # layout independence
+    got3 = set(
+        budget_sample(df.repartition(13), "g", "w", budgets, "doc_id")
+        .toPandas()["doc_id"]
+    )
+    assert got3 == got

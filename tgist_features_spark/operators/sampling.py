@@ -152,3 +152,103 @@ def per_group_sample(
         .filter(F.col("__rn") <= n_per_group)
         .drop("__rn")
     )
+
+
+def budget_sample(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    budgets: dict,
+    id_col: str,
+    salt: str = "budget",
+    coarse_bits: int = 13,
+) -> DataFrame:
+    """Token-budget mixture sampling — the data-mixing primitive: for
+    each group (domain/source/language), keep rows in deterministic
+    md5-hash order until the group's weight budget is exhausted (a row
+    that would cross the budget is excluded, as is everything after it).
+    Groups absent from ``budgets`` are dropped: the dict IS the mixture
+    spec. Keep-set properties: deterministic, layout-independent, and
+    PREFIX-STABLE — raising one group's budget only appends to its
+    selection, never swaps earlier rows out (same argument as
+    deterministic_split's boundary stability).
+
+    Scale shape (the pack_chunks histogram trick, applied to selection):
+    a naive implementation sorts each group by hash and cumsums — one
+    reducer per group, serialized on the hottest group. Instead the
+    60-bit hash space is cut into 2^coarse_bits ORDER-ALIGNED coarse
+    buckets; one hash aggregation gives per-(group, bucket) weight sums
+    (<= n_groups x 2^coarse_bits rows — driver-safe for any explicit
+    mixture spec), the driver prefix-sums each group's bucket histogram
+    to find the single BOUNDARY bucket, and only that bucket's ~1/2^13
+    slice of the group is ever window-sorted. Everything before it keeps
+    by a broadcast predicate; everything after drops. Exactness is
+    pinned by test against the naive single-window form.
+
+    The hash is md5 (sampling-module convention): selection is
+    reproducible bit-for-bit by any engine with an md5 builtin, which is
+    what makes the registry oracle possible."""
+    if not budgets:
+        raise ValueError("budget_sample: budgets must be non-empty")
+    if coarse_bits < 1 or coarse_bits > 40:
+        raise ValueError("budget_sample: coarse_bits out of range")
+    spark = df.sparkSession
+    shift = 1 << (60 - coarse_bits)
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))),
+            1, _HEX_CHARS,
+        ),
+        16, 10,
+    ).cast("bigint")
+    # only budgeted groups continue; __h >= 0 so div == floor
+    spec = spark.createDataFrame(
+        [(k, int(v)) for k, v in budgets.items()],
+        schema=f"{group_col} string, __budget bigint",
+    )
+    tagged = (
+        df.join(F.broadcast(spec), group_col)
+        .withColumn("__h", h)
+        .withColumn("__b", F.expr(f"__h div {shift}"))
+    )
+    hist = (
+        tagged.groupBy(group_col, "__b")
+        .agg(F.sum(F.col(weight_col).cast("bigint")).alias("__w"))
+        .collect()
+    )
+    per_group: dict = {}
+    for r in hist:
+        per_group.setdefault(r[group_col], {})[int(r["__b"])] = int(r["__w"])
+    cuts = []
+    for g, budget in budgets.items():
+        run = 0
+        b_star = 1 << coarse_bits  # past every bucket: full keep
+        rem = 0
+        for b in sorted(per_group.get(g, {})):
+            w_b = per_group[g][b]
+            if run + w_b > budget:
+                b_star = b
+                rem = int(budget) - run
+                break
+            run += w_b
+        cuts.append((g, int(b_star), int(rem)))
+    cut_df = spark.createDataFrame(
+        cuts, schema=f"{group_col} string, __cut bigint, __rem bigint"
+    )
+    with_cut = tagged.join(F.broadcast(cut_df), group_col)
+    full_keep = with_cut.filter(F.col("__b") < F.col("__cut"))
+    boundary = with_cut.filter(F.col("__b") == F.col("__cut"))
+    w = Window.partitionBy(group_col).orderBy("__h", id_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    boundary_keep = (
+        boundary.withColumn(
+            "__cum", F.sum(F.col(weight_col).cast("bigint")).over(w)
+        )
+        .filter(F.col("__cum") <= F.col("__rem"))
+        .drop("__cum")
+    )
+    return (
+        full_keep.unionByName(boundary_keep)
+        .drop("__h", "__b", "__cut", "__rem", "__budget")
+    )

@@ -2250,6 +2250,36 @@ FROM g WHERE gap_us IS NULL OR gap_us >= 30000000
 """
 
 
+def q_budget_sample(spark, sf):
+    """Token-budget mixture sampling (round 5): per-language char budgets
+    consumed in deterministic md5-hash order (operators/sampling.py
+    budget_sample — histogram-cut selection, only the boundary bucket is
+    ever window-sorted). Budgets chosen so every language truncates at
+    sf0.01 and larger SFs alike (en capped hardest — the down-weighting
+    a real mixture spec does to a dominant source)."""
+    from tgist_features_spark.operators.sampling import budget_sample
+
+    d = _t(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+    budgets = {"en": 9_000, "de": 7_000, "es": 7_000, "fr": 7_000, "zh": 7_000}
+    return budget_sample(
+        d, group_col="lang", weight_col="n_chars", budgets=budgets,
+        id_col="doc_id",
+    )
+
+
+SQL_BUDGET_SAMPLE = """
+WITH b(lang, budget) AS (VALUES ('en', 9000), ('de', 7000), ('es', 7000),
+                                ('fr', 7000), ('zh', 7000)),
+h AS (SELECT d.doc_id, d.lang, d.n_chars, b.budget,
+             ('0x' || substr(md5(d.doc_id::VARCHAR || 'budget'), 1, 15))::UBIGINT AS hv
+      FROM documents d JOIN b USING (lang)),
+c AS (SELECT *, SUM(n_chars) OVER (PARTITION BY lang ORDER BY hv, doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum
+      FROM h)
+SELECT doc_id, lang, n_chars FROM c WHERE cum <= budget
+"""
+
+
 def q_mad_outliers(spark, sf):
     """Robust outlier flags (round 5): per-lang exact median + MAD over
     doc char counts, |x - med| > 3*mad flag (operators/aggregates.py
@@ -2359,15 +2389,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_tolerance": q_asof_tolerance,
     "asof_salted": q_asof_salted,
     "tf_stats": q_tf_stats,
-    "resample": q_resample,
-    # the five NEW round-5 queries need first-time driver evidence
+    # the six NEW round-5 queries need first-time driver evidence
     "hard_negatives": q_hard_negatives,
     "group_norm": q_group_norm,
     "debounce": q_debounce,
     "length_histogram": q_length_histogram,
     "mad_outliers": q_mad_outliers,
+    "budget_sample": q_budget_sample,
     # --- tail (past the driver cap): every key r04-green in the driver
     # run, operator functions untouched this round; rotate next round.
+    "resample": q_resample,
     "pack_chunks": q_pack_chunks,
     "tpch_q1": q_tpch_q1,
     "per_user_agg": q_per_user_agg,
@@ -2465,6 +2496,7 @@ ORACLES: dict[str, str] = {
     "debounce": SQL_DEBOUNCE,
     "length_histogram": SQL_LENGTH_HISTOGRAM,
     "mad_outliers": SQL_MAD_OUTLIERS,
+    "budget_sample": SQL_BUDGET_SAMPLE,
     "embed_near_dup": SQL_EMBED_NEAR_DUP,
     "grouping_sets": SQL_GROUPING_SETS,
     "sql_shipping": SQL_SQL_SHIPPING,
