@@ -435,6 +435,50 @@ def test_read_csv_header_rules_by_schema_kind(spark, tmp_path):
     assert corrupt2.count() == 0
 
 
+def test_read_csv_type_parseable_header_names(spark, tmp_path):
+    """Review finding: a schema whose column NAMES parse as their declared
+    types (boolean column literally named 'true') makes the header line
+    indistinguishable from data — the plan-build probe must detect that
+    and fall back to the pre-parse equality drop, so the header never
+    leaks into the clean output."""
+    from pyspark.sql import types as T
+
+    from tgist_features_spark.sources.csvio import read_csv
+
+    p = tmp_path / "hdr"
+    p.mkdir()
+    (p / "a.csv").write_text("true,name\ntrue,alice\nfalse,bob\n")
+    schema = T.StructType(
+        [T.StructField("true", T.BooleanType()), T.StructField("name", T.StringType())]
+    )
+    clean, corrupt = read_csv(spark, str(p), schema)
+    got = sorted((bool(r[0]), r[1]) for r in clean.collect())
+    assert got == [(False, "bob"), (True, "alice")]  # header row NOT data
+    assert corrupt.count() == 0
+
+
+def test_table_io_upsert_rejects_null_keys(spark, tmp_path):
+    """Review finding: NULL merge keys can never match the replace
+    anti-join (old NULL rows would accumulate) and count_distinct would
+    have misreported them as duplicates — refuse with the real reason."""
+    import pandas as pd
+    import pytest as _pt
+
+    from tgist_features_spark.sources.table_io import TableIO
+
+    io_ = TableIO(spark, str(tmp_path / "wh"), n_buckets=4)
+    io_.upsert(
+        spark.createDataFrame(pd.DataFrame({"conv_id": ["a", "b"], "v": [1, 2]})),
+        "t",
+    )
+    bad = spark.createDataFrame(
+        pd.DataFrame({"conv_id": ["c", None], "v": [3, 4]}),
+        schema="conv_id string, v long",
+    )
+    with _pt.raises(ValueError, match="NULL"):
+        io_.upsert(bad, "t")
+
+
 def test_table_io_orc_roundtrip(spark, tmp_path):
     """TableIO(fmt='orc'): bucket x day layout, read-back parity with the
     parquet path, exists() recognition, and compact() on ORC files."""
@@ -798,6 +842,10 @@ def test_jpeg_decoder_rejects_non_baseline_and_garbage():
     # flip SOF0 to SOF2 (progressive): must refuse, not mis-decode
     prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
     assert decode_jpeg(prog) is None
-    # truncated entropy data: decoder pads with zeros or errors — either
-    # way it must not raise out of decode_jpeg
-    assert decode_jpeg(good[: len(good) // 2]) is None or True
+    # truncated entropy data: the decoder either refuses (None) or pads
+    # the missing bits with zeros and still returns a WELL-FORMED image —
+    # never an exception, never a malformed value
+    out = decode_jpeg(good[: len(good) // 2])
+    assert out is None or (
+        out.dtype == np.uint8 and out.ndim == 3 and out.shape[2] == 3
+    )

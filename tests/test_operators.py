@@ -1229,3 +1229,19 @@ def test_budget_sample_matches_naive_and_is_prefix_stable(spark):
         .toPandas()["doc_id"]
     )
     assert got3 == got
+
+
+def test_budget_sample_rejects_null_and_negative_weights(spark):
+    from tgist_features_spark.operators.sampling import budget_sample
+
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3], "g": ["a"] * 3, "w": [5.0, None, 7.0],
+    })
+    df = spark.createDataFrame(pdf, schema="doc_id long, g string, w double")
+    with pytest.raises(ValueError, match="NULL"):
+        budget_sample(df, "g", "w", {"a": 100}, "doc_id")
+    neg = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "g": ["a", "a"], "w": [5, -3]})
+    )
+    with pytest.raises(ValueError, match="negative"):
+        budget_sample(neg, "g", "w", {"a": 100}, "doc_id")

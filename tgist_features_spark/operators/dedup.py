@@ -204,10 +204,13 @@ def minhash_signatures(
     seed: int = 42,
     parallelism: int | None = None,
 ) -> DataFrame:
-    if parallelism and df.rdd.getNumPartitions() < parallelism:
-        # single-file sources otherwise feed the UDF one task; when the
-        # upstream plan already fans out (e.g. it ends in a shuffle), the
-        # extra full exchange is pure latency and is skipped
+    # NOTE: do NOT probe df.rdd.getNumPartitions() here to decide — under
+    # AQE, Dataset.rdd resolves the final physical plan by EXECUTING every
+    # upstream shuffle stage, and that work is not reused by the real job
+    # (review finding: the probe double-computed shuffle-bearing inputs).
+    # Callers that KNOW their input already fans out pass parallelism=None.
+    if parallelism:
+        # single-file sources otherwise feed the UDF one task
         df = df.repartition(parallelism)
     @pandas_udf(T.ArrayType(T.LongType()))
     def mh(texts: pd.Series) -> pd.Series:
@@ -316,6 +319,7 @@ def _lsh_pairs_lazy(
     seed: int,
     min_est_jaccard: float,
     max_bucket: int | None,
+    input_fans_out: bool = False,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """The un-materialized core of ``minhash_lsh_pairs``: returns (lazy
     pairs, PERSISTED-but-unmaterialized signature cache, raw band
@@ -326,9 +330,14 @@ def _lsh_pairs_lazy(
     chain. The caller OWNS ``sigs.unpersist()`` once its consumers have
     materialized."""
     rows = n_hashes // bands
+    # input_fans_out: the caller guarantees the plan already ends in a
+    # shuffle/aggregation wide enough to feed the UDF, so the repartition
+    # exchange is skipped WITHOUT probing partition counts (a df.rdd
+    # probe would execute upstream stages twice under AQE — see
+    # minhash_signatures)
+    par = None if input_fans_out else df.sparkSession.sparkContext.defaultParallelism
     sigs = minhash_signatures(
-        df, id_col, text_col, n_hashes, shingle, seed,
-        parallelism=df.sparkSession.sparkContext.defaultParallelism,
+        df, id_col, text_col, n_hashes, shingle, seed, parallelism=par
     ).persist()
     # at the 100 TB point dragging the 128-long signature through 64
     # bands x 2 join sides would dominate the job — see _banded_numeric

@@ -213,9 +213,29 @@ def budget_sample(
     )
     hist = (
         tagged.groupBy(group_col, "__b")
-        .agg(F.sum(F.col(weight_col).cast("bigint")).alias("__w"))
+        .agg(
+            F.sum(F.col(weight_col).cast("bigint")).alias("__w"),
+            F.sum(F.col(weight_col).isNull().cast("int")).alias("__nulls"),
+            F.min(F.col(weight_col).cast("bigint")).alias("__minw"),
+        )
         .collect()
     )
+    # weights define the budget arithmetic: NULLs would silently diverge
+    # from the cumsum rule (SUM skips them, the filter keeps them) and
+    # negatives break prefix monotonicity — both refuse loudly (review
+    # finding), in the same aggregation the histogram already pays for
+    bad_nulls = sum(int(r["__nulls"]) for r in hist)
+    if bad_nulls:
+        raise ValueError(
+            f"budget_sample: {bad_nulls} NULL {weight_col!r} value(s) in "
+            "budgeted groups — fill or filter them first"
+        )
+    neg = min((int(r["__minw"]) for r in hist), default=0)
+    if neg < 0:
+        raise ValueError(
+            f"budget_sample: negative {weight_col!r} values (min {neg}) "
+            "break the prefix rule — weights must be non-negative"
+        )
     per_group: dict = {}
     for r in hist:
         per_group.setdefault(r[group_col], {})[int(r["__b"])] = int(r["__w"])

@@ -253,8 +253,9 @@ def debounce(
     (streaming/stream.py), not a batch window.
 
     Appends gap_us (microseconds since the previous row, null on the
-    first) and keeps only surviving rows. Ties (gap == min_gap) are
-    dropped: the rule is gap >= min_gap in integer microseconds.
+    first) and keeps only surviving rows. A gap EXACTLY equal to
+    min_gap is KEPT: the rule is gap >= min_gap in integer microseconds
+    (mirrored by the SQL oracle and the pandas reference test).
 
     Scale shape: one shuffle on the entity columns, one codegen window
     pass — identical cost to any lag feature; no skew risk beyond the

@@ -124,6 +124,10 @@ def dedup_corpus(
     pairs, sig_cache, _braw = _lsh_pairs_lazy(
         exact_kept, id_col, text_col, n_hashes, bands, 3, 42,
         min_est_jaccard, max_bucket,
+        # exact_kept ends in the min_by hash aggregation: it already fans
+        # out across shuffle partitions, so the signature repartition
+        # exchange is pure latency here
+        input_fans_out=True,
     )
     if transitive:
         from tgist_features_spark.operators.components import (  # noqa: PLC0415

@@ -38,19 +38,22 @@ def read_csv(
     one-record-per-line sidecar shape.
 
     ``header=True`` discards the per-file header line without losing
-    data rows:
+    data rows where that is provable. The rule is decided by actually
+    PARSING the header rendering under the schema once at plan-build
+    time (a 1-row local evaluation):
 
-    * schema has >= 1 non-string field — header lines cannot parse (their
-      cells are the column NAMES, and at least one column demands a
-      non-string type), so they land in the corrupt set and are dropped
-      FROM THE QUARANTINE by header-rendering equality. A legitimate
-      data row that happens to render like the header parses fine and is
-      never touched.
-    * all-string schema — any line parses, so the only available rule is
-      pre-parse equality with the header rendering; a data row exactly
-      equal to ``"col1<sep>col2..."`` is indistinguishable from a header
-      and is dropped with it (documented trade — a text scan has no line
-      numbers to scope the drop to each file's first line)."""
+    * header does NOT parse (the usual case: some column's NAME fails
+      its declared non-string type) — header lines land in the corrupt
+      set and are dropped FROM THE QUARANTINE by header-rendering
+      equality. A legitimate data row that happens to render like the
+      header parses fine and is never touched — provably lossless.
+    * header DOES parse (all-string schemas, or pathological column
+      names like a boolean column named "true") — the only available
+      rule is pre-parse equality with the header rendering; a data row
+      exactly equal to ``"col1<sep>col2..."`` is indistinguishable from
+      a header and is dropped with it (documented trade — a text scan
+      has no line numbers to scope the drop to each file's first
+      line)."""
     full = T.StructType(
         list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType(), True)]
     )
@@ -60,9 +63,17 @@ def read_csv(
         "sep": sep,
     }
     hdr = sep.join(f.name for f in schema.fields)
-    all_string = all(isinstance(f.dataType, T.StringType) for f in schema.fields)
+    hdr_parses = header and (
+        spark.range(1)
+        .select(
+            F.from_csv(F.lit(hdr), full.simpleString(), opts)[CORRUPT_COL]
+            .alias("c")
+        )
+        .first()["c"]
+        is None
+    )
     lines = spark.read.text(path)
-    if header and all_string:
+    if header and hdr_parses:
         lines = lines.filter(F.col("value") != hdr)
     parsed = lines.select(
         F.col("value"),
@@ -72,7 +83,7 @@ def read_csv(
         *[F.col(f"c.{f.name}").alias(f.name) for f in schema.fields]
     )
     corrupt_pred = F.col(f"c.{CORRUPT_COL}").isNotNull()
-    if header and not all_string:
+    if header and not hdr_parses:
         corrupt_pred = corrupt_pred & (F.col("value") != hdr)
     corrupt = parsed.filter(corrupt_pred).select(
         F.col("value").alias(CORRUPT_COL)

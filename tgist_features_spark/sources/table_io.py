@@ -213,9 +213,22 @@ class TableIO:
         per_bucket = delta.groupBy("bucket").agg(
             F.count(F.lit(1)).alias("count"),
             F.count_distinct(F.col(key)).alias("n_keys"),
+            F.sum(F.col(key).isNull().cast("int")).alias("n_nulls"),
         ).collect()
         touched = [int(r["bucket"]) for r in per_bucket]
         n_rows = sum(int(r["count"]) for r in per_bucket)
+        # NULL merge keys are unsupported outright: xxhash64(NULL)
+        # buckets them happily, but the replace anti-join can never match
+        # a NULL key, so old NULL rows would accumulate forever — and
+        # count_distinct ignores them, which would misreport them as
+        # duplicates (review finding). Refuse with the real reason.
+        n_nulls = sum(int(r["n_nulls"]) for r in per_bucket)
+        if n_nulls:
+            raise ValueError(
+                f"TableIO.upsert: delta has {n_nulls} NULL {key!r} "
+                "value(s) — a NULL merge key can never match for "
+                "replacement; filter or fill them first"
+            )
         # MERGE semantics need one row per key in the delta: buckets
         # partition the key space, so per-bucket distincts sum to the
         # global distinct count and the check costs nothing extra

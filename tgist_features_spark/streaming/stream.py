@@ -380,37 +380,43 @@ def stateful_debounce(
 
     def fn(key: Any, pdfs, state: GroupState):
         last_kept = state.get[0] if state.exists else None
-        frames = []
-        for pdf in pdfs:
-            if len(pdf) == 0:
-                continue
-            pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
-            ts_us = pdf["ts"].to_numpy(dtype="datetime64[us]").astype("int64")
-            keep = np.zeros(len(pdf), dtype=bool)
-            gaps = []
-            for i, t in enumerate(ts_us):
-                if last_kept is None or t - last_kept >= min_gap_us:
-                    keep[i] = True
-                    # seconds since the previous KEPT event, carried
-                    # across micro-batches; nan only for the first ever
-                    gaps.append(
-                        np.nan if last_kept is None else (t - last_kept) / 1e6
-                    )
-                    last_kept = int(t)
-            kept = pdf[keep]
-            frames.append(pd.DataFrame({
-                "user_id": key[0],
-                "event_type": key[1],
-                "event_id": kept["event_id"].to_numpy(),
-                "ts": kept["ts"].to_numpy(),
-                "gap_s": np.array(gaps, dtype=np.float64),
-            }))
-        state.update((int(last_kept) if last_kept is not None else None,))
-        yield (
-            pd.concat(frames, ignore_index=True)
-            if frames
-            else pd.DataFrame(columns=[f.name for f in DEBOUNCE_OUT_SCHEMA.fields])
+        # MATERIALIZE the whole per-key micro-batch before sorting: the
+        # iterator yields multiple Arrow chunks for a key whose batch
+        # exceeds arrow.maxRecordsPerBatch, in no cross-chunk order — a
+        # per-chunk sort would run the sequential rule on wrongly-ordered
+        # data exactly at the burst scale this operator targets (review
+        # finding). Memory is bounded by one key's one-micro-batch volume.
+        chunks = [p for p in pdfs if len(p)]
+        if not chunks:
+            state.update((int(last_kept) if last_kept is not None else None,))
+            yield pd.DataFrame(
+                columns=[f.name for f in DEBOUNCE_OUT_SCHEMA.fields]
+            )
+            return
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            ["ts", "event_id"], kind="mergesort"
         )
+        ts_us = pdf["ts"].to_numpy(dtype="datetime64[us]").astype("int64")
+        keep = np.zeros(len(pdf), dtype=bool)
+        gaps = []
+        for i, t in enumerate(ts_us):
+            if last_kept is None or t - last_kept >= min_gap_us:
+                keep[i] = True
+                # seconds since the previous KEPT event, carried
+                # across micro-batches; nan only for the first ever
+                gaps.append(
+                    np.nan if last_kept is None else (t - last_kept) / 1e6
+                )
+                last_kept = int(t)
+        kept = pdf[keep]
+        state.update((int(last_kept) if last_kept is not None else None,))
+        yield pd.DataFrame({
+            "user_id": key[0],
+            "event_type": key[1],
+            "event_id": kept["event_id"].to_numpy(),
+            "ts": kept["ts"].to_numpy(),
+            "gap_s": np.array(gaps, dtype=np.float64),
+        })
 
     return (
         stream.withWatermark("ts", delay)
