@@ -64,6 +64,7 @@ R5_OPS = [
     "length_histogram",
     "mad_outliers",
     "budget_sample",
+    "cluster_sizes",
 ]
 
 HEADLINE = [

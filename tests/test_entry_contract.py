@@ -113,9 +113,9 @@ def test_driver_window_composition():
         "range_join", "dup_clusters", "knn_brute", "ann_lsh", "ivf_ann",
         # new round-5 queries needing first-time driver evidence
         "hard_negatives", "group_norm", "debounce", "length_histogram",
-        "mad_outliers", "budget_sample",
+        "mad_outliers", "budget_sample", "cluster_sizes",
     }
     missing = must_be_checked - window
     assert not missing, f"driver window lost round-5 evidence for: {missing}"
-    assert len(ks) == len(set(ks)) == 81
+    assert len(ks) == len(set(ks)) == 82
     assert set(entry_mod.oracle_sql()) == set(ks)

@@ -1139,6 +1139,64 @@ GROUP BY n.id
 """
 
 
+def q_cluster_sizes(spark, sf):
+    """Duplicate-cluster size distribution (round 5): how much of the
+    corpus sits in near-dup clusters of each size — the number a
+    curation report leads with ("12% of docs are in clusters of 5+").
+    Composition: the driver-verified SimHash pair generator -> connected
+    components -> per-cluster count -> size histogram. The oracle closes
+    the same pairs with a recursive CTE and aggregates identically."""
+    from tgist_features_spark.operators.components import connected_components
+
+    pairs = simhash_near_pairs(
+        _t(spark, sf, "documents"), max_hamming=3, max_bucket=None
+    )
+    comps = connected_components(pairs)
+    return (
+        comps.groupBy("comp")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+            F.sum("cluster_size").cast("bigint").alias("n_docs"),
+        )
+    )
+
+
+SQL_CLUSTER_SIZES = """
+WITH RECURSIVE
+toks AS (SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS tok
+         FROM documents),
+h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS hv FROM toks),
+bits AS (SELECT doc_id, j,
+                SUM(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+         FROM h, LATERAL (SELECT unnest(range(0, 64)) AS j) t(j)
+         GROUP BY doc_id, j),
+sig AS (SELECT doc_id,
+               SUM(CASE WHEN acc > 0 THEN (1::UBIGINT << j)::HUGEINT
+                        ELSE 0 END)::UBIGINT AS s
+        FROM bits GROUP BY doc_id),
+pairs AS (SELECT x.doc_id AS a, y.doc_id AS b
+          FROM sig x JOIN sig y ON x.doc_id < y.doc_id
+          WHERE bit_count(xor(x.s, y.s)) <= 3),
+e AS (SELECT a AS s, b AS d FROM pairs UNION SELECT b, a FROM pairs),
+reach(s, d) AS (
+  SELECT s, d FROM e
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN e ON r.d = e.s
+),
+nodes AS (SELECT DISTINCT s AS id FROM e),
+labels AS (SELECT n.id AS doc_id, LEAST(n.id, MIN(r.d)) AS cluster_id
+           FROM nodes n LEFT JOIN reach r ON r.s = n.id
+           GROUP BY n.id),
+sizes AS (SELECT cluster_id, COUNT(*)::BIGINT AS cluster_size
+          FROM labels GROUP BY cluster_id)
+SELECT cluster_size, COUNT(*)::BIGINT AS n_clusters,
+       SUM(cluster_size)::BIGINT AS n_docs
+FROM sizes GROUP BY cluster_size
+"""
+
+
 def q_cosine_topk(spark, sf):
     emb = _t(spark, sf, "embeddings")
     return cosine_topk(emb, queries_from_ids(emb, [0]), k=10)
@@ -2388,16 +2446,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_forward": q_asof_forward,
     "asof_tolerance": q_asof_tolerance,
     "asof_salted": q_asof_salted,
-    "tf_stats": q_tf_stats,
-    # the six NEW round-5 queries need first-time driver evidence
+    # the seven NEW round-5 queries need first-time driver evidence
     "hard_negatives": q_hard_negatives,
     "group_norm": q_group_norm,
     "debounce": q_debounce,
     "length_histogram": q_length_histogram,
     "mad_outliers": q_mad_outliers,
     "budget_sample": q_budget_sample,
+    "cluster_sizes": q_cluster_sizes,
     # --- tail (past the driver cap): every key r04-green in the driver
     # run, operator functions untouched this round; rotate next round.
+    "tf_stats": q_tf_stats,
     "resample": q_resample,
     "pack_chunks": q_pack_chunks,
     "tpch_q1": q_tpch_q1,
@@ -2497,6 +2556,7 @@ ORACLES: dict[str, str] = {
     "length_histogram": SQL_LENGTH_HISTOGRAM,
     "mad_outliers": SQL_MAD_OUTLIERS,
     "budget_sample": SQL_BUDGET_SAMPLE,
+    "cluster_sizes": SQL_CLUSTER_SIZES,
     "embed_near_dup": SQL_EMBED_NEAR_DUP,
     "grouping_sets": SQL_GROUPING_SETS,
     "sql_shipping": SQL_SQL_SHIPPING,
