@@ -1245,3 +1245,35 @@ def test_budget_sample_rejects_null_and_negative_weights(spark):
     )
     with pytest.raises(ValueError, match="negative"):
         budget_sample(neg, "g", "w", {"a": 100}, "doc_id")
+
+
+def test_distinct_sketches_merge_equals_one_pass(spark):
+    """Mergeable-sketch maintenance: per-batch sketches unioned must give
+    EXACTLY the one-pass sketch's estimate per key (the merge property
+    that makes incremental maintenance free), and the estimate must be
+    within the HLL error bound of the exact distinct count."""
+    from tgist_features_spark.operators.aggregates import (
+        distinct_sketches,
+        merge_distinct_sketches,
+    )
+
+    rng = np.random.default_rng(17)
+    pdf = pd.DataFrame({
+        "g": rng.choice(["a", "b"], 30_000),
+        "v": rng.integers(0, 5_000, 30_000),
+        "batch": rng.integers(0, 3, 30_000),
+    })
+    df = spark.createDataFrame(pdf)
+    one_pass = (
+        distinct_sketches(df, ["g"], "v")
+        .toPandas().set_index("g")["est"].to_dict()
+    )
+    per_batch = distinct_sketches(df, ["g", "batch"], "v")
+    merged = (
+        merge_distinct_sketches(per_batch, ["g"])
+        .toPandas().set_index("g")["est"].to_dict()
+    )
+    assert merged == one_pass  # merge property: bit-equal estimates
+    exact = pdf.groupby("g")["v"].nunique().to_dict()
+    for g, e in exact.items():
+        assert abs(merged[g] - e) / e < 0.05, (g, merged[g], e)
