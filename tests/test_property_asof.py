@@ -297,3 +297,49 @@ def test_bounded_range_join_property(spark, n_events, lo, width, seed):
         ).select("aid", "bid").collect()
     }
     assert got == want
+
+
+@given(
+    n=st.integers(min_value=1, max_value=120),
+    n_groups=st.integers(min_value=1, max_value=4),
+    budget=st.integers(min_value=0, max_value=2000),
+    wmax=st.integers(min_value=1, max_value=80),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_budget_sample_property(spark, n, n_groups, budget, wmax, seed):
+    """For ANY weights/budgets (zero-weight rows, budget 0, budget larger
+    than the group total, single-row groups), the histogram-cut selection
+    equals the naive md5-ordered prefix rule."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from tgist_features_spark.operators.sampling import budget_sample
+
+    rng = np.random.default_rng(seed)
+    pdf = pd.DataFrame({
+        "doc_id": range(n),
+        "g": [f"g{i}" for i in rng.integers(0, n_groups, n)],
+        "w": rng.integers(0, wmax, n),
+    })
+    budgets = {f"g{i}": budget for i in range(n_groups)}
+    got = set(
+        budget_sample(spark.createDataFrame(pdf), "g", "w", budgets, "doc_id")
+        .toPandas()["doc_id"]
+    )
+    want = set()
+    for g, sub in pdf.groupby("g"):
+        hv = {
+            int(d): int(hashlib.md5(f"{d}budget".encode()).hexdigest()[:15], 16)
+            for d in sub["doc_id"]
+        }
+        run = 0
+        for d in sorted(sub["doc_id"], key=lambda x: (hv[int(x)], x)):
+            wv = int(sub.loc[sub["doc_id"] == d, "w"].iloc[0])
+            if run + wv > budget:
+                break
+            run += wv
+            want.add(int(d))
+    assert got == want
