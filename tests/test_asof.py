@@ -274,16 +274,29 @@ def test_nearest(spark, feats, oracle_feats, queries_pdf, direction):
     _check(got, oracle_backfill(oracle_feats, queries_pdf, direction=direction))
 
 
-def test_nearest_rejected_by_salted(spark, feats, queries_pdf):
-    from tgist_features_spark.operators.asof import asof_join_salted
+def test_nearest_supported_by_salted(spark, feats, queries_pdf):
+    """Round 5: 'nearest' is no longer rejected by the salted path — it
+    composes the two directional passes; on the golden corpus it must
+    equal the plain merge-scan (the dedicated tie/slice test exercises
+    the hard cases)."""
+    from tgist_features_spark.operators.asof import asof_join, asof_join_salted
 
     q = queries_df(spark, queries_pdf)
-    with pytest.raises(AssertionError, match="nearest"):
-        asof_join_salted(
-            q, feats.select("conv_id", "ts", "turn_idx"),
-            by="conv_id", left_on="query_ts", right_on="ts",
-            direction="nearest", value_cols=["ts", "turn_idx"],
-        )
+    kw = dict(by="conv_id", left_on="query_ts", right_on="ts",
+              direction="nearest", value_cols=["ts", "turn_idx"])
+    plain = (
+        asof_join(q, feats.select("conv_id", "ts", "turn_idx"), **kw)
+        .toPandas().sort_values("query_id").reset_index(drop=True)
+    )
+    salted = (
+        asof_join_salted(q, feats.select("conv_id", "ts", "turn_idx"), **kw)
+        .toPandas().sort_values("query_id").reset_index(drop=True)
+    )
+    import pandas as pd
+
+    for c in ["ts", "turn_idx"]:
+        a, b = plain[c].to_numpy(), salted[c].to_numpy()
+        assert ((pd.isna(a) & pd.isna(b)) | (a == b)).all(), c
 
 
 def test_salted_probe_only_slice_gets_carry(spark):
@@ -323,3 +336,58 @@ def test_salted_probe_only_slice_gets_carry(spark):
     plain = asof_join(probe, build, **kw).toPandas()
     salted = asof_join_salted(probe, build, slice_width_s=3600, **kw).toPandas()
     assert salted["turn_idx"].tolist() == plain["turn_idx"].tolist() == [2]
+
+
+def test_salted_nearest_matches_plain_with_ties_and_slices(spark):
+    """Salted 'nearest' (round 5 — the last asof direction gap) must equal
+    the plain merge-scan on a frame engineered to exercise everything the
+    composition can get wrong: exact-distance ties (backward must win),
+    matches that live in NEIGHBORING slices on either side, probe-only
+    slices, tolerance rejection, and null probe timestamps."""
+    import numpy as np
+    import pandas as pd
+
+    from tgist_features_spark.operators.asof import asof_join, asof_join_salted
+
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    # entity e0: build events every 100s; probes sit exactly between two
+    # events (tie: |50| both sides), exactly on events, and far away
+    for i in range(40):
+        rows.append(("e0", base + pd.Timedelta(seconds=100 * i), i))
+    build = pd.DataFrame(rows, columns=["conv_id", "ts", "turn_idx"])
+    probes = []
+    for i, off in enumerate([50, 150, 0, 3950, 12, 88, None]):
+        probes.append(
+            ("e0", None if off is None else base + pd.Timedelta(seconds=off), i)
+        )
+    # e1 exists only on the probe side (null match), e2 has one event far
+    # from its probe (tolerance rejects)
+    probes.append(("e1", base, 100))
+    rows.append(("e2", base, 999))
+    probes.append(("e2", base + pd.Timedelta(seconds=5000), 101))
+    probe = pd.DataFrame(probes, columns=["conv_id", "query_ts", "query_id"])
+    build = pd.DataFrame(rows, columns=["conv_id", "ts", "turn_idx"])
+    b = spark.createDataFrame(build, schema="conv_id string, ts timestamp, turn_idx int")
+    p = spark.createDataFrame(probe, schema="conv_id string, query_ts timestamp, query_id long")
+
+    for tol in [None, 60.0]:
+        kw = dict(by="conv_id", left_on="query_ts", right_on="ts",
+                  direction="nearest", tolerance=tol,
+                  value_cols=["ts", "turn_idx"])
+        plain = (
+            asof_join(p, b, **kw)
+            .toPandas().sort_values("query_id").reset_index(drop=True)
+        )
+        # slice width 100s: every inter-event probe needs a neighbor-slice
+        # candidate on at least one side
+        salted = (
+            asof_join_salted(p, b, slice_width_s=100, **kw)
+            .toPandas().sort_values("query_id").reset_index(drop=True)
+        )
+        for c in ["ts", "turn_idx"]:
+            a, bb = plain[c].to_numpy(), salted[c].to_numpy()
+            assert ((pd.isna(a) & pd.isna(bb)) | (a == bb)).all(), (tol, c)
+        # tie at +-50s resolves BACKWARD (pandas nearest semantics)
+        tie = plain[plain["query_id"] == 0]["turn_idx"].iloc[0]
+        assert tie == 0

@@ -60,10 +60,10 @@ def _oracle(build, probe, direction):
     )
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     seed=st.integers(0, 2**31 - 1),
-    direction=st.sampled_from(["backward", "forward"]),
+    direction=st.sampled_from(["backward", "forward", "nearest"]),
     salted=st.booleans(),
 )
 def test_asof_matches_merge_asof(spark, seed, direction, salted):

@@ -341,10 +341,7 @@ def asof_join_auto(
     11.2s at a 1.6M-row hot entity; plain wins below ~1M — bench.py
     ``skew_asof``).
     """
-    assert direction in ("backward", "forward"), (
-        "asof_join_auto routes hot entities through the salted path, "
-        "which is direction-specific — use asof_join for 'nearest'"
-    )
+    assert direction in ("backward", "forward", "nearest")
     counts = build.groupBy(by).agg(F.count(F.lit(1)).alias("__n"))
     hot = counts.filter(F.col("__n") > hot_threshold).select(by)
     kw = dict(
@@ -383,13 +380,24 @@ def asof_join_salted(
 
     Identical results to ``asof_join`` (tested); group size per cogroup task
     is bounded by rows-per-(entity, slice) instead of rows-per-entity.
+
+    ``direction='nearest'`` (round 5 — closes the last asof gap): carries
+    from BOTH sides of every slice would double the carry bookkeeping
+    inside one pass, so nearest is instead COMPOSED from the two
+    direction-specific passes — each already exactly equal to pandas
+    merge_asof for its direction — and the closer match wins per probe
+    row, backward winning exact-distance ties (pandas 'nearest'
+    semantics, pinned by the property test). Cost: two salted passes plus
+    a probe-id equijoin; the probe side is frozen once via an eager
+    localCheckpoint so the synthetic row id is stable across both
+    branches.
     """
-    assert direction in ("backward", "forward"), (
-        "the salted path's carry-in replication is direction-specific; "
-        "'nearest' would need carries from BOTH sides of every slice — "
-        "route nearest joins through the plain merge-scan (hot entities "
-        "at 'nearest' semantics are rare enough not to earn that code)"
-    )
+    assert direction in ("backward", "forward", "nearest")
+    if direction == "nearest":
+        return _salted_nearest(
+            probe, build, by, left_on, right_on, tolerance,
+            allow_exact_matches, value_cols, tiebreak, slice_width_s,
+        )
     slice_col = "__slice"
     width_us = slice_width_s * 1_000_000
 
@@ -480,3 +488,55 @@ def asof_join_salted(
         tiebreak=tiebreak,
     )
     return out.drop(slice_col)
+
+
+def _salted_nearest(
+    probe: DataFrame,
+    build: DataFrame,
+    by: str,
+    left_on: str,
+    right_on: str,
+    tolerance: float | None,
+    allow_exact_matches: bool,
+    value_cols: list[str] | None,
+    tiebreak: tuple[str, ...],
+    slice_width_s: int,
+) -> DataFrame:
+    """nearest = closer of (salted backward, salted forward) per probe
+    row; backward wins exact-distance ties (empirically pinned pandas
+    merge_asof 'nearest' behavior). See asof_join_salted's docstring."""
+    pid = "__asof_pid"
+    p_id = probe.withColumn(pid, F.monotonically_increasing_id()).localCheckpoint(
+        eager=True  # freeze the synthetic id: both branches must see ONE row identity
+    )
+    _, value_cols, rename, _, _ = _plan(
+        probe, build, by, left_on, right_on, value_cols
+    )
+    # both passes must carry the matched event time for the distance
+    # comparison even when the caller didn't ask for it
+    vc = value_cols if right_on in value_cols else [right_on, *value_cols]
+    rn = _plan(p_id, build, by, left_on, right_on, vc)[2]
+    kw = dict(
+        by=by, left_on=left_on, right_on=right_on, tolerance=tolerance,
+        allow_exact_matches=allow_exact_matches, value_cols=vc,
+        tiebreak=tiebreak, slice_width_s=slice_width_s,
+    )
+    back = asof_join_salted(p_id, build, direction="backward", **kw)
+    fwd = asof_join_salted(p_id, build, direction="forward", **kw)
+    bsel = back.select(pid, *[F.col(rn[c]).alias(f"__b_{c}") for c in vc])
+    fsel = fwd.select(pid, *[F.col(rn[c]).alias(f"__f_{c}") for c in vc])
+    combined = p_id.join(bsel, pid, "left").join(fsel, pid, "left")
+    bd = F.abs(us(F.col(f"__b_{right_on}")) - us(F.col(left_on)))
+    fd = F.abs(us(F.col(f"__f_{right_on}")) - us(F.col(left_on)))
+    use_back = F.col(f"__b_{right_on}").isNotNull() & (
+        F.col(f"__f_{right_on}").isNull() | (bd <= fd)
+    )
+    return combined.select(
+        *probe.columns,
+        *[
+            F.when(use_back, F.col(f"__b_{c}"))
+            .otherwise(F.col(f"__f_{c}"))
+            .alias(rename[c])
+            for c in value_cols
+        ],
+    )
