@@ -65,6 +65,7 @@ R5_OPS = [
     "mad_outliers",
     "budget_sample",
     "cluster_sizes",
+    "dedup_fuzzy",
 ]
 
 HEADLINE = [

@@ -1277,3 +1277,31 @@ def test_distinct_sketches_merge_equals_one_pass(spark):
     exact = pdf.groupby("g")["v"].nunique().to_dict()
     for g, e in exact.items():
         assert abs(merged[g] - e) / e < 0.05, (g, merged[g], e)
+
+
+def test_normalize_for_dedup_collapses_variants(spark):
+    """Case/punctuation/whitespace variants of one passage must normalize
+    to the SAME string (and therefore dedup together); distinct content
+    must not collide; NULL passes through."""
+    from tgist_features_spark.functions.text import normalize_for_dedup
+
+    pdf = pd.DataFrame({
+        "doc_id": range(6),
+        "text": [
+            "The quick brown fox!",
+            "the  quick   BROWN fox",
+            "the,quick;brown--fox...",
+            "a different document",
+            "",
+            None,
+        ],
+    })
+    got = (
+        spark.createDataFrame(pdf, schema="doc_id long, text string")
+        .select("doc_id", normalize_for_dedup(F.col("text")).alias("n"))
+        .toPandas().set_index("doc_id")["n"]
+    )
+    assert got[0] == got[1] == got[2] == "the quick brown fox"
+    assert got[3] == "a different document"
+    assert got[4] == ""
+    assert got[5] is None

@@ -547,3 +547,18 @@ def token_frequency_stats(
         F.col("oov_count").cast("bigint").alias("oov_count"),
         _fixed("oov_count", 1_000_000).alias("oov_rate_x1e6"),
     )
+
+
+def normalize_for_dedup(col: str | Column) -> Column:
+    """Canonical text normalization BEFORE hashing/shingling — the step
+    real curation pipelines run so that case, punctuation and whitespace
+    variants of the same passage dedup together (the difference between
+    "exact" dedup and what practitioners actually mean by it).
+
+    Chain (pure Catalyst, Java∩RE2 regex subset so any engine
+    reproduces it bit-for-bit — the with_redaction pattern discipline):
+    lowercase -> every non-[a-z0-9] run becomes ONE space -> trim.
+    NULL passes through as NULL (callers' null-text accounting, e.g.
+    the dedup pipeline's __null_text__ fingerprint, stays intact)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), "[^a-z0-9]+", " "))

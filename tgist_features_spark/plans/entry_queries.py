@@ -1139,6 +1139,38 @@ GROUP BY n.id
 """
 
 
+def q_dedup_fuzzy(spark, sf):
+    """Normalization-robust exact dedup (round 5): documents hash over
+    NORMALIZED text (functions/text.py normalize_for_dedup — lowercase,
+    punctuation/whitespace collapse), so case/punct variants of the same
+    passage collapse together; per surviving group: count and kept id.
+    The synthetic corpus has no punct variants, so groups mostly mirror
+    plain exact dedup — the oracle equivalence is what's being proven:
+    the normalization chain is bit-reproducible in another engine."""
+    from tgist_features_spark.functions.text import normalize_for_dedup
+
+    d = _t(spark, sf, "documents")
+    norm = normalize_for_dedup(F.col("text"))
+    return (
+        d.select(F.md5(norm).alias("fp"), F.col("doc_id"))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("doc_id").alias("keep_id"),
+        )
+    )
+
+
+SQL_DEDUP_FUZZY = """
+WITH n AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+  FROM documents)
+SELECT fp, COUNT(*)::BIGINT AS n, MIN(doc_id) AS keep_id
+FROM n GROUP BY fp
+"""
+
+
 def q_cluster_sizes(spark, sf):
     """Duplicate-cluster size distribution (round 5): how much of the
     corpus sits in near-dup clusters of each size — the number a
@@ -2441,7 +2473,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dup_clusters": q_dup_clusters,
     "knn_brute": q_knn_brute,
     "ann_lsh": q_ann_lsh,
-    "ivf_ann": q_ivf_ann,
     "asof_backward": q_asof_backward,
     "asof_forward": q_asof_forward,
     "asof_tolerance": q_asof_tolerance,
@@ -2454,8 +2485,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mad_outliers": q_mad_outliers,
     "budget_sample": q_budget_sample,
     "cluster_sizes": q_cluster_sizes,
+    "dedup_fuzzy": q_dedup_fuzzy,
     # --- tail (past the driver cap): every key r04-green in the driver
     # run, operator functions untouched this round; rotate next round.
+    # (ivf_ann_topk the FUNCTION is untouched in round 5 — similarity.py
+    # only gained hard_negatives and the centroid split — so ivf_ann
+    # keeps its r04-green evidence from the tail)
+    "ivf_ann": q_ivf_ann,
     "tf_stats": q_tf_stats,
     "resample": q_resample,
     "pack_chunks": q_pack_chunks,
@@ -2557,6 +2593,7 @@ ORACLES: dict[str, str] = {
     "mad_outliers": SQL_MAD_OUTLIERS,
     "budget_sample": SQL_BUDGET_SAMPLE,
     "cluster_sizes": SQL_CLUSTER_SIZES,
+    "dedup_fuzzy": SQL_DEDUP_FUZZY,
     "embed_near_dup": SQL_EMBED_NEAR_DUP,
     "grouping_sets": SQL_GROUPING_SETS,
     "sql_shipping": SQL_SQL_SHIPPING,
