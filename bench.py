@@ -66,6 +66,7 @@ R5_OPS = [
     "budget_sample",
     "cluster_sizes",
     "dedup_fuzzy",
+    "funnel",
 ]
 
 HEADLINE = [

@@ -110,14 +110,15 @@ def test_driver_window_composition():
         # components.py, similarity.py)
         "span_removal", "cross_dedup", "span_dup", "ngram_jaccard",
         "dedup_minhash", "dedup_simhash", "decontaminate", "dedup_exact",
-        "range_join", "dup_clusters", "knn_brute", "ann_lsh",
-        # (ivf_ann's function is untouched in r5; rotated to the tail to
-        # make room for the new dedup_fuzzy key)
+        "range_join", "dup_clusters", "knn_brute",
+        # (ivf_ann/ann_lsh functions are untouched in r5; rotated to the
+        # tail to make room for the new dedup_fuzzy/funnel keys)
         # new round-5 queries needing first-time driver evidence
         "hard_negatives", "group_norm", "debounce", "length_histogram",
         "mad_outliers", "budget_sample", "cluster_sizes", "dedup_fuzzy",
+        "funnel",
     }
     missing = must_be_checked - window
     assert not missing, f"driver window lost round-5 evidence for: {missing}"
-    assert len(ks) == len(set(ks)) == 83
+    assert len(ks) == len(set(ks)) == 84
     assert set(entry_mod.oracle_sql()) == set(ks)

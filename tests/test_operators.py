@@ -1305,3 +1305,41 @@ def test_normalize_for_dedup_collapses_variants(spark):
     assert got[3] == "a different document"
     assert got[4] == ""
     assert got[5] is None
+
+
+def test_funnel_step_conversions_matches_pandas(spark):
+    """Per-pair conversion counts vs a brute-force pandas reference:
+    window boundary (exactly +window kept, 0-gap excluded), multiple B
+    events counted once per A, per-entity isolation."""
+    from tgist_features_spark.operators.ranges import funnel_step_conversions
+
+    rng = np.random.default_rng(23)
+    rows = []
+    eid = 0
+    for u in range(8):
+        t = 0
+        for _ in range(30):
+            t += int(rng.integers(1, 100))
+            rows.append((eid, u, rng.choice(["view", "click", "buy"]), t))
+            eid += 1
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "event_type", "off"])
+    pdf["ts"] = pd.to_datetime(pdf["off"], unit="s")
+    got = (
+        funnel_step_conversions(
+            spark.createDataFrame(pdf[["event_id", "user_id", "event_type", "ts"]]),
+            ["view", "click", "buy"], window_s=60.0,
+        )
+        .toPandas().set_index("step_from")
+    )
+    for a_step, b_step in [("view", "click"), ("click", "buy")]:
+        A = pdf[pdf["event_type"] == a_step]
+        B = pdf[pdf["event_type"] == b_step]
+        conv = 0
+        for _, ar in A.iterrows():
+            hit = B[(B["user_id"] == ar["user_id"])
+                    & (B["off"] > ar["off"]) & (B["off"] <= ar["off"] + 60)]
+            conv += int(len(hit) > 0)
+        row = got.loc[a_step]
+        assert row["step_to"] == b_step
+        assert row["n_from"] == len(A)
+        assert row["n_converted"] == conv, (a_step, b_step)

@@ -79,3 +79,64 @@ def bounded_range_join(
         & (F.col("B.__bu") <= F.col("A.__au") + F.lit(lo + w))
     )
     return ak.join(bk, cond, "inner").drop("__au", "__bu", "__bk")
+
+
+def funnel_step_conversions(
+    events: DataFrame,
+    steps: list[str],
+    entity_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    window_s: float = 3600.0,
+) -> DataFrame:
+    """Funnel step-conversion report: for each consecutive step pair
+    (A, B) in ``steps``, how many A events were followed by at least one
+    B event from the same entity within ``(0, window_s]`` seconds — the
+    standard product-analytics "step conversion" table.
+
+    Returns (step_from, step_to, n_from, n_converted) — one row per
+    pair, all counts bigint. Each pair is a ``bounded_range_join``
+    (interval binning: per-key join multiplicity bounded by window
+    occupancy, not entity volume — the hot-user guard), reduced with a
+    distinct-A count; per-pair rows meet in 1-row x 1-row cross joins
+    (the corpus_report pattern). The loop is over the STEP LIST (a tiny
+    config, like budget_sample's budgets), never over data.
+
+    The CHAINED form ("entities that completed A then B then C
+    sequentially, each within its own window") conditions every step on
+    the previous step's MATCHED event — inherently sequential per
+    entity, the same shape the batch debounce delegates to the stateful
+    streaming path; this operator is deliberately the per-pair report."""
+    if len(steps) < 2:
+        raise ValueError("funnel_step_conversions: need at least two steps")
+    out = None
+    for a_step, b_step in zip(steps, steps[1:]):
+        a = events.filter(F.col(type_col) == a_step).select(
+            F.col(entity_col).alias("__ae"),
+            F.col(id_col).alias("__aid"),
+            F.col(ts_col).alias("__ats"),
+        )
+        b = events.filter(F.col(type_col) == b_step).select(
+            F.col(entity_col).alias("__be"),
+            F.col(id_col).alias("__bid"),
+            F.col(ts_col).alias("__bts"),
+        )
+        pairs = bounded_range_join(
+            a, b, "__ae", "__be", "__ats", "__bts", 0.0, window_s
+        )
+        n_conv = pairs.agg(
+            F.count_distinct("__aid").cast("bigint").alias("n_converted")
+        )
+        n_from = a.agg(F.count(F.lit(1)).cast("bigint").alias("n_from"))
+        row = (
+            n_from.crossJoin(n_conv)  # 1-row x 1-row stats join
+            .select(
+                F.lit(a_step).alias("step_from"),
+                F.lit(b_step).alias("step_to"),
+                "n_from",
+                "n_converted",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

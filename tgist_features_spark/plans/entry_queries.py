@@ -1139,6 +1139,39 @@ GROUP BY n.id
 """
 
 
+def q_funnel(spark, sf):
+    """Funnel step conversions (round 5): view -> click -> purchase
+    within 120s per user (operators/ranges.py funnel_step_conversions —
+    each step pair is an interval-binned bounded range join, so a hot
+    user bounds join multiplicity by window occupancy, not event
+    volume)."""
+    from tgist_features_spark.operators.ranges import funnel_step_conversions
+
+    e = _t(spark, sf, "events")
+    return funnel_step_conversions(
+        e, ["view", "click", "purchase"], window_s=120.0
+    )
+
+
+SQL_FUNNEL = """
+SELECT 'view' AS step_from, 'click' AS step_to,
+       (SELECT COUNT(*) FROM events WHERE event_type = 'view')::BIGINT AS n_from,
+       (SELECT COUNT(DISTINCT a.event_id) FROM events a JOIN events b
+          ON a.user_id = b.user_id
+         AND a.event_type = 'view' AND b.event_type = 'click'
+         AND epoch_us(b.ts) > epoch_us(a.ts)
+         AND epoch_us(b.ts) <= epoch_us(a.ts) + 120000000)::BIGINT AS n_converted
+UNION ALL
+SELECT 'click', 'purchase',
+       (SELECT COUNT(*) FROM events WHERE event_type = 'click')::BIGINT,
+       (SELECT COUNT(DISTINCT a.event_id) FROM events a JOIN events b
+          ON a.user_id = b.user_id
+         AND a.event_type = 'click' AND b.event_type = 'purchase'
+         AND epoch_us(b.ts) > epoch_us(a.ts)
+         AND epoch_us(b.ts) <= epoch_us(a.ts) + 120000000)::BIGINT
+"""
+
+
 def q_dedup_fuzzy(spark, sf):
     """Normalization-robust exact dedup (round 5): documents hash over
     NORMALIZED text (functions/text.py normalize_for_dedup — lowercase,
@@ -2472,7 +2505,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_join": q_range_join,
     "dup_clusters": q_dup_clusters,
     "knn_brute": q_knn_brute,
-    "ann_lsh": q_ann_lsh,
     "asof_backward": q_asof_backward,
     "asof_forward": q_asof_forward,
     "asof_tolerance": q_asof_tolerance,
@@ -2486,12 +2518,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "budget_sample": q_budget_sample,
     "cluster_sizes": q_cluster_sizes,
     "dedup_fuzzy": q_dedup_fuzzy,
+    "funnel": q_funnel,
     # --- tail (past the driver cap): every key r04-green in the driver
     # run, operator functions untouched this round; rotate next round.
     # (ivf_ann_topk the FUNCTION is untouched in round 5 — similarity.py
-    # only gained hard_negatives and the centroid split — so ivf_ann
-    # keeps its r04-green evidence from the tail)
+    # only gained hard_negatives and the centroid split — so ivf_ann and
+    # ann_lsh keep their r04-green evidence from the tail)
     "ivf_ann": q_ivf_ann,
+    "ann_lsh": q_ann_lsh,
     "tf_stats": q_tf_stats,
     "resample": q_resample,
     "pack_chunks": q_pack_chunks,
@@ -2594,6 +2628,7 @@ ORACLES: dict[str, str] = {
     "budget_sample": SQL_BUDGET_SAMPLE,
     "cluster_sizes": SQL_CLUSTER_SIZES,
     "dedup_fuzzy": SQL_DEDUP_FUZZY,
+    "funnel": SQL_FUNNEL,
     "embed_near_dup": SQL_EMBED_NEAR_DUP,
     "grouping_sets": SQL_GROUPING_SETS,
     "sql_shipping": SQL_SQL_SHIPPING,
