@@ -1234,10 +1234,10 @@ def test_budget_sample_matches_naive_and_is_prefix_stable(spark):
 def test_budget_sample_rejects_null_and_negative_weights(spark):
     from tgist_features_spark.operators.sampling import budget_sample
 
-    pdf = pd.DataFrame({
-        "doc_id": [1, 2, 3], "g": ["a"] * 3, "w": [5.0, None, 7.0],
-    })
-    df = spark.createDataFrame(pdf, schema="doc_id long, g string, w double")
+    df = spark.createDataFrame(
+        [(1, "a", 5), (2, "a", None), (3, "a", 7)],
+        schema="doc_id long, g string, w bigint",
+    )
     with pytest.raises(ValueError, match="NULL"):
         budget_sample(df, "g", "w", {"a": 100}, "doc_id")
     neg = spark.createDataFrame(
@@ -1245,6 +1245,13 @@ def test_budget_sample_rejects_null_and_negative_weights(spark):
     )
     with pytest.raises(ValueError, match="negative"):
         budget_sample(neg, "g", "w", {"a": 100}, "doc_id")
+    # fractional weights would be silently truncated by the bigint casts
+    # — refused at plan-build time, before any job runs
+    frac = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "g": ["a", "a"], "w": [5.5, 3.25]})
+    )
+    with pytest.raises(TypeError, match="integral"):
+        budget_sample(frac, "g", "w", {"a": 100}, "doc_id")
 
 
 def test_distinct_sketches_merge_equals_one_pass(spark):

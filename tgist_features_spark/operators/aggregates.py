@@ -99,10 +99,13 @@ def group_standardize(
     std-division variant would need float sqrt; deviation x group-n is
     the rank-preserving form that stays exact.
 
-    Floor division is (a - pmod(a, n)) / n — exact for negatives too (the
-    numerator is exactly divisible, the quotient < 2^53, the bigint cast
-    lossless). Overflow bound: |x| * n * scale must stay under 2^63 —
-    e.g. 10^4-char docs x 10^9-doc groups x 10^4 scale is 10^17 < 9.2e18.
+    Floor division is (a - pmod(a, n)) div n — pure bigint arithmetic
+    end-to-end (pmod's remainder is non-negative, the adjusted numerator
+    exactly divisible, and trunc of an exact multiple equals floor for
+    any sign), so the quotient is exact all the way to the 2^63 overflow
+    bound — no 2^53 double-mantissa cliff. Overflow bound: |x| * n *
+    scale must stay under 2^63 — e.g. 10^4-char docs x 10^9-doc groups x
+    10^4 scale is 10^17 < 9.2e18.
 
     Scale shape: one tiny per-group aggregation (n_groups rows after
     map-side combine) broadcast-joined back onto the stream — the big
@@ -113,17 +116,19 @@ def group_standardize(
         F.sum(x).alias("__sum"),
     )
 
-    def _fdiv(a: Column, n: Column) -> Column:
-        return ((a - F.pmod(a, n)) / n).cast("bigint")
+    def _fdiv(c: str) -> Column:
+        return F.expr(f"(({c}) - pmod({c}, n_group)) div n_group")
 
-    joined = df.join(F.broadcast(stats), group_col)
-    num_mean = F.col("__sum") * F.lit(scale)
-    num_dev = (x * F.col("n_group") - F.col("__sum")) * F.lit(scale)
+    joined = (
+        df.join(F.broadcast(stats), group_col)
+        .withColumn("__nm", F.col("__sum") * F.lit(scale))
+        .withColumn("__nd", (x * F.col("n_group") - F.col("__sum")) * F.lit(scale))
+    )
     return joined.select(
         *df.columns,
         "n_group",
-        _fdiv(num_mean, F.col("n_group")).alias(f"mean_x{scale}"),
-        _fdiv(num_dev, F.col("n_group")).alias(f"dev_x{scale}"),
+        _fdiv("__nm").alias(f"mean_x{scale}"),
+        _fdiv("__nd").alias(f"dev_x{scale}"),
     )
 
 

@@ -1067,6 +1067,19 @@ def cross_corpus_near_pairs(
             ref, id_col, text_col, n_hashes, shingle, seed, parallelism=par
         ).persist()
     else:
+        # the per-row width check below never fires on an EMPTY cache
+        # (wrong/stale path, zero rows) — which would silently drop
+        # nothing, the exact failure the validation exists to prevent;
+        # probe one row up front and refuse loudly. The head() is a
+        # 1-row bounded driver read, not a data-scale action.
+        probe = ref_signatures.select("id", F.size("sig").alias("__w")).head(1)
+        if not probe:
+            sig_a.unpersist()
+            raise ValueError(
+                "cross_corpus_near_pairs: ref_signatures is EMPTY — "
+                "wrong or stale cache path? refusing to dedup against "
+                "nothing"
+            )
         sig_b = ref_signatures.select(
             "id",
             F.when(F.size("sig") == n_hashes, F.col("sig"))

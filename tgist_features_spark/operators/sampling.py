@@ -192,6 +192,18 @@ def budget_sample(
         raise ValueError("budget_sample: budgets must be non-empty")
     if coarse_bits < 1 or coarse_bits > 40:
         raise ValueError("budget_sample: coarse_bits out of range")
+    # budget arithmetic is exact bigint; a double/decimal weight column
+    # would be silently truncated per-row by the casts below and the
+    # selection would diverge from any float expectation — refuse at
+    # plan-build time (review finding). Callers with fractional weights
+    # pre-scale to integers (e.g. milli-tokens) and scale budgets to match.
+    wtype = df.schema[weight_col].dataType.simpleString()
+    if wtype not in ("tinyint", "smallint", "int", "bigint"):
+        raise TypeError(
+            f"budget_sample: {weight_col!r} is {wtype}; weights must be an "
+            "integral type (budget arithmetic is exact bigint — pre-scale "
+            "fractional weights, e.g. x1000, and scale budgets to match)"
+        )
     spark = df.sparkSession
     shift = 1 << (60 - coarse_bits)
     h = F.conv(

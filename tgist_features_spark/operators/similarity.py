@@ -431,18 +431,16 @@ def group_centroid_components(
     centroid — and every column is a scalar the comparator can hash.
 
     Exactness: value_x1e7 = floor(s / n) over exact bigint sums. The
-    floor-div is expressed as (s - pmod(s, n)) / n: the numerator is
-    exactly divisible by n, the integer quotient is < 2^53, so the IEEE
-    double division is exact and the bigint cast lossless (negatives
-    included — pmod, not %, so trunc-vs-floor never bites)."""
+    floor-div is expressed as (s - pmod(s, n)) div n: pure bigint
+    arithmetic end-to-end (pmod's remainder is non-negative, the adjusted
+    numerator exactly divisible, trunc of an exact multiple == floor for
+    any sign), exact to the 2^63 overflow bound — no 2^53 double cliff."""
     dims = _centroid_dim_sums(df, vec_col, group_col, scale)
     return dims.select(
         F.col("g").alias(group_col),
         F.col("dim").cast("int").alias("dim"),
         F.col("n").cast("bigint").alias("n_vecs"),
-        ((F.col("s") - F.pmod("s", "n")) / F.col("n"))
-        .cast("bigint")
-        .alias("value_x1e7"),
+        F.expr("(s - pmod(s, n)) div n").alias("value_x1e7"),
     )
 
 
@@ -475,11 +473,12 @@ def group_centroids(
         # collect_list's arbitrary arrival order cannot leak into the output
         F.array_sort(F.collect_list(F.struct("dim", "s"))).alias("__ds"),
     )
-    centroid = F.transform(
-        F.col("__ds"),
-        lambda st: (st["s"] - F.pmod(st["s"], F.col("n_vecs")))
-        / F.col("n_vecs")
-        / F.lit(float(scale)),
+    # integer `div` keeps the per-dim quotient exact to 2^63 (no 2^53
+    # double cliff); the single final double division by scale is the
+    # only float op, identical in any engine
+    centroid = F.expr(
+        "transform(__ds, st -> "
+        f"((st.s - pmod(st.s, n_vecs)) div n_vecs) / cast({float(scale)} as double))"
     )
     return assembled.select(
         F.col("g").alias(group_col),
