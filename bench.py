@@ -6,11 +6,16 @@ parallelism levels (local[2] vs local[8] — the sandbox form of the N->4N
 executor scaling criterion; see BASELINE.md for the hardware-ceiling
 control) on a pre-materialized deterministic corpus.
 
-Prints ONE JSON line:
+Prints ONE COMPACT JSON line (the driver's tail capture is ~2 KB — the
+round-5 line outgrew it and the whole record parsed as null):
   {"metric": ..., "value": <total sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": ...,
-   "backfill": {"local2": {...}, "local8": {...}, "scaling_efficiency": E},
-   "backfill_turns_per_sec": ...}
+   "steady_total": ..., "scaling_efficiency": E,
+   "backfill_turns_per_sec": ..., "full_evidence": <path>}
+The FULL evidence — per-query steady walls, ops-section walls, every
+scaling attempt's raw walls and loadavg stamps — is written to
+BENCH/last_run_full.json (committed per round), referenced from the
+compact line.
 """
 
 from __future__ import annotations
@@ -55,6 +60,9 @@ R4_OPS = [
     "resample",
     "cross_dedup",
 ]
+
+# round-6 additions
+R6_OPS: list[str] = []
 
 # round-5 additions
 R5_OPS = [
@@ -216,6 +224,7 @@ def main() -> None:
     training: dict[str, float] | None = None
     r4ops: dict[str, float] | None = None
     r5ops: dict[str, float] | None = None
+    r6ops: dict[str, float] | None = None
     if RUN_TRAINING:
         training = {}
         loadavgs["training"] = _wait_for_quiet_host(max_wait_s=180)
@@ -238,6 +247,14 @@ def main() -> None:
             t0 = time.perf_counter()
             QUERIES[name](spark, SF_DIR).write.mode("overwrite").format("noop").save()
             r5ops[name] = round(time.perf_counter() - t0, 3)
+        if R6_OPS:
+            r6ops = {}
+            loadavgs["r6_ops"] = _wait_for_quiet_host(max_wait_s=180)
+            for name in R6_OPS:  # warm pass, then steady wall
+                QUERIES[name](spark, SF_DIR).write.mode("overwrite").format("noop").save()
+                t0 = time.perf_counter()
+                QUERIES[name](spark, SF_DIR).write.mode("overwrite").format("noop").save()
+                r6ops[name] = round(time.perf_counter() - t0, 3)
     skew = None
     if RUN_SKEW:
         _ensure_corpus()
@@ -245,72 +262,121 @@ def main() -> None:
         skew = _skew_asof(spark)
     spark.stop()
 
+    # compact line (driver tail-capture-safe) + full evidence file
     result = {
         "metric": "headline_suite_wall",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
-        "queries_steady": steady,
         "steady_total": round(sum(steady.values()), 3),
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "full_evidence": "BENCH/last_run_full.json",
+    }
+    full = {
+        "queries": timings,
+        "queries_steady": steady,
         "section_loadavg1": loadavgs,
     }
-    if training is not None:
-        result["training_ops_steady"] = training
-    if r4ops is not None:
-        result["r4_ops_steady"] = r4ops
-    if r5ops is not None:
-        result["r5_ops_steady"] = r5ops
+    for key, section in (
+        ("training_ops_steady", training),
+        ("r4_ops_steady", r4ops),
+        ("r5_ops_steady", r5ops),
+        ("r6_ops_steady", r6ops),
+    ):
+        if section is not None:
+            full[key] = section
+            result[key.replace("_steady", "_total")] = round(
+                sum(section.values()), 3
+            )
     if skew is not None:
-        result["skew_asof"] = skew
+        full["skew_asof"] = skew
+        result["skew_auto_le_plain"] = skew["auto_le_plain"]
+        result["skew_walls"] = [skew["plain_wall_s"], skew["auto_wall_s"]]
 
     if RUN_SCALING:
         _ensure_corpus()
         # co-tenant noise on this host hits wide runs (local[8]) much harder
         # than narrow ones (local[2]), which skews the efficiency ratio
         # downward during loaded windows (BASELINE.md "Host-noise note").
-        # Protocol: up to 3 attempts, each LEG gated on a quiet host and
-        # each leg already best-of-5-in-one-JVM; the reported efficiency
-        # uses the BEST wall per leg ACROSS attempts — identical jobs
-        # under purely additive interference make the minimum wall the
-        # least-contaminated estimate of each leg, and mixing legs from
-        # different attempts is exactly what that estimator means. Every
-        # raw wall and per-attempt loadavg stays in the JSON as evidence.
+        # Protocol: up to 3 attempts, each LEG gated on a quiet host at
+        # START and checked again at END (r05: a leg passed the start gate,
+        # ended at loadavg 9.55, and still entered the record — END-dirty
+        # legs are now excluded from the best-leg selection unless NO clean
+        # leg exists); each leg is already best-of-5-in-one-JVM. The
+        # reported efficiency uses the BEST wall per CLEAN leg ACROSS
+        # attempts — identical jobs under purely additive interference make
+        # the minimum wall the least-contaminated estimate of each leg, and
+        # mixing legs from different attempts is exactly what that
+        # estimator means. Every raw wall and per-leg start/end loadavg
+        # goes to the evidence file.
         attempts = []
-        best2 = None
-        best8 = None
+        legs2: list[dict] = []  # {"res":..., "clean": bool}
+        legs8: list[dict] = []
+        end_gate = float(os.environ.get("TGIST_SCALING_END_LOAD", "4.0"))
+
+        def _leg(master: str, bucket: list[dict]) -> tuple[dict, float, float]:
+            l_start = _wait_for_quiet_host()
+            res = _backfill(master)
+            l_end = round(os.getloadavg()[0], 2)
+            bucket.append({"res": res, "clean": l_end <= end_gate})
+            return res, l_start, l_end
+
+        def _best(bucket: list[dict]) -> dict:
+            clean = [e["res"] for e in bucket if e["clean"]]
+            pool = clean if clean else [e["res"] for e in bucket]
+            return min(pool, key=lambda r: r["wall_s"])
+
         for _ in range(3):
-            l_start2 = _wait_for_quiet_host()
-            b2 = _backfill("local[2]")
-            l_start8 = _wait_for_quiet_host()
-            b8 = _backfill("local[8]")
+            b2, s2, e2 = _leg("local[2]", legs2)
+            b8, s8, e8 = _leg("local[8]", legs8)
             eff = b8["turns_per_sec"] / (4.0 * b2["turns_per_sec"])
             attempts.append({
                 "scaling_efficiency": round(eff, 3),
-                "loadavg_leg2": l_start2,
-                "loadavg_leg8": l_start8,
-                "loadavg_end": round(os.getloadavg()[0], 2),
+                "loadavg_leg2": [s2, e2],
+                "loadavg_leg8": [s8, e8],
                 "walls2": b2["walls_all"],
                 "walls8": b8["walls_all"],
             })
-            if best2 is None or b2["wall_s"] < best2["wall_s"]:
-                best2 = b2
-            if best8 is None or b8["wall_s"] < best8["wall_s"]:
-                best8 = b8
-            if best8["turns_per_sec"] / (4.0 * best2["turns_per_sec"]) >= 0.8:
+            best2, best8 = _best(legs2), _best(legs8)
+            both_clean = any(e["clean"] for e in legs2) and any(
+                e["clean"] for e in legs8
+            )
+            if (
+                both_clean
+                and best8["turns_per_sec"] / (4.0 * best2["turns_per_sec"])
+                >= 0.8
+            ):
                 break
+        best2, best8 = _best(legs2), _best(legs8)
         eff = best8["turns_per_sec"] / (4.0 * best2["turns_per_sec"])
-        result["backfill"] = {
+        full["backfill"] = {
             "local2": best2,
             "local8": best8,
             "scaling_efficiency": round(eff, 3),
-            "loadavg1": round(os.getloadavg()[0], 2),
+            "end_load_gate": end_gate,
+            "clean_legs": [
+                sum(e["clean"] for e in legs2),
+                sum(e["clean"] for e in legs8),
+            ],
             "attempt_efficiencies": [a["scaling_efficiency"] for a in attempts],
             "attempts": attempts,
         }
+        result["scaling_efficiency"] = round(eff, 3)
+        result["backfill_walls"] = [best2["wall_s"], best8["wall_s"]]
         result["backfill_turns_per_sec"] = best8["turns_per_sec"]
+        result["scaling_attempts"] = [a["scaling_efficiency"] for a in attempts]
 
-    print(json.dumps(result))
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "last_run_full.json"), "w") as fh:
+        json.dump(full, fh, indent=1)
+    line = json.dumps(result)
+    # hard guard: the whole point of the compact line is fitting the
+    # driver's ~2 KB tail capture; degrade by dropping the largest
+    # optional field rather than overflow
+    if len(line) > 1900:
+        result.pop("queries", None)
+        line = json.dumps(result)
+    print(line)
 
 
 if __name__ == "__main__":
