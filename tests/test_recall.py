@@ -180,6 +180,21 @@ def test_simhash_bucket_cap_bounds_degenerate_input(spark):
     assert (1000, 1001) in got and (1002, 1003) in got
 
 
+def test_simhash_cap_1024_matches_uncapped_on_testdata(spark):
+    """The dup_clusters / cluster_sizes registry queries run
+    simhash_near_pairs with max_bucket=1024 — the 100 TB bound on a
+    degenerate band bucket — while their oracles take exhaustive
+    all-pairs. This pins the premise: at driver test data the cap never
+    binds, so capped output == uncapped output exactly (checked at
+    sf0.001 here; the sf0.1 hottest bucket is 291, measured in the
+    registry docstring)."""
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    capped = simhash_near_pairs(df, max_hamming=3, max_bucket=1024).toPandas()
+    uncapped = simhash_near_pairs(df, max_hamming=3, max_bucket=None).toPandas()
+    key = lambda p: sorted(map(tuple, p[["a", "b", "hamming"]].values))  # noqa: E731
+    assert key(capped) == key(uncapped)
+
+
 def test_ngram_jaccard_df_cap_bounds_hot_gram(spark):
     """A bigram present in EVERY doc must not make the self-join quadratic:
     with max_df, pair count is bounded by genuine co-occurrence only."""

@@ -106,9 +106,29 @@ def connected_components(
         fs.delete(jpath, True)
 
     try:
+        # symmetric edge expansion via a single-pass explode: a
+        # pairs∪pairs.swap union would reference the (often expensive)
+        # upstream pair plan TWICE, executing the whole band-join +
+        # scoring subplan twice inside this one checkpoint job. The
+        # 2-element explode emits both directions from ONE scan — no
+        # double eval, no persist lifecycle, no extra barrier job. (The
+        # exploded array is built from plain columns, so the
+        # InferFiltersFromGenerate double-eval trap does not apply — the
+        # inferred size() filter folds to true.)
         e = _ckpt(
-            pairs.select(F.col(a_col).alias("s"), F.col(b_col).alias("d"))
-            .union(pairs.select(F.col(b_col).alias("s"), F.col(a_col).alias("d")))
+            pairs.select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.col(a_col).alias("s"), F.col(b_col).alias("d")
+                        ),
+                        F.struct(
+                            F.col(b_col).alias("s"), F.col(a_col).alias("d")
+                        ),
+                    )
+                ).alias("e")
+            )
+            .select("e.s", "e.d")
             .distinct()
         )
         labels = _ckpt(
@@ -116,50 +136,57 @@ def connected_components(
             .distinct()
             .withColumn("comp", F.col("id"))
         )
-        for _ in range(max_iters):
+        for it in range(max_iters):
             # (a) min neighbor label per node
             nbr = (
-                e.join(labels.withColumnRenamed("id", "d"), "d")
+                e.join(labels.select(F.col("id").alias("d"), "comp"), "d")
                 .groupBy("s")
                 .agg(F.min("comp").alias("nbr_comp"))
                 .withColumnRenamed("s", "id")
             )
+            # carry the pre-step label through as __old: the convergence
+            # count then reads the checkpointed relation directly instead
+            # of paying a join against the previous labels every round
             stepped = (
                 labels.join(nbr, "id", "left")
                 .select(
                     "id",
+                    F.col("comp").alias("__old"),
                     F.least(F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))).alias("comp"),
                 )
             )
-            # (b) pointer jump: follow my label's label (squares the distance)
-            jump = labels.select(
-                F.col("id").alias("comp"), F.col("comp").alias("jumped")
-            )
-            new_labels = _ckpt(
-                stepped.join(jump, "comp", "left")
-                .select(
+            # (b) pointer jump: follow my label's label (squares the
+            # propagation distance). Iteration 0 skips it — labels are
+            # still the identity map, the jump is provably a no-op and
+            # its join + shuffle pure latency.
+            if it == 0:
+                combined = stepped
+            else:
+                jump = labels.select(
+                    F.col("id").alias("comp"), F.col("comp").alias("jumped")
+                )
+                combined = stepped.join(jump, "comp", "left").select(
                     "id",
+                    "__old",
                     F.least(F.col("comp"), F.coalesce("jumped", F.col("comp"))).alias("comp"),
                 )
-            )
+            new_labels = _ckpt(combined)
             changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "id")
-                .filter(F.col("n.comp") != F.col("o.comp"))
-                .count()
+                new_labels.filter(F.col("comp") != F.col("__old")).count()
             )
             # the convergence count was old `labels`' last reader — its
             # checkpoint files are now superseded and safe to reclaim
             _drop(labels)
             labels = new_labels
             if changed == 0:
+                out = labels.select("id", "comp")
                 if run_dir is not None:
                     # detach the result from the run dir so the whole dir
                     # can be reclaimed now; durability was needed ACROSS
                     # the iterations, the returned relation has the same
                     # executor-block guarantee as the default mode
-                    labels = labels.localCheckpoint(eager=True)
-                return labels
+                    out = out.localCheckpoint(eager=True)
+                return out
         raise RuntimeError(
             f"connected_components: no convergence after {max_iters} iterations "
             "— pathological graph or a bug; raise max_iters explicitly if the "

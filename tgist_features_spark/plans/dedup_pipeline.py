@@ -134,11 +134,10 @@ def dedup_corpus(
             connected_components,
         )
 
-        # connected_components references the pair relation TWICE (the
-        # symmetric edge union) — without a persist the whole lazy
-        # band-join + scoring subplan would execute twice in the first
-        # iteration (only the signature stage is shielded by sig_cache)
-        pairs = pairs.persist()
+        # connected_components expands its pair input symmetrically via a
+        # single-pass explode (NOT a self-union that would evaluate the
+        # lazy band-join + scoring subplan twice), so the lazy pair plan
+        # is safe to hand over as-is
         comps = connected_components(pairs, checkpoint_dir=checkpoint_dir)
         near_drops = (
             comps.filter(F.col("id") != F.col("comp"))
@@ -150,9 +149,6 @@ def dedup_corpus(
             )
             .localCheckpoint(eager=True)
         )
-        # the component iteration's own first checkpoint materialized the
-        # pair blocks; both consumers have now run
-        pairs.unpersist()
     else:
         # keep-first policy: for each near-dup pair (a < b) drop b; a doc
         # that appears as b in several pairs logs its smallest partner as

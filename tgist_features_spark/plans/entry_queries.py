@@ -1099,11 +1099,18 @@ def q_dup_clusters(spark, sf):
     (operators/components.py). cluster_id = min doc_id per component. The
     oracle computes the same pairs and closes them with a recursive CTE —
     the distributed iterative algorithm is verified against a SQL
-    fixpoint."""
+    fixpoint.
+
+    ``max_bucket=1024`` bounds a degenerate band bucket's join output at
+    C(1024, 2) pairs at ANY corpus scale (the 100 TB posture — one hot
+    16-bit band must never go quadratic in corpus size); at the driver's
+    SFs the hottest bucket holds 291 rows (sf0.1; 28 at sf0.01), so the
+    cap provably never binds and the exhaustive all-pairs oracle stays
+    bitwise (capped == uncapped pinned in tests/test_operators.py)."""
     from tgist_features_spark.operators.components import connected_components
 
     pairs = simhash_near_pairs(
-        _t(spark, sf, "documents"), max_hamming=3, max_bucket=None
+        _t(spark, sf, "documents"), max_hamming=3, max_bucket=1024
     )
     return connected_components(pairs).select(
         F.col("id").alias("doc_id"), F.col("comp").alias("cluster_id")
@@ -1210,11 +1217,16 @@ def q_cluster_sizes(spark, sf):
     curation report leads with ("12% of docs are in clusters of 5+").
     Composition: the driver-verified SimHash pair generator -> connected
     components -> per-cluster count -> size histogram. The oracle closes
-    the same pairs with a recursive CTE and aggregates identically."""
+    the same pairs with a recursive CTE and aggregates identically.
+
+    ``max_bucket=1024`` (same rationale as ``q_dup_clusters``): bounds a
+    degenerate band bucket at C(1024, 2) pairs at any scale; never binds
+    at the driver's SFs (hottest bucket 291 at sf0.1), so the exhaustive
+    oracle stays bitwise — pinned capped == uncapped in tests."""
     from tgist_features_spark.operators.components import connected_components
 
     pairs = simhash_near_pairs(
-        _t(spark, sf, "documents"), max_hamming=3, max_bucket=None
+        _t(spark, sf, "documents"), max_hamming=3, max_bucket=1024
     )
     comps = connected_components(pairs)
     return (
