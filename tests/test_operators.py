@@ -1350,3 +1350,57 @@ def test_funnel_step_conversions_matches_pandas(spark):
         assert row["step_to"] == b_step
         assert row["n_from"] == len(A)
         assert row["n_converted"] == conv, (a_step, b_step)
+
+
+def test_funnel_chain_matches_pandas(spark):
+    """Chained-funnel depth vs a brute-force per-user pandas state
+    machine: anchor = first step-0 event (ts, then id), each next step =
+    earliest match strictly after and within window of the PREVIOUS
+    match. Exercises window boundary (exactly +window kept), restart-free
+    greediness (a later better anchor is ignored), and per-user
+    isolation."""
+    from tgist_features_spark.operators.ranges import funnel_chain
+
+    rng = np.random.default_rng(31)
+    steps = ["view", "click", "buy"]
+    rows = []
+    eid = 0
+    for u in range(30):
+        t = 0
+        for _ in range(40):
+            t += int(rng.integers(1, 50))
+            rows.append((eid, u, str(rng.choice(steps + ["noise"])), t))
+            eid += 1
+    # planted exact-boundary chain: click exactly +60 of view (kept),
+    # buy exactly +60 of that click (kept)
+    rows += [(eid, 900, "view", 1000), (eid + 1, 900, "click", 1060),
+             (eid + 2, 900, "buy", 1120)]
+    # planted zero-gap: click at SAME ts as view must not advance
+    rows += [(eid + 3, 901, "view", 2000), (eid + 4, 901, "click", 2000)]
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "event_type", "off"])
+    pdf["ts"] = pd.to_datetime(pdf["off"], unit="s")
+    got = (
+        funnel_chain(
+            spark.createDataFrame(pdf[["event_id", "user_id", "event_type", "ts"]]),
+            steps, window_s=60.0,
+        )
+        .toPandas().sort_values("step_idx").reset_index(drop=True)
+    )
+
+    depth = {}
+    for u, g in pdf[pdf["event_type"].isin(steps)].groupby("user_id"):
+        g = g.sort_values(["off", "event_id"])
+        stage, t_prev = -1, None
+        for _, r in g.iterrows():
+            si = steps.index(r["event_type"])
+            if stage == -1 and si == 0:
+                stage, t_prev = 0, r["off"]
+            elif si == stage + 1 and r["off"] > t_prev and r["off"] <= t_prev + 60:
+                stage, t_prev = si, r["off"]
+        depth[u] = stage
+    for i, s in enumerate(steps):
+        want = sum(1 for d in depth.values() if d >= i)
+        row = got.iloc[i]
+        assert row["step"] == s and row["step_idx"] == i
+        assert int(row["n_reached"]) == want, (s, int(row["n_reached"]), want)
+    assert depth[900] == 2 and depth[901] == 0

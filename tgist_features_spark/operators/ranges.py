@@ -140,3 +140,111 @@ def funnel_step_conversions(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def funnel_chain(
+    events: DataFrame,
+    steps: list[str],
+    entity_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    window_s: float = 3600.0,
+) -> DataFrame:
+    """CHAINED funnel: how many entities completed ``steps[0]``, then
+    ``steps[1]`` within ``(0, window_s]`` of that match, then
+    ``steps[2]`` within ``window_s`` of THAT match, and so on — each
+    step conditioned on the PREVIOUS step's matched event, not on the
+    step-pair report ``funnel_step_conversions`` produces.
+
+    Semantics (deterministic, "earliest-match"): the anchor is the
+    entity's first ``steps[0]`` event (order by ts, then id); step i+1
+    matches the EARLIEST ``steps[i+1]`` event with ts strictly after the
+    step-i match and within ``window_s`` of it. An entity's funnel depth
+    is then uniquely defined. Returns one row per step:
+    (step_idx int, step string, n_reached bigint) — n_reached counts
+    entities whose chain got at least to that step.
+
+    Plan shape — a per-entity SORTED FOLD, not iterated joins: the
+    chained rule is sequential per entity, and k chained range joins
+    would re-evaluate every prior stage per step (no cross-branch CSE in
+    Catalyst) while shuffling the event stream k times. Instead: filter
+    to the step types, ONE groupBy(entity) collect_list, array_sort by
+    (ts, id), and a single F.aggregate fold running the
+    greedy state machine (stage, t_prev) — greedy IS earliest-match by
+    induction, and only the matched timestamp propagates between steps.
+    The final per-step counts are conditional sums in one 1-row
+    aggregate, unpivoted via a 2-element-literal explode. Total: one
+    shuffle over the (type-filtered) events + one tiny agg — at any
+    corpus scale the heavy stage is a map-side-combinable
+    collect_list keyed by entity.
+
+    Hot-entity caveat (same exposure as sessionize's window sort): one
+    entity's type-filtered events materialize as one array in one task.
+    Funnel-relevant event types are usually a small fraction of traffic;
+    for adversarial entities (bots with millions of step events) cap
+    upstream or route through the stateful streaming debounce first.
+    """
+    if len(steps) < 2:
+        raise ValueError("funnel_chain: need at least two steps")
+    if len(set(steps)) != len(steps):
+        raise ValueError("funnel_chain: steps must be distinct")
+    w = int(round(window_s * 1_000_000))
+    if w < 1:
+        raise ValueError("funnel_chain: window must be >= 1 microsecond")
+
+    si = F.lit(None).cast("int")
+    for i, s in enumerate(steps):
+        si = F.when(F.col(type_col) == s, F.lit(i)).otherwise(si)
+    ev = events.filter(F.col(type_col).isin(list(steps))).select(
+        F.col(entity_col).alias("__e"),
+        F.struct(
+            us(F.col(ts_col)).alias("t"),
+            F.col(id_col).alias("id"),
+            si.alias("si"),
+        ).alias("__ev"),
+    )
+    init = F.struct(
+        F.lit(-1).cast("int").alias("stage"),
+        F.lit(0).cast("bigint").alias("t"),
+    )
+
+    def _step(acc, e):
+        take_anchor = (acc["stage"] == F.lit(-1)) & (e["si"] == F.lit(0))
+        advance = (
+            (e["si"] == acc["stage"] + F.lit(1))
+            & (e["t"] > acc["t"])
+            & (e["t"] <= acc["t"] + F.lit(w))
+        )
+        # in both taken branches the new stage IS the event's step index
+        # (anchor: si == 0; advance: si == stage + 1)
+        return (
+            F.when(
+                take_anchor | advance,
+                F.struct(e["si"].alias("stage"), e["t"].alias("t")),
+            ).otherwise(acc)
+        )
+
+    folded = (
+        ev.groupBy("__e")
+        .agg(F.array_sort(F.collect_list("__ev")).alias("__evs"))
+        .select(F.aggregate("__evs", init, _step).getField("stage").alias("__stage"))
+    )
+    one_row = folded.agg(*[
+        F.coalesce(
+            F.sum((F.col("__stage") >= i).cast("bigint")), F.lit(0)
+        ).cast("bigint").alias(f"__n{i}")
+        for i in range(len(steps))
+    ])
+    rows = F.array(*[
+        F.struct(
+            F.lit(i).cast("int").alias("step_idx"),
+            F.lit(s).alias("step"),
+            F.col(f"__n{i}").alias("n_reached"),
+        )
+        for i, s in enumerate(steps)
+    ])
+    return (
+        one_row.select(F.explode(rows).alias("r"))
+        .select("r.step_idx", "r.step", "r.n_reached")
+    )

@@ -1179,6 +1179,50 @@ SELECT 'click', 'purchase',
 """
 
 
+def q_funnel_chain(spark, sf):
+    """CHAINED funnel (round 6): entities that did view, then click
+    within 1 day of that view, then purchase within 1 day of THAT click
+    — each step conditioned on the previous step's matched event
+    (operators/ranges.py funnel_chain; earliest-match semantics, so the
+    chain is uniquely determined). One per-entity sorted fold — a single
+    shuffle — instead of k chained range joins. The oracle unrolls the
+    same chain step-by-step: per user the anchor is MIN(view ts) and
+    each stage's match is MIN(ts) within the window of the previous
+    stage's match — only the matched timestamp propagates between
+    stages, so min-ts per stage reproduces the greedy fold exactly."""
+    from tgist_features_spark.operators.ranges import funnel_chain
+
+    e = _t(spark, sf, "events")
+    return funnel_chain(
+        e, ["view", "click", "purchase"], window_s=86400.0
+    )
+
+
+SQL_FUNNEL_CHAIN = """
+WITH s0 AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS t
+  FROM events WHERE event_type = 'view' GROUP BY user_id),
+s1 AS (
+  SELECT s0.user_id, MIN(epoch_us(b.ts)) AS t
+  FROM s0 JOIN events b ON b.user_id = s0.user_id
+   AND b.event_type = 'click'
+   AND epoch_us(b.ts) > s0.t AND epoch_us(b.ts) <= s0.t + 86400000000
+  GROUP BY s0.user_id),
+s2 AS (
+  SELECT s1.user_id, MIN(epoch_us(b.ts)) AS t
+  FROM s1 JOIN events b ON b.user_id = s1.user_id
+   AND b.event_type = 'purchase'
+   AND epoch_us(b.ts) > s1.t AND epoch_us(b.ts) <= s1.t + 86400000000
+  GROUP BY s1.user_id)
+SELECT 0::INT AS step_idx, 'view' AS step,
+       (SELECT COUNT(*) FROM s0)::BIGINT AS n_reached
+UNION ALL
+SELECT 1::INT, 'click', (SELECT COUNT(*) FROM s1)::BIGINT
+UNION ALL
+SELECT 2::INT, 'purchase', (SELECT COUNT(*) FROM s2)::BIGINT
+"""
+
+
 def q_dedup_fuzzy(spark, sf):
     """Normalization-robust exact dedup (round 5): documents hash over
     NORMALIZED text (functions/text.py normalize_for_dedup — lowercase,
@@ -2531,6 +2575,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cluster_sizes": q_cluster_sizes,
     "dedup_fuzzy": q_dedup_fuzzy,
     "funnel": q_funnel,
+    "funnel_chain": q_funnel_chain,
     # --- tail (past the driver cap): every key r04-green in the driver
     # run, operator functions untouched this round; rotate next round.
     # (ivf_ann_topk the FUNCTION is untouched in round 5 — similarity.py
@@ -2641,6 +2686,7 @@ ORACLES: dict[str, str] = {
     "cluster_sizes": SQL_CLUSTER_SIZES,
     "dedup_fuzzy": SQL_DEDUP_FUZZY,
     "funnel": SQL_FUNNEL,
+    "funnel_chain": SQL_FUNNEL_CHAIN,
     "embed_near_dup": SQL_EMBED_NEAR_DUP,
     "grouping_sets": SQL_GROUPING_SETS,
     "sql_shipping": SQL_SQL_SHIPPING,
