@@ -1404,3 +1404,158 @@ def test_funnel_chain_matches_pandas(spark):
         assert row["step"] == s and row["step_idx"] == i
         assert int(row["n_reached"]) == want, (s, int(row["n_reached"]), want)
     assert depth[900] == 2 and depth[901] == 0
+
+
+def test_transition_counts_matches_pandas(spark):
+    from tgist_features_spark.operators.windows import transition_counts
+
+    rng = np.random.default_rng(7)
+    rows = []
+    eid = 0
+    for u in range(20):
+        for _ in range(25):
+            rows.append((eid, u, str(rng.choice(["a", "b", "c"])), eid * 10))
+            eid += 1
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "t", "off"])
+    pdf["ts"] = pd.to_datetime(pdf["off"], unit="s")
+    got = (
+        transition_counts(
+            spark.createDataFrame(pdf[["event_id", "user_id", "t", "ts"]]),
+            "user_id", "t", ("ts", "event_id"),
+        ).toPandas().set_index(["from_type", "to_type"])["n_transitions"]
+    )
+    ref = {}
+    for _, g in pdf.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        for x, y in zip(g["t"], g["t"][1:]):
+            ref[(x, y)] = ref.get((x, y), 0) + 1
+    assert got.to_dict() == ref
+
+
+def test_rolling_distinct_matches_pandas(spark):
+    from tgist_features_spark.operators.windows import with_rolling_distinct
+
+    rng = np.random.default_rng(11)
+    pdf = pd.DataFrame({
+        "event_id": range(300),
+        "user_id": rng.integers(0, 10, 300),
+        "t": rng.choice(["x", "y", "z", None], 300),
+        "off": range(300),
+    })
+    pdf["ts"] = pd.to_datetime(pdf["off"], unit="s")
+    got = (
+        with_rolling_distinct(
+            spark.createDataFrame(pdf[["event_id", "user_id", "t", "ts"]]),
+            "t", "user_id", ("ts", "event_id"), n=4,
+        ).toPandas().set_index("event_id")["n_distinct"]
+    )
+    for _, g in pdf.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        for i in range(len(g)):
+            lo = max(0, i - 3)
+            vals = {v for v in g["t"][lo:i + 1] if v is not None}
+            assert got[g["event_id"][i]] == len(vals)
+
+
+def test_group_trend_matches_numpy_and_guards_overflow(spark):
+    from tgist_features_spark.operators.aggregates import group_trend
+
+    rng = np.random.default_rng(13)
+    rows = []
+    eid = 0
+    for u in range(12):
+        base = rng.uniform(-50, 50)
+        drift = rng.uniform(-2, 2)
+        for i in range(40):
+            rows.append((eid, u, base + drift * i + rng.normal(0, 5), eid))
+            eid += 1
+    pdf = pd.DataFrame(rows, columns=["event_id", "g", "v", "off"])
+    pdf["ts"] = pd.to_datetime(pdf["off"], unit="s")
+    got = (
+        group_trend(
+            spark.createDataFrame(pdf[["event_id", "g", "v", "ts"]]),
+            "v", "g", ("ts", "event_id"), scale=100,
+        ).toPandas().set_index("g").sort_index()
+    )
+    for u, grp in pdf.groupby("g"):
+        grp = grp.sort_values(["ts", "event_id"])
+        x = np.arange(1, len(grp) + 1, dtype=np.int64)
+        y = np.round(grp["v"].to_numpy() * 100).astype(np.int64)
+        n = len(x)
+        num = n * int((x * y).sum()) - int(x.sum()) * int(y.sum())
+        den = n * int((x * x).sum()) - int(x.sum()) ** 2
+        assert int(got.loc[u, "slope_num"]) == num
+        assert int(got.loc[u, "slope_den"]) == den
+        # exact slope agrees with the float least-squares fit
+        slope = np.polyfit(x, y / 100.0, 1)[0]
+        assert abs(num / den / 100.0 - slope) < 1e-6
+    # overflow guard: a group violating max|y| * n^3 / 2 < 2^62 raises
+    big = pd.DataFrame({
+        "event_id": range(3000),
+        "g": ["hot"] * 3000,
+        "v": [9e13] * 3000,
+        "ts": pd.to_datetime(range(3000), unit="s"),
+    })
+    # either the in-plan guard fires (actionable message) or ANSI mode
+    # catches the per-row product overflow first — loud both ways, never
+    # a silent wraparound
+    with pytest.raises(
+        Exception, match="exact-arithmetic bound|ARITHMETIC_OVERFLOW"
+    ):
+        group_trend(
+            spark.createDataFrame(big), "v", "g", ("ts", "event_id"), scale=100
+        ).collect()
+
+
+def test_interval_overlap_join_matches_bruteforce(spark):
+    from tgist_features_spark.operators.ranges import interval_overlap_join
+
+    rng = np.random.default_rng(17)
+    def mk(n, prefix):
+        start = rng.integers(0, 5000, n)
+        length = rng.integers(0, 400, n)
+        return pd.DataFrame({
+            f"{prefix}id": range(n),
+            f"{prefix}e": rng.integers(0, 6, n),
+            f"{prefix}s": pd.to_datetime(start, unit="s"),
+            f"{prefix}end": pd.to_datetime(start + length, unit="s"),
+        })
+    A, B = mk(120, "a"), mk(150, "b")
+    got = (
+        interval_overlap_join(
+            spark.createDataFrame(A), spark.createDataFrame(B),
+            "ae", "be", "as", "aend", "bs", "bend", bucket_s=120.0,
+        ).select("aid", "bid").toPandas()
+    )
+    got_pairs = set(zip(got["aid"], got["bid"]))
+    ref = set()
+    for _, ar in A.iterrows():
+        for _, br in B.iterrows():
+            if (
+                ar["ae"] == br["be"]
+                and ar["as"] < br["bend"]
+                and br["bs"] < ar["aend"]
+            ):
+                ref.add((ar["aid"], br["bid"]))
+    assert got_pairs == ref
+    assert len(got) == len(got_pairs)  # exactly-once, no dedup pass
+
+
+def test_interval_overlap_join_refuses_inverted(spark):
+    from tgist_features_spark.operators.ranges import interval_overlap_join
+
+    A = pd.DataFrame({
+        "aid": [0], "ae": [1],
+        "as": pd.to_datetime([100], unit="s"),
+        "aend": pd.to_datetime([50], unit="s"),
+    })
+    B = pd.DataFrame({
+        "bid": [0], "be": [1],
+        "bs": pd.to_datetime([0], unit="s"),
+        "bend": pd.to_datetime([200], unit="s"),
+    })
+    with pytest.raises(Exception, match="end < start"):
+        interval_overlap_join(
+            spark.createDataFrame(A), spark.createDataFrame(B),
+            "ae", "be", "as", "aend", "bs", "bend", bucket_s=60.0,
+        ).collect()

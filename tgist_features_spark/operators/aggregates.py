@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -214,3 +214,90 @@ def merge_distinct_sketches(
     return sketches.groupBy(*key_cols).agg(
         F.hll_union_agg("sketch").alias("sketch")
     ).withColumn("est", F.hll_sketch_estimate("sketch"))
+
+
+def group_trend(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    order: tuple[str, ...],
+    scale: int = 100,
+) -> DataFrame:
+    """Per-group linear-regression slope of a value over the group's
+    event SEQUENCE — "is this user's engagement rising or falling",
+    "is this source's doc quality drifting" — with INTEGER-EXACT
+    arithmetic: no float accumulation, bitwise reproducible anywhere
+    (the cross-engine rounding trap class, BASELINE.md).
+
+    x is the 1-based event index in ``order`` (sequence position, not
+    wall time — slope per event step; evenly spaced by construction so
+    the regression is well-conditioned and pure integer). y is
+    round(value * scale) as bigint (fixed-point, order-independent
+    sums). Returns per group:
+      n            events
+      slope_num  = n * Σxy − Σx * Σy
+      slope_den  = n * Σx² − (Σx)²      (0 when n == 1)
+    The slope is slope_num/slope_den in y-fixed-point units per event —
+    kept as the exact integer pair rather than a lossy float division,
+    like group_standardize keeps deviation x n. slope_den depends only
+    on n: callers comparing groups of equal size can rank on slope_num
+    directly.
+
+    Overflow bound: the largest term is n * Σxy ≤ max|y| * n³ / 2, so
+    exactness needs max|value| * scale * n³ / 2 < 2^63 — 10^4-event
+    groups with fixed-point values up to 10^6 are safe (5x10^17), 10^5
+    events are not. The bound is ENFORCED in-plan per group (max|y| is
+    one more column in the same aggregation): an unsafe group raises
+    with an actionable message; Spark 4's ANSI mode independently
+    backstops any per-row product or running-sum overflow with
+    ARITHMETIC_OVERFLOW — the contract is exact-or-loud either way,
+    never a silent wraparound. Pre-aggregate long groups per time bucket
+    first (the resample operator) or lower ``scale``.
+
+    Scale shape: one shuffle on the group for the row_number window,
+    then one map-side-combinable aggregation — the same two-exchange
+    cost as any per-group sequence feature."""
+    w = Window.partitionBy(group_col).orderBy(*[F.col(c) for c in order])
+    x = F.row_number().over(w).cast("bigint")
+    y = F.round(F.col(value_col) * F.lit(scale)).cast("bigint")
+    prepped = df.select(F.col(group_col), x.alias("__x"), y.alias("__y"))
+    agg = prepped.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+        F.max(F.abs(F.col("__y"))).alias("__maxy"),
+    )
+    # in-plan overflow guard: max|y| * n^3 / 2 must stay under 2^63.
+    # Rearranged to avoid overflowing the guard itself: compare in double
+    # (a conservative check needs no exactness — 2^62 leaves a 2x margin
+    # for the double's 53-bit mantissa slack).
+    safe = (
+        F.col("__maxy").cast("double")
+        * F.pow(F.col("n").cast("double"), F.lit(3.0))
+        / F.lit(2.0)
+    ) < F.lit(float(2**62))
+    guard = F.when(safe, F.col("n")).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("group_trend: group "),
+                F.col(group_col).cast("string"),
+                F.lit(" exceeds the exact-arithmetic bound (n="),
+                F.col("n").cast("string"),
+                F.lit(", max|y|="),
+                F.col("__maxy").cast("string"),
+                F.lit(") — pre-aggregate per time bucket or lower scale"),
+            )
+        )
+    )
+    return agg.select(
+        group_col,
+        guard.alias("n"),
+        (F.col("n") * F.col("__sxy") - F.col("__sx") * F.col("__sy"))
+        .cast("bigint")
+        .alias("slope_num"),
+        (F.col("n") * F.col("__sxx") - F.col("__sx") * F.col("__sx"))
+        .cast("bigint")
+        .alias("slope_den"),
+    )

@@ -248,3 +248,87 @@ def funnel_chain(
         one_row.select(F.explode(rows).alias("r"))
         .select("r.step_idx", "r.step", "r.n_reached")
     )
+
+
+def interval_overlap_join(
+    a: DataFrame,
+    b: DataFrame,
+    a_entity: str,
+    b_entity: str,
+    a_start: str,
+    a_end: str,
+    b_start: str,
+    b_end: str,
+    bucket_s: float,
+) -> DataFrame:
+    """Inner pairs of OVERLAPPING intervals per entity: every (a row,
+    b row) with matching entity and ``a_start < b_end AND b_start <
+    a_end`` (strict half-open overlap — touching endpoints do NOT
+    match). The "which sessions overlapped which incidents", "which ad
+    exposure windows intersected which outages" shape.
+
+    Plan (interval binning, same family as bounded_range_join): both
+    sides explode into the ``bucket_s``-wide time buckets their interval
+    covers, join on (entity, bucket), apply the exact overlap predicate
+    — and keep each pair ONLY in the canonical bucket containing
+    ``greatest(a_start, b_start)`` (the overlap's left edge), so a pair
+    spanning many shared buckets is emitted exactly once WITHOUT a
+    distinct/dedup shuffle. Per-key multiplicity is bounded by intervals
+    ACTIVE per (entity, bucket), not intervals per entity — the hot
+    entity guard.
+
+    ``bucket_s`` trades explosion for join multiplicity: each row
+    produces ceil(span / bucket) + 1 bucket rows, so pick it near the
+    TYPICAL interval length. Interval timestamps are compared in integer
+    microseconds (``us``); bucket arithmetic is the pre-1970-safe floor
+    division used by bounded_range_join. End-before-start rows are
+    refused in-plan (raise_error) — silent empty intervals hide data
+    bugs. Column names must not collide across sides."""
+    w = int(round(bucket_s * 1_000_000))
+    if w < 1:
+        raise ValueError("interval_overlap_join: bucket must be >= 1 microsecond")
+
+    def _fdiv(x: str) -> str:
+        return f"(({x}) - pmod({x}, {w})) div {w}"
+
+    def _prep(df, start, end, s_out, e_out, side):
+        su, eu = us(F.col(start)), us(F.col(end))
+        ok = F.when(
+            eu >= su, su
+        ).otherwise(
+            F.raise_error(
+                F.lit(f"interval_overlap_join: {side}-side interval with "
+                      f"end < start (check {start}/{end})")
+            )
+        )
+        return (
+            df.withColumn(s_out, ok)
+            .withColumn(e_out, eu)
+            .withColumn(
+                "__bk",
+                F.explode(
+                    F.sequence(
+                        F.expr(_fdiv(s_out)), F.expr(_fdiv(e_out))
+                    )
+                ),
+            )
+        )
+
+    ak = _prep(a, a_start, a_end, "__as", "__ae", "a").alias("A")
+    bk = _prep(b, b_start, b_end, "__bs", "__be", "b").alias("B")
+    left_edge = F.greatest(F.col("A.__as"), F.col("B.__bs"))
+    cond = (
+        (F.col(f"A.{a_entity}") == F.col(f"B.{b_entity}"))
+        & (F.col("A.__bk") == F.col("B.__bk"))
+        & (F.col("A.__as") < F.col("B.__be"))
+        & (F.col("B.__bs") < F.col("A.__ae"))
+    )
+    canonical = F.col("A.__bk") == F.expr(
+        f"((__edge) - pmod(__edge, {w})) div {w}"
+    )
+    return (
+        ak.join(bk, cond)
+        .withColumn("__edge", left_edge)
+        .filter(canonical)
+        .drop("__bk", "__edge", "__as", "__ae", "__bs", "__be")
+    )

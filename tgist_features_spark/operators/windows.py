@@ -270,3 +270,69 @@ def debounce(
         df.withColumn("gap_us", gap)
         .filter(F.col("gap_us").isNull() | (F.col("gap_us") >= min_gap_us))
     )
+
+
+def transition_counts(
+    df: DataFrame,
+    entity_col: str,
+    type_col: str,
+    order: tuple[str, ...],
+) -> DataFrame:
+    """First-order transition (Markov) counts over per-entity event
+    streams: for every ordered pair of consecutive events within an
+    entity, count (from_type -> to_type) across the corpus — the
+    behavior-model / next-action-prediction training table, and the
+    session-flow sanity report a curation pass reads ("30% of views are
+    followed by another view").
+
+    Terminal events (an entity's last) have no successor and contribute
+    no row — counts are over actual transitions only. Returns
+    (from_type, to_type, n_transitions bigint).
+
+    Scale shape: one shuffle on the entity for the lead() window, then
+    one map-side-combinable count aggregation keyed by the (tiny)
+    type-pair domain — the second shuffle moves at most |types|^2 rows
+    per partition after partial aggregation."""
+    w = Window.partitionBy(entity_col).orderBy(*[F.col(c) for c in order])
+    return (
+        df.withColumn("__next", F.lead(type_col).over(w))
+        .filter(F.col("__next").isNotNull())
+        .groupBy(
+            F.col(type_col).alias("from_type"),
+            F.col("__next").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_transitions"))
+    )
+
+
+def with_rolling_distinct(
+    df: DataFrame,
+    value_col: str,
+    entity_col: str,
+    order: tuple[str, ...],
+    n: int,
+    out_col: str = "n_distinct",
+) -> DataFrame:
+    """Distinct-value count over the trailing ``n``-row frame (current
+    row included) per entity — "how many different event types / tools /
+    endpoints did this entity touch in its last n actions", the variety
+    signal a bot/abuse filter or an engagement feature wants.
+
+    Spark has no windowed count_distinct; ``size(collect_set() over w)``
+    is the exact equivalent (collect_set skips NULLs, as does SQL
+    COUNT(DISTINCT)). The per-row set is bounded by min(n, distinct
+    domain), so state per row is small by construction — this is NOT the
+    unbounded collect_list trap; cast to bigint for engine parity.
+
+    Scale shape: one shuffle on the entity, one codegen window pass with
+    an O(n)-bounded per-row set."""
+    if n < 1:
+        raise ValueError("with_rolling_distinct: n must be >= 1")
+    w = (
+        Window.partitionBy(entity_col)
+        .orderBy(*[F.col(c) for c in order])
+        .rowsBetween(-(n - 1), 0)
+    )
+    return df.withColumn(
+        out_col, F.size(F.collect_set(F.col(value_col)).over(w)).cast("bigint")
+    )
