@@ -86,39 +86,34 @@ def test_entry_smoke(spark):
 
 
 def test_driver_window_composition():
-    """The driver checks the FIRST 50 registry keys: the full r04 tail
-    (whose newest driver evidence would otherwise go stale), the reshaped
-    centroids query (the r04 red row), and every query whose operator
-    file changed in round 5 must sit inside that window (registry
-    comments record the rotation rationale). Guards against accidental
-    reordering."""
+    """The driver checks the FIRST 50 registry keys: the 4 new round-6
+    queries + funnel_chain, every key whose backing FUNCTION changed in
+    round 6 (floor-div fixes, empty-cache refusal, weight validation,
+    components cost cut, cluster_sizes cap), and the FULL 34-key r04
+    tail — so every registry key's newest green driver row is <= 1
+    round old. Guards against accidental reordering."""
     ks = list(entry_mod.queries())
     window = set(ks[:50])
     must_be_checked = {
-        # the entire r04 tail — rotated back in so no key's driver
-        # evidence is more than one round old
-        "embed_near_dup", "train_split", "group_sample",
-        "temperature_resample", "semi_join", "sessionize",
-        "grouping_sets", "array_stats", "percentiles",
-        "approx_percentile", "anti_join", "set_except", "cosine_topk",
-        "session_stats", "cumulative", "cube", "intersect", "lag_lead",
-        "rolling_counts", "rolling_time", "ffill", "topk_per_user",
-        "pivot_counts", "distinct_agg", "json_extract",
-        # the r04 red row, reshaped this round
-        "centroids",
-        # operator files touched in round 5 (dedup.py, ranges.py,
-        # components.py, similarity.py)
-        "span_removal", "cross_dedup", "span_dup", "ngram_jaccard",
-        "dedup_minhash", "dedup_simhash", "decontaminate", "dedup_exact",
-        "range_join", "dup_clusters", "knn_brute",
-        # (ivf_ann/ann_lsh functions are untouched in r5; rotated to the
-        # tail to make room for the new dedup_fuzzy/funnel keys)
-        # new round-5 queries needing first-time driver evidence
-        "hard_negatives", "group_norm", "debounce", "length_histogram",
-        "mad_outliers", "budget_sample", "cluster_sizes", "dedup_fuzzy",
-        "funnel",
+        # new round-6 queries needing first-time driver evidence
+        "transitions", "rolling_distinct", "group_trend", "overlap_join",
+        "funnel_chain",
+        # backing functions changed in round 6
+        "group_norm", "centroids", "cross_dedup", "budget_sample",
+        "dup_clusters", "cluster_sizes",
+        # the entire 34-key r04 tail — rotated back in so no key's
+        # driver evidence is more than one round old
+        "ivf_ann", "ann_lsh", "tf_stats", "resample", "pack_chunks",
+        "tpch_q1", "per_user_agg", "tfidf", "corpus_report",
+        "canonical_order", "rollup", "global_topk", "union_counts",
+        "broadcast_join", "fingerprint", "ngram_stats", "lang_id",
+        "bpeish_tokens", "multimodal_bytes", "sql_shipping", "smj_join",
+        "tokenize", "quality", "window_ranks", "string_funcs",
+        "feature_vector", "bm25", "redact", "chunk_windows", "date_parts",
+        "approx_distinct", "shuffle_order", "pack_padded",
+        "gopher_quality",
     }
     missing = must_be_checked - window
-    assert not missing, f"driver window lost round-5 evidence for: {missing}"
-    assert len(ks) == len(set(ks)) == 84
+    assert not missing, f"driver window lost round-6 evidence for: {missing}"
+    assert len(ks) == len(set(ks)) == 89
     assert set(entry_mod.oracle_sql()) == set(ks)

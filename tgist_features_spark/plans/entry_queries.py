@@ -2513,74 +2513,134 @@ FROM documents GROUP BY 1
 """
 
 
+def q_transitions(spark, sf):
+    """First-order transition counts (round 6): how often each event
+    type is followed by each other type within a user's stream
+    (operators/windows.py transition_counts — one window pass, then a
+    count aggregation over the tiny |types|^2 domain; the second
+    shuffle moves at most |types|^2 rows per partition after partial
+    aggregation)."""
+    from tgist_features_spark.operators.windows import transition_counts
+
+    e = _t(spark, sf, "events").select("event_id", "user_id", "event_type", "ts")
+    return transition_counts(e, "user_id", "event_type", ("ts", "event_id"))
+
+
+SQL_TRANSITIONS = """
+WITH g AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+  FROM events)
+SELECT from_type, to_type, COUNT(*)::BIGINT AS n_transitions
+FROM g WHERE to_type IS NOT NULL GROUP BY 1, 2
+"""
+
+
+def q_rolling_distinct(spark, sf):
+    """Trailing-window variety signal (round 6): distinct event types in
+    each user's last 5 events (operators/windows.py
+    with_rolling_distinct — size(collect_set() over w); per-row state
+    bounded by min(n, |type domain|), so this is NOT the unbounded
+    collect_list trap)."""
+    from tgist_features_spark.operators.windows import with_rolling_distinct
+
+    e = _t(spark, sf, "events").select("event_id", "user_id", "event_type", "ts")
+    return with_rolling_distinct(
+        e, "event_type", "user_id", ("ts", "event_id"), n=5
+    ).select("event_id", "user_id", "n_distinct")
+
+
+SQL_ROLLING_DISTINCT = """
+SELECT event_id, user_id,
+       count(DISTINCT event_type) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)::BIGINT AS n_distinct
+FROM events
+"""
+
+
+def q_group_trend(spark, sf):
+    """Per-user engagement trend (round 6): integer-exact least-squares
+    slope of event value over each user's event sequence
+    (operators/aggregates.py group_trend — slope kept as the exact
+    (num, den) integer pair; fixed-point y at scale=100; the
+    exact-arithmetic bound is enforced in-plan per group)."""
+    from tgist_features_spark.operators.aggregates import group_trend
+
+    e = _t(spark, sf, "events").select("event_id", "user_id", "value", "ts")
+    return group_trend(e, "value", "user_id", ("ts", "event_id"), scale=100)
+
+
+SQL_GROUP_TREND = """
+WITH p AS (
+  SELECT user_id,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY ts, event_id)::BIGINT AS x,
+         round(value * 100)::BIGINT AS y
+  FROM events)
+SELECT user_id, COUNT(*)::BIGINT AS n,
+       (COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))::BIGINT AS slope_num,
+       (COUNT(*) * SUM(x * x) - SUM(x) * SUM(x))::BIGINT AS slope_den
+FROM p GROUP BY user_id
+"""
+
+
+def q_overlap_join(spark, sf):
+    """Interval overlap join (round 6): which of a user's 5-minute
+    view windows intersected which of their 2-minute click windows
+    (operators/ranges.py interval_overlap_join — interval-binned
+    bucket join; each pair emitted exactly once via the
+    canonical-left-edge bucket rule, no dedup shuffle; per-key
+    multiplicity bounded by intervals ACTIVE per bucket)."""
+    from tgist_features_spark.operators.ranges import interval_overlap_join
+
+    e = _t(spark, sf, "events")
+    a = e.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("a_id"),
+        F.col("user_id").alias("a_user"),
+        F.col("ts").alias("a_s"),
+        (F.col("ts") + F.expr("INTERVAL 300 SECONDS")).alias("a_e"),
+    )
+    b = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("b_id"),
+        F.col("user_id").alias("b_user"),
+        F.col("ts").alias("b_s"),
+        (F.col("ts") + F.expr("INTERVAL 120 SECONDS")).alias("b_e"),
+    )
+    return interval_overlap_join(
+        a, b, "a_user", "b_user", "a_s", "a_e", "b_s", "b_e", bucket_s=120.0
+    ).select("a_id", "b_id", F.col("a_user").alias("user_id"))
+
+
+SQL_OVERLAP_JOIN = """
+SELECT a.event_id AS a_id, b.event_id AS b_id, a.user_id
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'view' AND b.event_type = 'click'
+ AND a.ts < b.ts + INTERVAL 120 SECOND
+ AND b.ts < a.ts + INTERVAL 300 SECOND
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- first 50 keys = the driver correctness window (driver caps its
-    # oracle run at 50 keys, in order). Round-5 rotation: the ENTIRE
-    # 25-key r04 tail is back in-window (so every registry key's newest
-    # driver evidence is <= 1 round old), plus the reshaped `centroids`
-    # (the one r04 red row), plus every query whose operator file changed
-    # this round (dedup.py: span divert + ref-signature cache; ranges.py:
-    # floor-div binning; components.py: checkpoint hygiene; similarity.py:
-    # centroid split), plus the flagship as-of family and stable
-    # high-value fills. Keys rotated out are r04-green with operator
-    # functions untouched this round.
-    "centroids": q_centroids,
-    "embed_near_dup": q_embed_near_dup,
-    "train_split": q_train_split,
-    "group_sample": q_group_sample,
-    "temperature_resample": q_temperature_resample,
-    "semi_join": q_semi_join,
-    "sessionize": q_sessionize,
-    "grouping_sets": q_grouping_sets,
-    "array_stats": q_array_stats,
-    "percentiles": q_percentiles,
-    "approx_percentile": q_approx_percentile,
-    "anti_join": q_anti_join,
-    "set_except": q_set_except,
-    "cosine_topk": q_cosine_topk,
-    "session_stats": q_session_stats,
-    "cumulative": q_cumulative,
-    "cube": q_cube,
-    "intersect": q_intersect,
-    "lag_lead": q_lag_lead,
-    "rolling_counts": q_rolling_counts,
-    "rolling_time": q_rolling_time,
-    "ffill": q_ffill,
-    "topk_per_user": q_topk_per_user,
-    "pivot_counts": q_pivot_counts,
-    "distinct_agg": q_distinct_agg,
-    "json_extract": q_json_extract,
-    "span_removal": q_span_removal,
-    "cross_dedup": q_cross_dedup,
-    "span_dup": q_span_dup,
-    "ngram_jaccard": q_ngram_jaccard,
-    "dedup_minhash": q_dedup_minhash,
-    "dedup_simhash": q_dedup_simhash,
-    "decontaminate": q_decontaminate,
-    "dedup_exact": q_dedup_exact,
-    "range_join": q_range_join,
-    "dup_clusters": q_dup_clusters,
-    "knn_brute": q_knn_brute,
-    "asof_backward": q_asof_backward,
-    "asof_forward": q_asof_forward,
-    "asof_tolerance": q_asof_tolerance,
-    "asof_salted": q_asof_salted,
-    # the seven NEW round-5 queries need first-time driver evidence
-    "hard_negatives": q_hard_negatives,
-    "group_norm": q_group_norm,
-    "debounce": q_debounce,
-    "length_histogram": q_length_histogram,
-    "mad_outliers": q_mad_outliers,
-    "budget_sample": q_budget_sample,
-    "cluster_sizes": q_cluster_sizes,
-    "dedup_fuzzy": q_dedup_fuzzy,
-    "funnel": q_funnel,
+    # --- first 50 keys = the driver correctness window (driver caps
+    # its oracle run at 50 keys, in order). Round-6 rotation: the 4
+    # new round-6 queries + funnel_chain, every key whose backing
+    # function changed this round, and the FULL 34-key r04 tail —
+    # so every registry key's newest green driver row is <= 1 round
+    # old. Keys rotated out are r05-green with functions untouched.
+    "transitions": q_transitions,
+    "rolling_distinct": q_rolling_distinct,
+    "group_trend": q_group_trend,
+    "overlap_join": q_overlap_join,
     "funnel_chain": q_funnel_chain,
-    # --- tail (past the driver cap): every key r04-green in the driver
-    # run, operator functions untouched this round; rotate next round.
-    # (ivf_ann_topk the FUNCTION is untouched in round 5 — similarity.py
-    # only gained hard_negatives and the centroid split — so ivf_ann and
-    # ann_lsh keep their r04-green evidence from the tail)
+    "group_norm": q_group_norm,
+    "centroids": q_centroids,
+    "cross_dedup": q_cross_dedup,
+    "budget_sample": q_budget_sample,
+    "dup_clusters": q_dup_clusters,
+    "cluster_sizes": q_cluster_sizes,
     "ivf_ann": q_ivf_ann,
     "ann_lsh": q_ann_lsh,
     "tf_stats": q_tf_stats,
@@ -2615,6 +2675,52 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shuffle_order": q_shuffle_order,
     "pack_padded": q_pack_padded,
     "gopher_quality": q_gopher_quality,
+    "range_join": q_range_join,
+    "funnel": q_funnel,
+    "debounce": q_debounce,
+    "mad_outliers": q_mad_outliers,
+    "dedup_minhash": q_dedup_minhash,
+    # --- tail (past the driver cap): every key r05-green in the
+    # driver run, backing functions untouched this round.
+    "embed_near_dup": q_embed_near_dup,
+    "train_split": q_train_split,
+    "group_sample": q_group_sample,
+    "temperature_resample": q_temperature_resample,
+    "semi_join": q_semi_join,
+    "sessionize": q_sessionize,
+    "grouping_sets": q_grouping_sets,
+    "array_stats": q_array_stats,
+    "percentiles": q_percentiles,
+    "approx_percentile": q_approx_percentile,
+    "anti_join": q_anti_join,
+    "set_except": q_set_except,
+    "cosine_topk": q_cosine_topk,
+    "session_stats": q_session_stats,
+    "cumulative": q_cumulative,
+    "cube": q_cube,
+    "intersect": q_intersect,
+    "lag_lead": q_lag_lead,
+    "rolling_counts": q_rolling_counts,
+    "rolling_time": q_rolling_time,
+    "ffill": q_ffill,
+    "topk_per_user": q_topk_per_user,
+    "pivot_counts": q_pivot_counts,
+    "distinct_agg": q_distinct_agg,
+    "json_extract": q_json_extract,
+    "span_removal": q_span_removal,
+    "span_dup": q_span_dup,
+    "ngram_jaccard": q_ngram_jaccard,
+    "dedup_simhash": q_dedup_simhash,
+    "decontaminate": q_decontaminate,
+    "dedup_exact": q_dedup_exact,
+    "knn_brute": q_knn_brute,
+    "asof_backward": q_asof_backward,
+    "asof_forward": q_asof_forward,
+    "asof_tolerance": q_asof_tolerance,
+    "asof_salted": q_asof_salted,
+    "hard_negatives": q_hard_negatives,
+    "length_histogram": q_length_histogram,
+    "dedup_fuzzy": q_dedup_fuzzy,
 }
 
 ORACLES: dict[str, str] = {
@@ -2687,6 +2793,10 @@ ORACLES: dict[str, str] = {
     "dedup_fuzzy": SQL_DEDUP_FUZZY,
     "funnel": SQL_FUNNEL,
     "funnel_chain": SQL_FUNNEL_CHAIN,
+    "transitions": SQL_TRANSITIONS,
+    "rolling_distinct": SQL_ROLLING_DISTINCT,
+    "group_trend": SQL_GROUP_TREND,
+    "overlap_join": SQL_OVERLAP_JOIN,
     "embed_near_dup": SQL_EMBED_NEAR_DUP,
     "grouping_sets": SQL_GROUPING_SETS,
     "sql_shipping": SQL_SQL_SHIPPING,
