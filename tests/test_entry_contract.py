@@ -97,7 +97,8 @@ def test_driver_window_composition():
     must_be_checked = {
         # new round-6 queries needing first-time driver evidence
         "transitions", "rolling_distinct", "group_trend", "overlap_join",
-        "funnel_chain",
+        "funnel_chain", "token_bigrams", "cooccurrence", "group_cdf",
+        "equidepth_bins", "conversion_latency",
         # backing functions changed in round 6
         "group_norm", "centroids", "cross_dedup", "budget_sample",
         "dup_clusters", "cluster_sizes",
@@ -115,5 +116,5 @@ def test_driver_window_composition():
     }
     missing = must_be_checked - window
     assert not missing, f"driver window lost round-6 evidence for: {missing}"
-    assert len(ks) == len(set(ks)) == 89
+    assert len(ks) == len(set(ks)) == 94
     assert set(entry_mod.oracle_sql()) == set(ks)

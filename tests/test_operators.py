@@ -1559,3 +1559,154 @@ def test_interval_overlap_join_refuses_inverted(spark):
             spark.createDataFrame(A), spark.createDataFrame(B),
             "ae", "be", "as", "aend", "bs", "bend", bucket_s=60.0,
         ).collect()
+
+
+def test_token_bigram_counts_matches_pandas(spark):
+    from tgist_features_spark.functions.text import token_bigram_counts
+
+    pdf = pd.DataFrame({
+        "doc_id": range(6),
+        "text": [
+            "a b c a b", "a b", "c", "x y x y x", "q", "b a",
+        ],
+    })
+    got = (
+        token_bigram_counts(spark.createDataFrame(pdf))
+        .toPandas().set_index(["w1", "w2"])["n_pairs"].to_dict()
+    )
+    ref = {}
+    for t in pdf["text"]:
+        ws = t.split(" ")
+        for x, y in zip(ws, ws[1:]):
+            ref[(x, y)] = ref.get((x, y), 0) + 1
+    assert got == ref
+    # min_count prunes the tail after exact aggregation
+    from tgist_features_spark.functions.text import token_bigram_counts as tbc
+    got2 = tbc(spark.createDataFrame(pdf), min_count=2).toPandas()
+    assert set(map(tuple, got2[["w1", "w2"]].values)) == {
+        k for k, v in ref.items() if v >= 2
+    }
+
+
+def test_cooccurrence_counts_matches_bruteforce(spark):
+    from tgist_features_spark.functions.text import cooccurrence_counts
+
+    pdf = pd.DataFrame({
+        "doc_id": range(5),
+        "text": [
+            "the cat sat", "the dog sat!", "cat dog", "THE the cat",
+            "zebra",
+        ],
+    })
+    got = cooccurrence_counts(spark.createDataFrame(pdf)).toPandas()
+    import re
+    docs = [
+        sorted({
+            w for w in (re.sub(r"[^a-z0-9]", "", t) for t in s.lower().split(" "))
+            if w
+        })
+        for s in pdf["text"]
+    ]
+    ref_ab, ref_df = {}, {}
+    for toks in docs:
+        for w in toks:
+            ref_df[w] = ref_df.get(w, 0) + 1
+        for i, a in enumerate(toks):
+            for b in toks[i + 1:]:
+                ref_ab[(a, b)] = ref_ab.get((a, b), 0) + 1
+    assert got.set_index(["a", "b"])["n_ab"].to_dict() == ref_ab
+    for _, r in got.iterrows():
+        assert r["n_a"] == ref_df[r["a"]] and r["n_b"] == ref_df[r["b"]]
+        assert r["n_docs"] == 5
+    # the cap bounds pair fan-out per doc at max_tokens choose 2
+    capped = cooccurrence_counts(
+        spark.createDataFrame(pd.DataFrame({
+            "doc_id": [0], "text": [" ".join(f"w{i:03d}" for i in range(100))],
+        })), max_tokens=8,
+    ).toPandas()
+    assert len(capped) == 8 * 7 // 2
+    assert set(capped["a"]).issubset({f"w{i:03d}" for i in range(8)})
+
+
+def test_group_cdf_matches_pandas(spark):
+    from tgist_features_spark.operators.windows import with_group_cdf
+
+    rng = np.random.default_rng(23)
+    pdf = pd.DataFrame({
+        "doc_id": range(200),
+        "g": rng.choice(["x", "y", "z"], 200),
+        "v": rng.integers(0, 50, 200),  # plenty of ties
+    })
+    got = with_group_cdf(
+        spark.createDataFrame(pdf), "v", "g", "doc_id"
+    ).toPandas().set_index("doc_id")
+    for g, grp in pdf.groupby("g"):
+        ranks = grp["v"].rank(method="min").astype(int) - 1
+        for did, r in zip(grp["doc_id"], ranks):
+            assert got.loc[did, "rank_m1"] == r
+            assert got.loc[did, "n_m1"] == len(grp) - 1
+
+
+def test_equidepth_bins_balanced_and_exact(spark):
+    from tgist_features_spark.operators.windows import equidepth_bins
+
+    rng = np.random.default_rng(29)
+    pdf = pd.DataFrame({
+        "doc_id": range(500),
+        "g": rng.choice(["a", "b"], 500),
+        "v": rng.integers(0, 40, 500),  # heavy ties
+    })
+    got = equidepth_bins(
+        spark.createDataFrame(pdf), "v", "g", "doc_id", n_bins=10
+    ).toPandas()
+    for g, grp in pdf.groupby("g"):
+        sub = got[got["g"] == g].set_index("bin").sort_index()
+        # populations differ by at most one BY CONSTRUCTION, even
+        # under ties (the row_number tiebreak)
+        assert sub["n_rows"].max() - sub["n_rows"].min() <= 1
+        assert sub["n_rows"].sum() == len(grp)
+        assert sub["sum_v"].sum() == grp["v"].sum()
+        # reference via the same (v, id) ordering
+        grp = grp.sort_values(["v", "doc_id"]).reset_index(drop=True)
+        bins = (np.arange(len(grp)) * 10) // len(grp)
+        ref = pd.DataFrame({"bin": bins, "v": grp["v"]}).groupby("bin")["v"]
+        assert sub["min_v"].to_dict() == ref.min().to_dict()
+        assert sub["max_v"].to_dict() == ref.max().to_dict()
+    with pytest.raises(ValueError, match="n_bins"):
+        equidepth_bins(spark.createDataFrame(pdf), "v", "g", "doc_id", 0)
+
+
+def test_conversion_latency_matches_pandas(spark):
+    from tgist_features_spark.operators.ranges import conversion_latency
+
+    rng = np.random.default_rng(31)
+    pdf = pd.DataFrame({
+        "event_id": range(400),
+        "user_id": rng.integers(0, 25, 400),
+        "event_type": rng.choice(["view", "purchase", "click"], 400,
+                                 p=[0.5, 0.1, 0.4]),
+        "off": rng.integers(0, 100000, 400),
+    })
+    pdf["ts"] = pd.to_datetime(pdf["off"], unit="s")
+    got = conversion_latency(
+        spark.createDataFrame(pdf[["event_id", "user_id", "event_type", "ts"]]),
+        "user_id", "event_type", "view", "purchase",
+    ).toPandas().set_index("user_id")
+    seen = set()
+    for u, grp in pdf.groupby("user_id"):
+        views = grp[grp["event_type"] == "view"]
+        if views.empty:
+            assert u not in got.index
+            continue
+        seen.add(u)
+        f = views["off"].min() * 1_000_000
+        purch = grp[grp["event_type"] == "purchase"]
+        after = purch[purch["off"] * 1_000_000 >= f]
+        assert got.loc[u, "from_us"] == f
+        if after.empty:
+            assert pd.isna(got.loc[u, "to_us"])  # censored, still a row
+        else:
+            t = after["off"].min() * 1_000_000
+            assert got.loc[u, "to_us"] == t
+            assert got.loc[u, "latency_us"] == t - f
+    assert set(got.index) == seen

@@ -562,3 +562,122 @@ def normalize_for_dedup(col: str | Column) -> Column:
     the dedup pipeline's __null_text__ fingerprint, stays intact)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.trim(F.regexp_replace(F.lower(c), "[^a-z0-9]+", " "))
+
+
+def token_bigram_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 1,
+) -> DataFrame:
+    """Corpus-wide token bigram count table (w1, w2, n_pairs) — the
+    n-gram language-model / next-token statistics a data pipeline
+    publishes for perplexity filtering, vocabulary induction, or a
+    classic bigram LM baseline.
+
+    Pair construction is ZERO-shuffle pure Catalyst: tokens come from
+    the corpus's single-space convention (``split(text, ' ')``, the
+    same tokenization the tokenize/oracle contract pins), and each
+    doc's consecutive pairs are built with arrays_zip over two slices
+    of the SAME token array — no posexplode self-join, no per-doc
+    window. The only exchange is the final count aggregation, which is
+    map-side combinable and keyed by the (vocabulary²-bounded, in
+    practice Zipf-tiny) pair domain.
+
+    ``min_count`` prunes the long tail AFTER full aggregation (a
+    HAVING, not a sample) — the published table stays exact for the
+    pairs it contains."""
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    pairs = F.when(
+        n >= 2,
+        F.arrays_zip(
+            F.slice(toks, 1, n - 1).alias("w1"),
+            F.slice(toks, 2, n - 1).alias("w2"),
+        ),
+    ).otherwise(F.array())
+    out = (
+        df.select(F.explode(pairs).alias("p"))
+        .groupBy(
+            F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )
+    if min_count > 1:
+        out = out.filter(F.col("n_pairs") >= min_count)
+    return out
+
+
+def cooccurrence_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    max_tokens: int = 32,
+) -> DataFrame:
+    """Document-level token co-occurrence counts — the integer core of
+    PMI / word-association features: for every unordered token pair
+    (a < b) that co-occurs in a document, how many documents contain
+    both (n_ab), plus each token's document frequency (n_a, n_b) and
+    the corpus size (n_docs), so PMI = log(n_ab * n_docs / (n_a * n_b))
+    is one float expression away for the caller. Counts stay integers
+    end-to-end — bitwise reproducible in any engine; the log is the
+    caller's presentation choice, not pipeline state.
+
+    Per doc the token SET is lowercased, restricted to [a-z0-9]+ forms
+    (ASCII-only tokens sort identically under Java's UTF-16 and
+    UTF-8-byte collations — the cross-engine string-order trap), and
+    capped at the ``max_tokens`` lexicographically-first distinct
+    tokens, bounding pair fan-out at max_tokens²/2 per document by
+    construction (the hot-doc guard — a 10^6-token doc contributes no
+    more pairs than a 100-token doc). Pair generation is an in-plan
+    index HOF over the sorted capped array — zero shuffle; the pair
+    count and the marginal document frequencies are two map-side
+    combinable aggregations over the SAME exploded relation, met by a
+    broadcast join on the (tiny) token marginals."""
+    toks = F.array_sort(
+        F.array_distinct(
+            F.filter(
+                F.transform(
+                    F.split(F.lower(F.col(text_col)), " "),
+                    lambda t: F.regexp_replace(t, "[^a-z0-9]", ""),
+                ),
+                lambda t: t != "",
+            )
+        )
+    )
+    capped = F.slice(toks, 1, max_tokens)
+    per_doc = df.select(capped.alias("__toks"))
+    # doc frequency of each kept token (marginals) + corpus size
+    tok_rel = per_doc.select(F.explode("__toks").alias("tok"))
+    marg = tok_rel.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df_tok")
+    )
+    n_docs = per_doc.select(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    # unordered pairs from the sorted array: for index i, zip t[i] with
+    # every later element — flatten(transform_with_index) is pure
+    # codegen, no join
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("__toks"),
+            lambda t, i: F.transform(
+                F.slice(
+                    F.col("__toks"), i + 2, F.size(F.col("__toks"))
+                ),
+                lambda u: F.struct(t.alias("a"), u.alias("b")),
+            ),
+        )
+    )
+    pairs = (
+        per_doc.select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(marg.withColumnRenamed("tok", "a")
+                        .withColumnRenamed("df_tok", "n_a")), "a")
+        .join(
+            F.broadcast(marg.selectExpr("tok AS b", "df_tok AS n_b")), "b")
+        .crossJoin(F.broadcast(n_docs))
+        .select("a", "b", "n_ab", "n_a", "n_b", "n_docs")
+    )

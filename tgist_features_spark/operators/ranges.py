@@ -332,3 +332,53 @@ def interval_overlap_join(
         .filter(canonical)
         .drop("__bk", "__edge", "__as", "__ae", "__bs", "__be")
     )
+
+
+def conversion_latency(
+    df: DataFrame,
+    entity_col: str,
+    type_col: str,
+    from_type: str,
+    to_type: str,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-entity time-to-conversion: the gap between an entity's FIRST
+    ``from_type`` event and its first ``to_type`` event at-or-after it —
+    "median minutes from first view to first purchase", the
+    time-to-event table growth and curation analyses read next to the
+    funnel counts. Entities that never convert are returned with NULL
+    to_us/latency_us (the censored rows a survival analysis needs —
+    dropping them would bias every latency statistic downward).
+
+    One aggregation does everything: min(from ts) and the conditional
+    min(to ts >= from ts) cannot be folded into one pass blindly (the
+    condition references the first aggregate), so the plan is two
+    map-side-combinable aggs over the SAME shuffle key met by a join
+    that AQE resolves locally — the entity relation after agg #1 is
+    tiny relative to the event stream and broadcastable at any
+    realistic entity/event ratio. Timestamps compare as integer
+    microseconds (us()); latency is exact integer arithmetic."""
+    t_us = us(F.col(ts_col))
+    first_from = (
+        df.filter(F.col(type_col) == from_type)
+        .groupBy(entity_col)
+        .agg(F.min(t_us).alias("from_us"))
+    )
+    to_events = df.filter(F.col(type_col) == to_type).select(
+        F.col(entity_col), t_us.alias("__to_us")
+    )
+    first_to = (
+        to_events.join(F.broadcast(first_from), entity_col)
+        .filter(F.col("__to_us") >= F.col("from_us"))
+        .groupBy(entity_col)
+        .agg(F.min("__to_us").alias("to_us"))
+    )
+    return (
+        first_from.join(first_to, entity_col, "left")
+        .select(
+            entity_col,
+            "from_us",
+            "to_us",
+            (F.col("to_us") - F.col("from_us")).alias("latency_us"),
+        )
+    )

@@ -336,3 +336,77 @@ def with_rolling_distinct(
     return df.withColumn(
         out_col, F.size(F.collect_set(F.col(value_col)).over(w)).cast("bigint")
     )
+
+
+def with_group_cdf(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Per-group empirical CDF position of each row's value, kept as the
+    EXACT integer pair (rank_m1, n_m1) with percent_rank =
+    rank_m1 / n_m1 — the percentile-normalized feature ("this doc is
+    longer than 83% of its language's docs") without the float division
+    that makes cross-engine hashes diverge. rank is SQL rank() (ties
+    share the minimum rank, the standard percent_rank convention);
+    n_m1 is 0 for singleton groups, exactly as SQL percent_rank
+    defines the denominator.
+
+    Scale shape: one shuffle on the group, one window pass computing
+    rank and the group count together — no second aggregation join."""
+    w = Window.partitionBy(group_col).orderBy(F.col(value_col))
+    wg = Window.partitionBy(group_col)
+    return df.withColumn(
+        "rank_m1", (F.rank().over(w) - F.lit(1)).cast("bigint")
+    ).withColumn(
+        "n_m1", (F.count(F.lit(1)).over(wg) - F.lit(1)).cast("bigint")
+    )
+
+
+def equidepth_bins(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    id_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Per-group equi-depth (equal-count) binning summary: each group's
+    rows are ranked by (value, id) — the id tiebreak makes bin
+    membership deterministic under ties — and row r of n lands in bin
+    (r-1) * n_bins div n, so bin populations differ by at most one BY
+    CONSTRUCTION (what quantile-boundary binning only approximates
+    under ties). Returns per (group, bin): n_rows, min/max/sum of the
+    value — the profile table for mixture design and skew diagnosis.
+
+    Pure integer arithmetic end-to-end (no interpolated percentiles —
+    interpolation weights like 0.1*(n-1) are NOT exact in double and
+    diverge across engines in the last bit). One shuffle for the
+    row_number window, then one map-side-combinable aggregation."""
+    if n_bins < 1:
+        raise ValueError("equidepth_bins: n_bins must be >= 1")
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(value_col), F.col(id_col)
+    )
+    wg = Window.partitionBy(group_col)
+    binned = (
+        df.withColumn(
+            "__rnk", F.row_number().over(w).cast("bigint") - F.lit(1)
+        )
+        .withColumn("__n", F.count(F.lit(1)).over(wg).cast("bigint"))
+        # integer `div`, never the double '/': (rnk * n_bins) / n in
+        # double is inexact past 2^53 — the cross-engine floor-div trap
+        .withColumn("__bin", F.expr(f"(__rnk * {int(n_bins)}) div __n"))
+        .drop("__rnk", "__n")
+    )
+    return (
+        binned.groupBy(
+            F.col(group_col), F.col("__bin").alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min(value_col).cast("bigint").alias("min_v"),
+            F.max(value_col).cast("bigint").alias("max_v"),
+            F.sum(value_col).cast("bigint").alias("sum_v"),
+        )
+    )

@@ -2623,6 +2623,126 @@ FROM events a JOIN events b
 """
 
 
+def q_token_bigrams(spark, sf):
+    """Corpus bigram LM count table (round 6): consecutive-token pair
+    counts over the whole corpus (functions/text.py token_bigram_counts
+    — zero-shuffle arrays_zip pair construction, one map-side
+    combinable count aggregation)."""
+    from tgist_features_spark.functions.text import token_bigram_counts
+
+    return token_bigram_counts(_t(spark, sf, "documents"))
+
+
+SQL_TOKEN_BIGRAMS = """
+WITH t AS (SELECT string_split(text, ' ') AS ws FROM documents),
+p AS (SELECT unnest(list_zip(ws[1:len(ws) - 1], ws[2:len(ws)])) AS z
+      FROM t WHERE len(ws) >= 2)
+SELECT z[1] AS w1, z[2] AS w2, COUNT(*)::BIGINT AS n_pairs
+FROM p GROUP BY 1, 2
+"""
+
+
+def q_cooccurrence(spark, sf):
+    """Document co-occurrence counts (round 6): for every unordered
+    ASCII-token pair co-occurring in a doc, n_ab + marginal doc
+    frequencies + corpus size — the integer core of PMI
+    (functions/text.py cooccurrence_counts — per-doc token set capped
+    at 32, in-plan HOF pair generation, broadcast marginal joins)."""
+    from tgist_features_spark.functions.text import cooccurrence_counts
+
+    return cooccurrence_counts(_t(spark, sf, "documents"), max_tokens=32)
+
+
+SQL_COOCCURRENCE = """
+WITH toks AS (
+  SELECT doc_id, list_sort(list_distinct(list_filter(
+    list_transform(string_split(lower(text), ' '),
+                   t -> regexp_replace(t, '[^a-z0-9]', '', 'g')),
+    t -> t <> ''))) AS ws
+  FROM documents),
+capped AS (SELECT doc_id, ws[1:32] AS ws FROM toks),
+rel AS (SELECT doc_id, unnest(ws) AS tok FROM capped),
+marg AS (SELECT tok, COUNT(*)::BIGINT AS df_tok FROM rel GROUP BY tok),
+n AS (SELECT COUNT(*)::BIGINT AS n_docs FROM capped),
+pairs AS (SELECT a.tok AS a, b.tok AS b, COUNT(*)::BIGINT AS n_ab
+          FROM rel a JOIN rel b ON a.doc_id = b.doc_id AND a.tok < b.tok
+          GROUP BY 1, 2)
+SELECT p.a, p.b, p.n_ab, ma.df_tok AS n_a, mb.df_tok AS n_b, n.n_docs
+FROM pairs p
+JOIN marg ma ON ma.tok = p.a
+JOIN marg mb ON mb.tok = p.b
+CROSS JOIN n
+"""
+
+
+def q_group_cdf(spark, sf):
+    """Per-language empirical CDF position (round 6): each doc's exact
+    integer (rank_m1, n_m1) percent-rank pair over char count
+    (operators/windows.py with_group_cdf — one window pass, no float
+    division in pipeline state)."""
+    from tgist_features_spark.operators.windows import with_group_cdf
+
+    d = _t(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+    return with_group_cdf(d, "n_chars", "lang", "doc_id")
+
+
+SQL_GROUP_CDF = """
+SELECT doc_id, lang, n_chars,
+       (rank() OVER (PARTITION BY lang ORDER BY n_chars) - 1)::BIGINT
+         AS rank_m1,
+       (COUNT(*) OVER (PARTITION BY lang) - 1)::BIGINT AS n_m1
+FROM documents
+"""
+
+
+def q_equidepth_bins(spark, sf):
+    """Per-language equi-depth decile profile (round 6): bin populations
+    differ by at most one even under ties (operators/windows.py
+    equidepth_bins — row_number binning with integer div, no
+    interpolated percentiles)."""
+    from tgist_features_spark.operators.windows import equidepth_bins
+
+    d = _t(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+    return equidepth_bins(d, "n_chars", "lang", "doc_id", n_bins=10)
+
+
+SQL_EQUIDEPTH_BINS = """
+WITH r AS (
+  SELECT lang, n_chars,
+         (row_number() OVER (
+            PARTITION BY lang ORDER BY n_chars, doc_id) - 1)::BIGINT AS rnk,
+         COUNT(*) OVER (PARTITION BY lang)::BIGINT AS n
+  FROM documents)
+SELECT lang, ((rnk * 10) // n)::BIGINT AS bin, COUNT(*)::BIGINT AS n_rows,
+       MIN(n_chars)::BIGINT AS min_v, MAX(n_chars)::BIGINT AS max_v,
+       SUM(n_chars)::BIGINT AS sum_v
+FROM r GROUP BY 1, 2
+"""
+
+
+def q_conversion_latency(spark, sf):
+    """Time-to-conversion (round 6): per user, first view to first
+    at-or-after purchase, censored users kept with NULL latency
+    (operators/ranges.py conversion_latency — two map-side aggs over
+    the same key, broadcast first-event join, integer microseconds)."""
+    from tgist_features_spark.operators.ranges import conversion_latency
+
+    e = _t(spark, sf, "events").select("user_id", "event_type", "ts")
+    return conversion_latency(e, "user_id", "event_type", "view", "purchase")
+
+
+SQL_CONVERSION_LATENCY = """
+WITH f AS (SELECT user_id, MIN(epoch_us(ts)) AS from_us
+           FROM events WHERE event_type = 'view' GROUP BY user_id),
+t AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS to_us
+      FROM events e JOIN f USING (user_id)
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= f.from_us
+      GROUP BY e.user_id)
+SELECT f.user_id, f.from_us, t.to_us, t.to_us - f.from_us AS latency_us
+FROM f LEFT JOIN t USING (user_id)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- first 50 keys = the driver correctness window (driver caps
     # its oracle run at 50 keys, in order). Round-6 rotation: the 4
@@ -2675,13 +2795,20 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shuffle_order": q_shuffle_order,
     "pack_padded": q_pack_padded,
     "gopher_quality": q_gopher_quality,
+    # five more NEW round-6 queries (they displaced the filler slots;
+    # the displaced keys are r05-green with append-only file changes)
+    "token_bigrams": q_token_bigrams,
+    "cooccurrence": q_cooccurrence,
+    "group_cdf": q_group_cdf,
+    "equidepth_bins": q_equidepth_bins,
+    "conversion_latency": q_conversion_latency,
+    # --- tail (past the driver cap): every key r05-green in the
+    # driver run, backing functions untouched this round.
     "range_join": q_range_join,
     "funnel": q_funnel,
     "debounce": q_debounce,
     "mad_outliers": q_mad_outliers,
     "dedup_minhash": q_dedup_minhash,
-    # --- tail (past the driver cap): every key r05-green in the
-    # driver run, backing functions untouched this round.
     "embed_near_dup": q_embed_near_dup,
     "train_split": q_train_split,
     "group_sample": q_group_sample,
@@ -2797,6 +2924,11 @@ ORACLES: dict[str, str] = {
     "rolling_distinct": SQL_ROLLING_DISTINCT,
     "group_trend": SQL_GROUP_TREND,
     "overlap_join": SQL_OVERLAP_JOIN,
+    "token_bigrams": SQL_TOKEN_BIGRAMS,
+    "cooccurrence": SQL_COOCCURRENCE,
+    "group_cdf": SQL_GROUP_CDF,
+    "equidepth_bins": SQL_EQUIDEPTH_BINS,
+    "conversion_latency": SQL_CONVERSION_LATENCY,
     "embed_near_dup": SQL_EMBED_NEAR_DUP,
     "grouping_sets": SQL_GROUPING_SETS,
     "sql_shipping": SQL_SQL_SHIPPING,
