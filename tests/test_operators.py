@@ -1710,3 +1710,83 @@ def test_conversion_latency_matches_pandas(spark):
             assert got.loc[u, "to_us"] == t
             assert got.loc[u, "latency_us"] == t - f
     assert set(got.index) == seen
+
+
+def test_rolling_outliers_matches_numpy(spark):
+    from tgist_features_spark.operators.windows import with_rolling_outliers
+
+    rng = np.random.default_rng(37)
+    rows = []
+    eid = 0
+    for u in range(10):
+        for i in range(60):
+            v = float(rng.normal(50, 2))
+            if rng.random() < 0.05:
+                v += 40.0  # injected spikes
+            rows.append((eid, u, v, eid))
+            eid += 1
+    pdf = pd.DataFrame(rows, columns=["event_id", "u", "v", "off"])
+    pdf["ts"] = pd.to_datetime(pdf["off"], unit="s")
+    got = with_rolling_outliers(
+        spark.createDataFrame(pdf[["event_id", "u", "v", "ts"]]),
+        "v", "u", ("ts", "event_id"), n=20, z=3, scale=100,
+    ).toPandas().set_index("event_id")
+    n_flagged = 0
+    for u, grp in pdf.groupby("u"):
+        grp = grp.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        y = np.round(grp["v"].to_numpy() * 100).astype(np.int64)
+        for i in range(len(grp)):
+            lo = max(0, i - 19)
+            win = y[lo:i + 1]
+            cnt, s, q = len(win), int(win.sum()), int((win * win).sum())
+            assert got.loc[grp["event_id"][i], "win_cnt"] == cnt
+            assert got.loc[grp["event_id"][i], "win_sum"] == s
+            assert got.loc[grp["event_id"][i], "win_sumsq"] == q
+            dev = int(y[i]) * cnt - s
+            var_num = cnt * q - s * s
+            want = dev * dev > 9 * var_num if var_num > 0 else dev != 0
+            assert bool(got.loc[grp["event_id"][i], "is_outlier"]) == want
+            n_flagged += want
+    assert n_flagged > 0  # the injected spikes are actually caught
+    # first row of each entity: cnt==1, var 0, dev 0 -> never an outlier
+    firsts = pdf.sort_values(["ts", "event_id"]).groupby("u").head(1)
+    for e in firsts["event_id"]:
+        assert not got.loc[e, "is_outlier"]
+
+
+def test_population_drift_counts_and_edges(spark):
+    from tgist_features_spark.operators.aggregates import population_drift
+
+    rng = np.random.default_rng(41)
+    ref = pd.DataFrame({"v": rng.integers(0, 100, 1000)})
+    new = pd.DataFrame({"v": np.concatenate([
+        rng.integers(0, 100, 500),
+        rng.integers(150, 200, 100),   # unseen-above mass
+        np.array([-5, -1]),            # below-reference mass
+    ])})
+    got = population_drift(
+        spark.createDataFrame(ref), spark.createDataFrame(new), "v", 10
+    ).toPandas().sort_values("bin").reset_index(drop=True)
+    assert list(got["bin"]) == list(range(10))
+    assert got["ref_n"].sum() == 1000 and got["ref_total"].iloc[0] == 1000
+    assert got["new_n"].sum() == len(new) and got["new_total"].iloc[0] == len(new)
+    # reference boundaries via the same rank rule
+    sv = np.sort(ref["v"].to_numpy())
+    bins = (np.arange(1000) * 10) // 1000
+    lo = {b: int(sv[bins == b].min()) for b in range(10)}
+    assert got.set_index("bin")["lo"].to_dict() == lo
+    # value rule: count of boundaries <= v, minus 1; clamp to 0
+    edges_sorted = sorted(lo.values())
+    def bin_of(x):
+        k = sum(1 for e in edges_sorted if e <= x) - 1
+        return max(k, 0)
+    for frame, col in ((ref, "ref_n"), (new, "new_n")):
+        want = pd.Series([bin_of(x) for x in frame["v"]]).value_counts()
+        for b in range(10):
+            assert got.loc[b, col] == want.get(b, 0), (col, b)
+    # above-reference values landed in the last bin
+    assert got.loc[9, "new_n"] >= 100
+    with pytest.raises(ValueError, match="n_bins"):
+        population_drift(
+            spark.createDataFrame(ref), spark.createDataFrame(new), "v", 0
+        )

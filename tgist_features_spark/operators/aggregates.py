@@ -301,3 +301,125 @@ def group_trend(
         .cast("bigint")
         .alias("slope_den"),
     )
+
+
+def population_drift(
+    ref: DataFrame,
+    new: DataFrame,
+    value_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Distribution-drift table between a REFERENCE corpus and a NEW
+    corpus over one numeric column — the integer core of PSI
+    (population stability index) monitoring, the check a training-data
+    pipeline runs before admitting a new crawl snapshot. Returns per
+    bin: (bin, lo, hi, ref_n, new_n, ref_total, new_total); PSI's
+    Σ (p_new − p_ref)·ln(p_new/p_ref) is one float expression away for
+    the caller — counts stay integers end-to-end, bitwise reproducible.
+
+    Bin edges are the reference's equi-depth boundaries computed with
+    RANK arithmetic, not interpolated percentiles: boundary k is the
+    smallest reference value whose (row_number−1)·n_bins div n reaches
+    bin k — deterministic under ties and exact in any engine. Bin k
+    covers [lo_k, lo_{k+1}) except the last, which is unbounded above;
+    values below lo_0 land in bin 0 (the standard PSI edge convention).
+    BOTH corpora are counted by this same value rule, so every row is
+    counted exactly once and a value equal to a shared boundary binds
+    to the highest bin whose lo it matches — in ref_n and new_n alike.
+    Under heavy ties (lo, hi) may overlap at the boundary value; they
+    label the bin, the value rule above is the counting contract.
+
+    Scale shape: the reference reduces to per-VALUE counts (distributed
+    aggregation), boundary math runs over that distinct-value relation
+    only (its one ordered window covers |distinct values| rows — the
+    metric's domain, never the corpus), and the n_bins-row edge table
+    broadcasts into ONE aggregation per corpus; neither corpus is ever
+    globally sorted or shuffled beyond its count aggregation."""
+    if n_bins < 1:
+        raise ValueError("population_drift: n_bins must be >= 1")
+    # Boundary math runs over the DISTINCT-VALUE relation, never a
+    # global row_number over the corpus (a single-partition sort of
+    # every reference row — the scale-killer this formulation exists to
+    # avoid). Per-value counts aggregate distributed; the one ordered
+    # window covers only |distinct values| aggregated rows (bounded by
+    # the metric's domain, not the corpus). Rank identities: value v
+    # with per-value count c and cumulative count cum occupies 0-based
+    # ranks [cum-c, cum-1]; bin k's first rank is r_k = ceil(k*n/B), so
+    #   lo_k = min v with cum > r_k      (the value holding rank r_k)
+    #   hi_k = min v with cum > r_{k+1}-1 (the value holding the bin's
+    #                                      last rank; r_B = n)
+    # — exactly row_number binning, with only integer div/ceil-div.
+    B = int(n_bins)
+    per_v = (
+        ref.select(F.col(value_col).alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
+    )
+    wv = Window.orderBy(F.col("v")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum_v = per_v.withColumn("__cum", F.sum("__c").over(wv))
+    n_ref = per_v.select(F.sum("__c").cast("bigint").alias("__n"))
+    ks = F.explode(F.array(*[F.lit(k) for k in range(B)])).alias("__k")
+    cand = cum_v.crossJoin(F.broadcast(n_ref)).select(
+        "v", "__cum", "__n", ks
+    )
+    r_lo = F.expr(f"(__k * __n + {B} - 1) div {B}")
+    r_hi_next = F.expr(
+        f"case when __k = {B - 1} then __n "
+        f"else ((__k + 1) * __n + {B} - 1) div {B} end"
+    )
+    edges_plan = (
+        cand.groupBy(F.col("__k").alias("__bin"))
+        .agg(
+            F.min(F.when(F.col("__cum") > r_lo, F.col("v"))).alias("lo"),
+            F.min(
+                F.when(F.col("__cum") > r_hi_next - F.lit(1), F.col("v"))
+            ).alias("hi"),
+        )
+    )
+    # The edge table is n_bins BOUNDED rows of metadata — materialize it
+    # once driver-side (the budget_sample/packing precedent) instead of
+    # leaving a lazy subtree that every downstream reference would
+    # re-evaluate (each re-evaluation re-scans the whole reference
+    # corpus). Downstream, edges is a local relation: free to reference.
+    spark = ref.sparkSession
+    edges = spark.createDataFrame(
+        edges_plan.collect(), schema=edges_plan.schema
+    )
+
+    def _binned_counted(df: DataFrame, out: str) -> DataFrame:
+        b = F.broadcast(edges.select(F.col("__bin"), F.col("lo")))
+        per_v = df.select(F.col(value_col).alias("v")).groupBy("v").agg(
+            F.count(F.lit(1)).cast("bigint").alias("__cnt")
+        )
+        return (
+            per_v.join(b, F.col("v") >= F.col("lo"), "left")
+            .groupBy("v", "__cnt")
+            .agg(F.coalesce(F.max("__bin"), F.lit(0)).alias("bin"))
+            .groupBy("bin")
+            .agg(F.sum("__cnt").cast("bigint").alias(out))
+        )
+
+    ref_b = _binned_counted(ref, "ref_n")
+    new_b = _binned_counted(new, "new_n")
+    # totals derive from the n_bins-row joined result via an
+    # unpartitioned window — over n_bins rows, not the corpus — so each
+    # corpus is scanned exactly once in the whole plan
+    wt = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        edges.select(F.col("__bin").alias("bin"), "lo", "hi")
+        .join(ref_b, "bin", "left")
+        .join(new_b, "bin", "left")
+        .select(
+            F.col("bin").cast("bigint").alias("bin"),
+            F.col("lo").cast("bigint").alias("lo"),
+            F.col("hi").cast("bigint").alias("hi"),
+            F.coalesce("ref_n", F.lit(0)).cast("bigint").alias("ref_n"),
+            F.coalesce("new_n", F.lit(0)).cast("bigint").alias("new_n"),
+        )
+        .withColumn("ref_total", F.sum("ref_n").over(wt).cast("bigint"))
+        .withColumn("new_total", F.sum("new_n").over(wt).cast("bigint"))
+    )

@@ -410,3 +410,63 @@ def equidepth_bins(
             F.sum(value_col).cast("bigint").alias("sum_v"),
         )
     )
+
+
+def with_rolling_outliers(
+    df: DataFrame,
+    value_col: str,
+    entity_col: str,
+    order: tuple[str, ...],
+    n: int = 20,
+    z: int = 3,
+    scale: int = 100,
+) -> DataFrame:
+    """Per-entity rolling anomaly flag with INTEGER-EXACT arithmetic:
+    flags rows whose value deviates more than ``z`` sample standard
+    deviations from the trailing ``n``-row window (current row
+    included) — the telemetry spike / sensor-glitch filter, without the
+    float accumulation that makes the flag engine-dependent near the
+    threshold.
+
+    The z-test is evaluated in squared integer form: with s = Σy and
+    q = Σy² over the window (y = round(value*scale) as bigint),
+        z² = (y·cnt − s)² / (cnt·q − s²)
+    so the flag is the integer comparison
+        (y·cnt − s)² > z² · (cnt·q − s²)
+    — no division, no sqrt, bit-reproducible anywhere. Degenerate
+    windows (cnt < 2 or zero variance) flag only if the row deviates at
+    all from the constant window (then the deviation is infinite sigma).
+    Returns the input plus (win_cnt, win_sum, win_sumsq, is_outlier).
+
+    Overflow bound: |y·cnt − s| ≤ 2·max|y|·n and cnt·q ≤ n²·max|y|², so
+    exactness needs (2·max|y|·n)² < 2^63 → max|value|·scale·n < 1.5e9 —
+    a 100-row window of 10^6-fixed-point values is safe. Spark 4 ANSI
+    mode backstops any overflow loudly (same contract as group_trend).
+
+    Scale shape: one shuffle on the entity, one codegen window pass
+    computing the three running sums together."""
+    if n < 1:
+        raise ValueError("with_rolling_outliers: n must be >= 1")
+    w = (
+        Window.partitionBy(entity_col)
+        .orderBy(*[F.col(c) for c in order])
+        .rowsBetween(-(n - 1), 0)
+    )
+    y = F.round(F.col(value_col) * F.lit(scale)).cast("bigint")
+    out = (
+        df.withColumn("__y", y)
+        .withColumn("win_cnt", F.count(F.lit(1)).over(w).cast("bigint"))
+        .withColumn("win_sum", F.sum("__y").over(w).cast("bigint"))
+        .withColumn(
+            "win_sumsq", F.sum(F.col("__y") * F.col("__y")).over(w).cast("bigint")
+        )
+    )
+    dev = F.col("__y") * F.col("win_cnt") - F.col("win_sum")
+    var_num = (
+        F.col("win_cnt") * F.col("win_sumsq")
+        - F.col("win_sum") * F.col("win_sum")
+    )
+    flag = F.when(var_num > 0, dev * dev > F.lit(z * z) * var_num).otherwise(
+        dev != 0
+    )
+    return out.withColumn("is_outlier", flag).drop("__y")

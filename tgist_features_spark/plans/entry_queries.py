@@ -2743,6 +2743,82 @@ FROM f LEFT JOIN t USING (user_id)
 """
 
 
+def q_rolling_outliers(spark, sf):
+    """Rolling integer-exact anomaly flags (round 6): per-user trailing
+    20-event z>3 spike detection with the z-test in squared integer
+    form — no division, no sqrt, engine-exact (operators/windows.py
+    with_rolling_outliers)."""
+    from tgist_features_spark.operators.windows import with_rolling_outliers
+
+    e = _t(spark, sf, "events").select("event_id", "user_id", "value", "ts")
+    return with_rolling_outliers(
+        e, "value", "user_id", ("ts", "event_id"), n=20, z=3, scale=100
+    ).select(
+        "event_id", "user_id", "win_cnt", "win_sum", "win_sumsq", "is_outlier"
+    )
+
+
+SQL_ROLLING_OUTLIERS = """
+WITH w AS (
+  SELECT event_id, user_id, ts, round(value * 100)::BIGINT AS y
+  FROM events),
+r AS (
+  SELECT event_id, user_id, y,
+         COUNT(*) OVER win::BIGINT AS win_cnt,
+         SUM(y) OVER win::BIGINT AS win_sum,
+         SUM(y * y) OVER win::BIGINT AS win_sumsq
+  FROM w
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+SELECT event_id, user_id, win_cnt, win_sum, win_sumsq,
+       CASE WHEN win_cnt * win_sumsq - win_sum * win_sum > 0
+            THEN (y * win_cnt - win_sum) * (y * win_cnt - win_sum)
+                 > 9 * (win_cnt * win_sumsq - win_sum * win_sum)
+            ELSE y * win_cnt - win_sum <> 0 END AS is_outlier
+FROM r
+"""
+
+
+def q_population_drift(spark, sf):
+    """Corpus drift profile (round 6): PSI-style per-bin counts of the
+    'new half' of the corpus against the 'reference half''s equi-depth
+    char-count bins (operators/aggregates.py population_drift —
+    boundary math over the distinct-value relation, integer counts
+    end-to-end)."""
+    from tgist_features_spark.operators.aggregates import population_drift
+
+    d = _t(spark, sf, "documents").select("source", "n_chars")
+    ref = d.filter(F.length("source") == 4)
+    new = d.filter(F.length("source") != 4)
+    return population_drift(ref, new, "n_chars", n_bins=10)
+
+
+SQL_POPULATION_DRIFT = """
+WITH refc AS (SELECT n_chars AS v FROM documents WHERE len(source) = 4),
+newc AS (SELECT n_chars AS v FROM documents WHERE len(source) <> 4),
+ranked AS (SELECT v, row_number() OVER (ORDER BY v) - 1 AS rnk,
+                  (SELECT COUNT(*) FROM refc) AS n
+           FROM refc),
+edges AS (SELECT ((rnk * 10) // n)::BIGINT AS bin, MIN(v)::BIGINT AS lo,
+                 MAX(v)::BIGINT AS hi
+          FROM ranked GROUP BY 1),
+ar AS (SELECT greatest(coalesce(
+         (SELECT MAX(e.bin) FROM edges e WHERE e.lo <= r.v), 0), 0) AS bin
+       FROM refc r),
+an AS (SELECT greatest(coalesce(
+         (SELECT MAX(e.bin) FROM edges e WHERE e.lo <= s.v), 0), 0) AS bin
+       FROM newc s),
+rc AS (SELECT bin, COUNT(*)::BIGINT AS ref_n FROM ar GROUP BY 1),
+nc AS (SELECT bin, COUNT(*)::BIGINT AS new_n FROM an GROUP BY 1)
+SELECT e.bin, e.lo, e.hi,
+       COALESCE(rc.ref_n, 0)::BIGINT AS ref_n,
+       COALESCE(nc.new_n, 0)::BIGINT AS new_n,
+       (SELECT COUNT(*) FROM refc)::BIGINT AS ref_total,
+       (SELECT COUNT(*) FROM newc)::BIGINT AS new_total
+FROM edges e LEFT JOIN rc USING (bin) LEFT JOIN nc USING (bin)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- first 50 keys = the driver correctness window (driver caps
     # its oracle run at 50 keys, in order). Round-6 rotation: the 4
@@ -2809,6 +2885,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "debounce": q_debounce,
     "mad_outliers": q_mad_outliers,
     "dedup_minhash": q_dedup_minhash,
+    # new round-6 tail additions: oracled + pytest-verified now, driver
+    # evidence at the next window rotation (the 50-key window is full
+    # of forced keys this round)
+    "rolling_outliers": q_rolling_outliers,
+    "population_drift": q_population_drift,
     "embed_near_dup": q_embed_near_dup,
     "train_split": q_train_split,
     "group_sample": q_group_sample,
@@ -2929,6 +3010,8 @@ ORACLES: dict[str, str] = {
     "group_cdf": SQL_GROUP_CDF,
     "equidepth_bins": SQL_EQUIDEPTH_BINS,
     "conversion_latency": SQL_CONVERSION_LATENCY,
+    "rolling_outliers": SQL_ROLLING_OUTLIERS,
+    "population_drift": SQL_POPULATION_DRIFT,
     "embed_near_dup": SQL_EMBED_NEAR_DUP,
     "grouping_sets": SQL_GROUPING_SETS,
     "sql_shipping": SQL_SQL_SHIPPING,
