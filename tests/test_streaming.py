@@ -422,3 +422,62 @@ def test_stateful_debounce_chained_rule_across_batches(spark, tmp_path):
     # the chained rule kept every 3rd event (30s spacing >= 25s)
     per_user = got.groupby("user_id")["event_id"].count()
     assert (per_user == 4).all(), per_user.to_dict()
+
+
+def test_stateful_transitions_parity_with_batch(spark, tmp_path):
+    """T8: streaming transition emission aggregated over the whole
+    stream == the batch transition_counts table, including pairs whose
+    two events arrive in DIFFERENT micro-batches (the carried-state
+    boundary)."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from tgist_features_spark.operators.windows import transition_counts
+    from tgist_features_spark.streaming.stream import stateful_transitions
+
+    rng = np.random.default_rng(43)
+    rows = []
+    eid = 0
+    for u in range(5):
+        for k in range(20):
+            rows.append((eid, u, str(rng.choice(["a", "b", "c"])),
+                         pd.Timestamp(1000 * u + 7 * k, unit="s")))
+            eid += 1
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "event_type", "ts"])
+
+    src = str(tmp_path / "ev")
+    os.makedirs(src, exist_ok=True)
+    schema = "event_id long, user_id long, event_type string, ts timestamp"
+    # split so every user's stream crosses the batch boundary mid-chain
+    early = pdf[pdf["event_id"] % 20 < 11]
+    late = pdf[pdf["event_id"] % 20 >= 11]
+    spark.createDataFrame(early, schema=schema).coalesce(1).write.mode(
+        "overwrite").parquet(src + "/b=0")
+    spark.createDataFrame(late, schema=schema).coalesce(1).write.mode(
+        "overwrite").parquet(src + "/b=1")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/b=*")
+    )
+    name = _run_to_memory(stateful_transitions(stream), "append")
+    got = (
+        spark.sql(
+            f"SELECT from_type, to_type, COUNT(*) AS n_transitions FROM {name} "
+            "GROUP BY 1, 2"
+        ).toPandas().set_index(["from_type", "to_type"])["n_transitions"]
+        .to_dict()
+    )
+    want = (
+        transition_counts(
+            spark.createDataFrame(pdf, schema=schema),
+            "user_id", "event_type", ("ts", "event_id"),
+        ).toPandas().set_index(["from_type", "to_type"])["n_transitions"]
+        .to_dict()
+    )
+    assert got == want
+    # per-user transition volume: n_events - 1 each (first emits nothing)
+    total = spark.sql(f"SELECT COUNT(*) c FROM {name}").first()["c"]
+    assert total == len(pdf) - 5

@@ -429,3 +429,79 @@ def stateful_debounce(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+TRANSITIONS_OUT_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("from_type", T.StringType()),
+    T.StructField("to_type", T.StringType()),
+    T.StructField("ts", T.TimestampType()),
+])
+_TRANSITIONS_STATE = T.StructType([
+    T.StructField("last_us", T.LongType()),
+    T.StructField("last_event_id", T.LongType()),
+    T.StructField("last_type", T.StringType()),
+])
+
+
+def stateful_transitions(
+    stream: DataFrame,
+    delay: str = "30 minutes",
+) -> DataFrame:
+    """T8: streaming first-order transition emission — for every event,
+    one (from_type -> to_type) row against the PREVIOUS event of the
+    same user, with the previous event carried across micro-batches as
+    per-key state. Downstream, ``output.groupBy(from_type, to_type)``
+    maintains the live transition-count table; after any prefix of the
+    stream the aggregated counts equal the batch ``transition_counts``
+    over the same prefix (the batch/stream parity test pins this).
+
+    A user's first-ever event emits nothing (no predecessor) — exactly
+    the batch operator's terminal-event rule, seen from the other side.
+    Within a batch the pairing is vectorized (pandas shift over the
+    (ts, event_id)-sorted batch); state is 3 scalars per user. The
+    watermark bounds how late an event may arrive and still pair
+    correctly; beyond-watermark stragglers are the upstream dedup
+    stage's contract, as with every stateful op here."""
+
+    def fn(key: Any, pdfs, state: GroupState):
+        chunks = [p for p in pdfs if len(p)]
+        if not chunks:
+            if state.exists:
+                state.update(tuple(state.get))
+            yield pd.DataFrame(
+                columns=[f.name for f in TRANSITIONS_OUT_SCHEMA.fields]
+            )
+            return
+        # concat ALL chunks before sorting — per-chunk order is not
+        # guaranteed across Arrow batch boundaries (the T7 finding)
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            ["ts", "event_id"], kind="mergesort"
+        )
+        types = pdf["event_type"].astype(str).to_numpy()
+        prev = np.empty(len(pdf), dtype=object)
+        prev[1:] = types[:-1]
+        prev[0] = state.get[2] if state.exists else None
+        ts_us = pdf["ts"].to_numpy(dtype="datetime64[us]").astype("int64")
+        state.update((int(ts_us[-1]), int(pdf["event_id"].iloc[-1]),
+                      str(types[-1])))
+        mask = np.array([p is not None for p in prev])
+        out = pdf[mask]
+        yield pd.DataFrame({
+            "user_id": key[0],
+            "from_type": prev[mask],
+            "to_type": out["event_type"].to_numpy(),
+            "ts": out["ts"].to_numpy(),
+        })
+
+    return (
+        stream.withWatermark("ts", delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=TRANSITIONS_OUT_SCHEMA,
+            stateStructType=_TRANSITIONS_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
