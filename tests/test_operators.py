@@ -1790,3 +1790,52 @@ def test_population_drift_counts_and_edges(spark):
         population_drift(
             spark.createDataFrame(ref), spark.createDataFrame(new), "v", 0
         )
+
+
+def test_new_ops_null_value_contracts(spark):
+    """Round-6 NULL rules: NULL values never occupy a regression slot,
+    a rolling window's cnt counts values not rows, rank/bin/drift ops
+    exclude NULLs (engines disagree on NULL sort order)."""
+    from tgist_features_spark.operators.aggregates import (
+        group_trend,
+        population_drift,
+    )
+    from tgist_features_spark.operators.windows import (
+        equidepth_bins,
+        with_group_cdf,
+        with_rolling_outliers,
+    )
+
+    pdf = pd.DataFrame({
+        "event_id": range(6),
+        "g": ["a"] * 6,
+        "v": [1.0, None, 2.0, 3.0, None, 4.0],
+    })
+    pdf["ts"] = pd.to_datetime(pdf["event_id"], unit="s")
+    sdf = spark.createDataFrame(pdf)
+
+    # group_trend: x indexes observed values only -> n == 4 and the
+    # slope of y = 100,200,300,400 over x=1..4 is exactly 100/unit
+    t = group_trend(sdf, "v", "g", ("ts", "event_id"), scale=100).first()
+    assert t["n"] == 4
+    assert t["slope_num"] / t["slope_den"] == 100.0
+
+    # rolling outliers: win_cnt counts VALUES; NULL rows never flagged
+    ro = (
+        with_rolling_outliers(sdf, "v", "g", ("ts", "event_id"), n=3)
+        .toPandas().set_index("event_id")
+    )
+    assert ro.loc[2, "win_cnt"] == 2      # rows 0,1,2 -> values 1.0, 2.0
+    assert ro.loc[4, "win_cnt"] == 2      # rows 2,3,4 -> values 2.0, 3.0
+    assert not ro.loc[1, "is_outlier"] and not ro.loc[4, "is_outlier"]
+
+    # rank/bin ops exclude NULL rows entirely
+    cdf = with_group_cdf(sdf, "v", "g", "event_id").toPandas()
+    assert set(cdf["event_id"]) == {0, 2, 3, 5}
+    assert set(cdf["n_m1"]) == {3}
+    bins = equidepth_bins(sdf, "v", "g", "event_id", 2).toPandas()
+    assert bins["n_rows"].sum() == 4
+
+    # drift: NULLs excluded from both corpora
+    d = population_drift(sdf, sdf, "v", 2).toPandas()
+    assert d["ref_total"].iloc[0] == 4 and d["new_total"].iloc[0] == 4

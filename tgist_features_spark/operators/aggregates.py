@@ -237,6 +237,8 @@ def group_trend(
       n            events
       slope_num  = n * Σxy − Σx * Σy
       slope_den  = n * Σx² − (Σx)²      (0 when n == 1)
+    NULL values are excluded before indexing — x counts OBSERVED
+    events, so a group of all-NULL values returns no row.
     The slope is slope_num/slope_den in y-fixed-point units per event —
     kept as the exact integer pair rather than a lossy float division,
     like group_standardize keeps deviation x n. slope_den depends only
@@ -260,7 +262,12 @@ def group_trend(
     w = Window.partitionBy(group_col).orderBy(*[F.col(c) for c in order])
     x = F.row_number().over(w).cast("bigint")
     y = F.round(F.col(value_col) * F.lit(scale)).cast("bigint")
-    prepped = df.select(F.col(group_col), x.alias("__x"), y.alias("__y"))
+    # NULL values carry no observation: excluded BEFORE the sequence
+    # index, so x is the position among OBSERVED values (a NULL row
+    # must not occupy a regression x-slot whose y the sums then skip)
+    prepped = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(group_col), x.alias("__x"), y.alias("__y")
+    )
     agg = prepped.groupBy(group_col).agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("__x").alias("__sx"),
@@ -328,6 +335,9 @@ def population_drift(
     to the highest bin whose lo it matches — in ref_n and new_n alike.
     Under heavy ties (lo, hi) may overlap at the boundary value; they
     label the bin, the value rule above is the counting contract.
+    NULL values are excluded from BOTH corpora (they have no position
+    in a value distribution; a NULL would otherwise bind to bin 0
+    silently) — monitor null-rate as its own signal.
 
     Scale shape: the reference reduces to per-VALUE counts (distributed
     aggregation), boundary math runs over that distinct-value relation
@@ -352,6 +362,7 @@ def population_drift(
     B = int(n_bins)
     per_v = (
         ref.select(F.col(value_col).alias("v"))
+        .filter(F.col("v").isNotNull())
         .groupBy("v")
         .agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
     )
@@ -390,7 +401,11 @@ def population_drift(
 
     def _binned_counted(df: DataFrame, out: str) -> DataFrame:
         b = F.broadcast(edges.select(F.col("__bin"), F.col("lo")))
-        per_v = df.select(F.col(value_col).alias("v")).groupBy("v").agg(
+        per_v = (
+            df.select(F.col(value_col).alias("v"))
+            .filter(F.col("v").isNotNull())
+            .groupBy("v")
+        ).agg(
             F.count(F.lit(1)).cast("bigint").alias("__cnt")
         )
         return (

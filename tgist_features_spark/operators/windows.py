@@ -353,8 +353,13 @@ def with_group_cdf(
     n_m1 is 0 for singleton groups, exactly as SQL percent_rank
     defines the denominator.
 
+    NULL-valued rows are EXCLUDED (returned relation omits them): a
+    NULL has no rank, and engines disagree on NULL sort order — the
+    silent cross-engine divergence this operator exists to avoid.
+
     Scale shape: one shuffle on the group, one window pass computing
     rank and the group count together — no second aggregation join."""
+    df = df.filter(F.col(value_col).isNotNull())
     w = Window.partitionBy(group_col).orderBy(F.col(value_col))
     wg = Window.partitionBy(group_col)
     return df.withColumn(
@@ -385,6 +390,10 @@ def equidepth_bins(
     row_number window, then one map-side-combinable aggregation."""
     if n_bins < 1:
         raise ValueError("equidepth_bins: n_bins must be >= 1")
+    # NULL values have no rank and engines disagree on NULL sort order —
+    # exclude them (same contract as with_group_cdf); monitor null-rate
+    # separately
+    df = df.filter(F.col(value_col).isNotNull())
     w = Window.partitionBy(group_col).orderBy(
         F.col(value_col), F.col(id_col)
     )
@@ -455,7 +464,11 @@ def with_rolling_outliers(
     y = F.round(F.col(value_col) * F.lit(scale)).cast("bigint")
     out = (
         df.withColumn("__y", y)
-        .withColumn("win_cnt", F.count(F.lit(1)).over(w).cast("bigint"))
+        # count NON-NULL values, not rows: a NULL-valued row in the
+        # window must not inflate cnt while the sums skip it (the
+        # cnt/sum inconsistency would silently shift every z-test in
+        # the window)
+        .withColumn("win_cnt", F.count("__y").over(w).cast("bigint"))
         .withColumn("win_sum", F.sum("__y").over(w).cast("bigint"))
         .withColumn(
             "win_sumsq", F.sum(F.col("__y") * F.col("__y")).over(w).cast("bigint")
@@ -466,7 +479,9 @@ def with_rolling_outliers(
         F.col("win_cnt") * F.col("win_sumsq")
         - F.col("win_sum") * F.col("win_sum")
     )
-    flag = F.when(var_num > 0, dev * dev > F.lit(z * z) * var_num).otherwise(
-        dev != 0
+    flag = F.when(F.col("__y").isNull(), F.lit(False)).otherwise(
+        F.when(var_num > 0, dev * dev > F.lit(z * z) * var_num).otherwise(
+            dev != 0
+        )
     )
     return out.withColumn("is_outlier", flag).drop("__y")
