@@ -1839,3 +1839,209 @@ def test_new_ops_null_value_contracts(spark):
     # drift: NULLs excluded from both corpora
     d = population_drift(sdf, sdf, "v", 2).toPandas()
     assert d["ref_total"].iloc[0] == 4 and d["new_total"].iloc[0] == 4
+
+
+def test_interval_islands_matches_bruteforce(spark):
+    from tgist_features_spark.operators.ranges import interval_islands
+
+    rng = np.random.default_rng(41)
+    rows = []
+    for i in range(500):
+        s = int(rng.integers(0, 2000))
+        rows.append((i, int(rng.integers(0, 12)), s, s + int(rng.integers(0, 60))))
+    df = spark.createDataFrame(rows, ["id", "e", "s", "t"])
+    got = (
+        interval_islands(df, "e", "s", "t", "id")
+        .toPandas()
+        .sort_values(["e", "island_id"])
+        .reset_index(drop=True)
+    )
+    # brute force: sweep each entity's intervals in (s, t, id) order
+    exp = []
+    byent: dict[int, list[tuple[int, int, int]]] = {}
+    for i, e, s, t in rows:
+        byent.setdefault(e, []).append((s, t, i))
+    for e, ivs in byent.items():
+        ivs.sort()
+        cur_s, cur_e, n, isl = None, None, 0, 0
+        for s, t, _ in ivs:
+            if cur_s is None or s > cur_e:
+                if cur_s is not None:
+                    exp.append((e, isl, cur_s, cur_e, n))
+                isl += 1
+                cur_s, cur_e, n = s, t, 1
+            else:
+                cur_e = max(cur_e, t)
+                n += 1
+        exp.append((e, isl, cur_s, cur_e, n))
+    exp_df = (
+        pd.DataFrame(exp, columns=["e", "island_id", "island_start",
+                                   "island_end", "n_spans"])
+        .sort_values(["e", "island_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[exp_df.columns].astype("int64"), exp_df.astype("int64")
+    )
+    # coverage identity: island lengths never double-count overlap
+    for (_, r) in exp_df.iterrows():
+        assert r.island_end >= r.island_start
+
+
+def test_interval_islands_refuses_inverted(spark):
+    import pyspark.errors
+
+    from tgist_features_spark.operators.ranges import interval_islands
+
+    df = spark.createDataFrame([(1, "u", 10, 5)], ["id", "e", "s", "t"])
+    try:
+        interval_islands(df, "e", "s", "t", "id").collect()
+        raise AssertionError("inverted interval must be refused")
+    except pyspark.errors.PySparkException:
+        pass
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_vocab_edit1_exact_recall(spark):
+    from tgist_features_spark.operators.dedup import vocab_edit1_pairs
+
+    # substitution, deletion, insertion, distance-2 (excluded),
+    # min_len boundary, punctuation stripping, identical dups collapse
+    docs = [
+        "receive recieve spark spork sparks",
+        "table tables tango mango managed",
+        "batch match watch latch catch dispatch",
+        "scan! scans SCAN arc ark the they",
+    ]
+    df = spark.createDataFrame([(d,) for d in docs], ["text"])
+    got = {
+        (r.w_a, r.w_b)
+        for r in vocab_edit1_pairs(df, min_len=4).collect()
+    }
+    # brute force over the same normalization
+    import re
+
+    vocab = set()
+    for d in docs:
+        for t in d.lower().split(" "):
+            t = re.sub("[^a-z0-9]", "", t)
+            if len(t) >= 4:
+                vocab.add(t)
+    exp = {
+        (a, b)
+        for a in vocab
+        for b in vocab
+        if a < b and _lev(a, b) == 1
+    }
+    assert got == exp
+    # the three edit kinds are each represented in the fixture
+    assert ("spark", "spork") in got       # substitution
+    assert ("spark", "sparks") in got      # insertion
+    assert ("scan", "scans") in got        # punctuation-stripped + case
+
+
+def test_cohort_retention_matches_pandas(spark):
+    from tgist_features_spark.operators.aggregates import cohort_retention
+
+    rng = np.random.default_rng(43)
+    pdf = pd.DataFrame({
+        "user_id": rng.integers(0, 40, 600),
+        "off": rng.integers(0, 40 * 86400, 600),
+    })
+    pdf["ts"] = pd.to_datetime(pdf["off"], unit="s")
+    got = (
+        cohort_retention(
+            spark.createDataFrame(pdf[["user_id", "ts"]]), "user_id", "ts",
+            bucket_s=86_400 * 7,
+        )
+        .toPandas()
+        .set_index(["cohort_bucket", "bucket_offset"])["n_active"]
+    )
+    w = 86_400 * 7 * 1_000_000
+    pdf["bkt"] = (pdf["off"] * 1_000_000) // w
+    first = pdf.groupby("user_id")["bkt"].min()
+    exp: dict[tuple[int, int], int] = {}
+    for (u, b), _ in pdf.groupby(["user_id", "bkt"]):
+        key = (first[u], b - first[u])
+        exp[key] = exp.get(key, 0) + 1
+    assert dict(got) == exp
+    # offset-0 cells sum to the number of users
+    assert got.xs(0, level="bucket_offset").sum() == pdf["user_id"].nunique()
+
+
+def test_stratified_kfold_balance_and_determinism(spark):
+    from tgist_features_spark.operators.sampling import stratified_kfold
+
+    rng = np.random.default_rng(47)
+    pdf = pd.DataFrame({
+        "id": range(1000),
+        "label": rng.choice(["a", "b", "c", "rare"], 1000,
+                            p=[0.5, 0.3, 0.19, 0.01]),
+    })
+    df = spark.createDataFrame(pdf)
+    got = stratified_kfold(df, "label", "id", 7).toPandas()
+    assert set(got["fold"].unique()) <= set(range(7))
+    # exact per-label balance: fold sizes differ by at most one
+    for _, grp in got.groupby("label"):
+        sizes = grp.groupby("fold").size()
+        full = sizes.reindex(range(7), fill_value=0)
+        assert full.max() - full.min() <= 1
+    # deterministic: a repartitioned rerun assigns identically
+    again = stratified_kfold(df.repartition(13), "label", "id", 7).toPandas()
+    merged = got.merge(again, on=["id", "label"], suffixes=("_1", "_2"))
+    assert (merged["fold_1"] == merged["fold_2"]).all()
+
+
+def test_level_shift_matches_numpy(spark):
+    from tgist_features_spark.operators.windows import with_level_shift
+
+    rng = np.random.default_rng(53)
+    rows = []
+    eid = 0
+    for u in range(8):
+        base = 10.0
+        for i in range(60):
+            if i == 30 and u % 2 == 0:
+                base = 40.0  # a genuine level shift for even users
+            v = None if rng.random() < 0.05 else round(
+                base + float(rng.normal(0, 1)), 2)
+            rows.append((eid, u, i, v))
+            eid += 1
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "i", "value"])
+    n, thr = 10, 1500
+    got = (
+        with_level_shift(df, "value", "user_id", ("i",), n=n, thr_cents=thr)
+        .toPandas()
+        .set_index("event_id")
+    )
+    byu: dict[int, list[tuple[int, float | None]]] = {}
+    for e, u, i, v in rows:
+        byu.setdefault(u, []).append((e, v))
+    n_flagged = 0
+    for u, seq in byu.items():
+        ys = [None if v is None else round(v * 100) for _, v in seq]
+        for idx, (e, _) in enumerate(seq):
+            rec = [y for y in ys[max(0, idx - n + 1): idx + 1] if y is not None]
+            prior_rows = ys[max(0, idx - 2 * n + 1): max(0, idx - n + 1)]
+            pri = [y for y in prior_rows if y is not None]
+            a, b = sum(rec), sum(pri)
+            flag = (
+                len(prior_rows) == n
+                and len(pri) > 0
+                and len(rec) > 0
+                and abs(a * len(pri) - b * len(rec)) > thr * len(rec) * len(pri)
+            )
+            assert got.loc[e, "is_shift"] == flag, (u, idx)
+            assert got.loc[e, "recent_sum"] == a
+            n_flagged += int(flag)
+    assert n_flagged > 0  # the injected shifts are detected

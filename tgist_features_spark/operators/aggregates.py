@@ -438,3 +438,57 @@ def population_drift(
         .withColumn("ref_total", F.sum("ref_n").over(wt).cast("bigint"))
         .withColumn("new_total", F.sum("new_n").over(wt).cast("bigint"))
     )
+
+
+def cohort_retention(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str = "ts",
+    bucket_s: int = 604_800,
+) -> DataFrame:
+    """Cohort retention table: entities are cohorted by the time bucket
+    of their FIRST activity, and each (cohort, offset) cell counts how
+    many of that cohort's entities were active ``offset`` buckets later
+    — the curve every data-collection / engagement analysis reads
+    ("of the users whose first event was in week W, how many were still
+    active in week W+k"). Offset 0 is the cohort size; retention RATE
+    is the caller's float (n_active / cohort size at offset 0), kept
+    out of the pipeline so every cell stays an exact integer.
+
+    Bucket index is pre-1970-safe integer floor division over epoch
+    microseconds (the (x − pmod) div trick from bounded_range_join).
+
+    Scale shape: ONE shuffle on the entity — min(bucket) and the
+    entity's distinct active-bucket set come out of the same hash
+    aggregation (collect_set is bounded by corpus-span / bucket_s, a
+    few hundred for years of weekly buckets, NOT by the entity's event
+    count) — then the explode + (cohort, offset) count is map-side
+    combinable into a result no bigger than cohorts × span. No join at
+    all: the cohort label rides the same row as the activity set."""
+    if bucket_s < 1:
+        raise ValueError("cohort_retention: bucket_s must be >= 1 second")
+    from tgist_features_spark.functions.timeu import us
+
+    w = int(bucket_s) * 1_000_000
+    u = us(F.col(ts_col))
+    bucket = F.expr(f"(__u - pmod(__u, {w})) div {w}")
+    per_entity = (
+        df.select(F.col(entity_col).alias("__e"), u.alias("__u"))
+        .withColumn("__b", bucket)
+        .groupBy("__e")
+        .agg(
+            F.min("__b").alias("cohort_bucket"),
+            F.collect_set("__b").alias("__bs"),
+        )
+    )
+    return (
+        per_entity.select(
+            "cohort_bucket", F.explode("__bs").alias("__active")
+        )
+        .select(
+            "cohort_bucket",
+            (F.col("__active") - F.col("cohort_bucket")).alias("bucket_offset"),
+        )
+        .groupBy("cohort_bucket", "bucket_offset")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_active"))
+    )

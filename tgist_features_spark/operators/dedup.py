@@ -1130,3 +1130,94 @@ def cross_corpus_near_pairs(
     if own_b:
         sig_b.unpersist()
     return out
+
+
+def vocab_edit1_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    min_len: int = 4,
+) -> DataFrame:
+    """EXACT edit-distance-1 pairs over the corpus vocabulary — the
+    typo/variant detector behind spell-candidate tables, OCR-noise
+    audits, and token-normalization maps ("recieve" vs "receive"
+    collapse before dedup and frequency stats). Returns every unordered
+    pair (w_a < w_b) of distinct corpus tokens (lowercased [a-z0-9]+
+    forms of length >= ``min_len``, the cooccurrence_counts token
+    pipeline) whose Levenshtein distance is EXACTLY 1, plus both
+    lengths.
+
+    The quadratic-free plan is the deletion-neighborhood signature
+    scheme (FastSS family): a token's signatures are itself plus every
+    single-character deletion. Two distinct tokens at edit distance 1
+    ALWAYS share a signature — a deletion/insertion pair shares the
+    shorter token itself; a substitution pair shares the deletion at
+    the substituted position — so joining the vocabulary to itself on
+    exploded signatures has PERFECT recall, and the final
+    levenshtein == 1 filter leaves zero false positives. Pairs sharing
+    several signatures are deduplicated with one distinct on the pair.
+
+    Why this scales where LSH-style schemes stay approximate: a
+    signature bucket can only contain the signature string itself plus
+    tokens formed by inserting ONE character into it — at most
+    (len+1) x |alphabet| + 1 tokens, a combinatorial bound independent
+    of corpus size. No cap, no skew handling, no recall loss: hot
+    buckets are impossible by construction. Cost is the (L+1)-way
+    signature explode over the DISTINCT vocabulary (not the corpus),
+    and the vocabulary relation is tiny relative to the token stream.
+
+    ``min_len`` keeps trivial short-word pairs (cat/bat/hat...) out —
+    below 4 chars edit distance 1 is closer to alphabet enumeration
+    than to variant detection — and guarantees signatures stay
+    non-empty."""
+    if min_len < 2:
+        raise ValueError("vocab_edit1_pairs: min_len must be >= 2")
+    toks = (
+        df.select(
+            F.explode_outer(
+                F.filter(
+                    F.transform(
+                        F.split(F.lower(F.col(text_col)), " "),
+                        lambda t: F.regexp_replace(t, "[^a-z0-9]", ""),
+                    ),
+                    lambda t: F.length(t) >= min_len,
+                )
+            ).alias("w")
+        )
+        .filter(F.col("w").isNotNull())
+        .distinct()
+    )
+    # deletion neighborhood: the token itself (index 0 sentinel) plus
+    # the token with character i removed, i = 1..len — one transform
+    # lambda, no per-row Python, no 2^k unrolled CreateArray
+    sigs = F.transform(
+        F.sequence(F.lit(0), F.length("w")),
+        lambda i: F.when(i == 0, F.col("w")).otherwise(
+            F.concat(
+                F.substring(F.col("w"), 1, (i - 1).cast("int")),
+                F.col("w").substr(
+                    (i + 1).cast("int"), F.length("w")
+                ),
+            )
+        ),
+    )
+    # explode_outer + null-filter: the InferFiltersFromGenerate
+    # double-eval guard (a plain explode re-evaluates the signature
+    # array once more per row via the inferred size() filter)
+    rel = (
+        toks.select(F.col("w"), F.explode_outer(sigs).alias("sig"))
+        .filter(F.col("sig").isNotNull())
+    )
+    a = rel.alias("A")
+    b = rel.alias("B")
+    pairs = (
+        a.join(b, (F.col("A.sig") == F.col("B.sig")) & (F.col("A.w") < F.col("B.w")))
+        .select(F.col("A.w").alias("w_a"), F.col("B.w").alias("w_b"))
+        .distinct()
+        .filter(F.levenshtein("w_a", "w_b") == 1)
+    )
+    return pairs.select(
+        "w_a",
+        "w_b",
+        F.length("w_a").cast("bigint").alias("len_a"),
+        F.length("w_b").cast("bigint").alias("len_b"),
+    )

@@ -382,3 +382,69 @@ def conversion_latency(
             (F.col("to_us") - F.col("from_us")).alias("latency_us"),
         )
     )
+
+
+def interval_islands(
+    df: DataFrame,
+    entity_col: str,
+    start_col: str,
+    end_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Merge each entity's CLOSED intervals [start, end] into maximal
+    islands (the gaps-and-islands problem): touching or overlapping
+    intervals coalesce; a strict gap starts a new island. This is the
+    "total tool-active time per conversation", "union of session spans
+    per user" shape — coverage statistics that double-count unless the
+    overlaps are merged first.
+
+    ``start_col``/``end_col`` are BIGINT domain values (epoch
+    microseconds via ``us()``, byte offsets, token positions — any
+    total order); callers convert timestamps before the call so the
+    merge semantics stay engine-exact integer comparisons.
+
+    Plan: one window pass per entity ordered by (start, end, id) — a
+    TOTAL order, so the running prefix max of ``end`` is identical in
+    any engine — flags rows whose start exceeds every earlier end
+    (island opener), a running sum of the flags numbers the islands,
+    and one aggregation emits each island's extent. The aggregation
+    keys (entity, island) are a superset of the window's hash
+    partitioning, so Spark's EnsureRequirements inserts NO second
+    exchange: the whole operator is one shuffle regardless of scale.
+    End-before-start rows are refused in-plan (raise_error), matching
+    interval_overlap_join's contract — silent empty intervals hide
+    data bugs."""
+    from pyspark.sql import Window
+
+    checked_start = F.when(
+        F.col(end_col) >= F.col(start_col), F.col(start_col)
+    ).otherwise(
+        F.raise_error(
+            F.lit(f"interval_islands: interval with {end_col} < {start_col}")
+        )
+    )
+    order = [F.col(start_col), F.col(end_col), F.col(id_col)]
+    w_prev = (
+        Window.partitionBy(entity_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy(entity_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    prev_max_end = F.max(F.col(end_col)).over(w_prev)
+    opener = F.when(
+        prev_max_end.isNull() | (F.col(start_col) > prev_max_end), 1
+    ).otherwise(0)
+    return (
+        df.withColumn("__s", checked_start)
+        .withColumn("__island", F.sum(opener).over(w_run).cast("bigint"))
+        .groupBy(F.col(entity_col), F.col("__island").alias("island_id"))
+        .agg(
+            F.min("__s").alias("island_start"),
+            F.max(F.col(end_col)).alias("island_end"),
+            F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        )
+    )

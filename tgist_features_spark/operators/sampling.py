@@ -284,3 +284,41 @@ def budget_sample(
         full_keep.unionByName(boundary_keep)
         .drop("__h", "__b", "__cut", "__rem", "__budget")
     )
+
+
+def stratified_kfold(
+    df: DataFrame,
+    label_col: str,
+    key_col: str,
+    k: int,
+    salt: str = "fold",
+    out_col: str = "fold",
+) -> DataFrame:
+    """Deterministic stratified k-fold assignment: within every label
+    stratum, rows are ordered by md5(key || salt) (key as the
+    collision tiebreak) and dealt round-robin into ``k`` folds — so
+    each label's fold populations differ by AT MOST ONE row, the
+    balance guarantee cross-validation needs that a plain hash-mod
+    split only approaches in expectation. The ordering hash is md5
+    (module contract: reproducible OUTSIDE Spark — the hex string
+    sorts identically in any ASCII-ordered engine), so the oracle is
+    one window expression away in DuckDB.
+
+    Unlike deterministic_split, assignment here depends on the
+    stratum's membership (the round-robin rank), not the key alone —
+    appending rows later CAN renumber folds. That is the documented
+    price of exact balance; use deterministic_split when append
+    stability matters more than stratum balance.
+
+    Scale shape: one shuffle on the label (window partition). A hot
+    label serializes its stratum through one task's sort — same cost
+    family as per_group_sample; for corpora whose label cardinality is
+    tiny and rows-per-label huge, the two-phase salted variant (rank
+    within salted sub-strata, then offset by sub-stratum sizes) is the
+    escape hatch, not this exact form."""
+    if k < 2:
+        raise ValueError("stratified_kfold: k must be >= 2")
+    h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+    w = Window.partitionBy(label_col).orderBy(h, F.col(key_col))
+    fold = F.pmod((F.row_number().over(w) - 1).cast("bigint"), F.lit(k))
+    return df.withColumn(out_col, fold)

@@ -485,3 +485,88 @@ def with_rolling_outliers(
         )
     )
     return out.withColumn("is_outlier", flag).drop("__y")
+
+
+def with_level_shift(
+    df: DataFrame,
+    value_col: str,
+    entity_col: str,
+    order: tuple[str, ...],
+    n: int = 10,
+    thr_cents: int = 500,
+    scale: int = 100,
+) -> DataFrame:
+    """Per-entity rolling LEVEL-SHIFT flag with integer-exact
+    arithmetic: compares the trailing ``n``-row window (current row
+    included) against the ``n`` rows immediately before it and flags
+    rows where the mean moved by more than ``thr_cents`` fixed-point
+    units — the two-sample changepoint screen that catches regime
+    changes rolling z-scores miss (an outlier is one loud row; a level
+    shift is every row after it being quietly different).
+
+    The mean comparison is evaluated in multiplied-out integer form:
+    with a = Σy over the recent window and b = Σy over the prior window
+    (y = round(value·scale) as bigint, NULL values skipped in both sum
+    and count), the test |a/n − b/n| > thr becomes
+        |a·cnt_b − b·cnt_a| > thr · cnt_a · cnt_b
+    — no division, engine-exact. Rows whose prior window is not yet
+    fully populated (cnt_b window spans fewer than ``n`` rows) carry
+    is_shift = false rather than NULL: a shift verdict needs a
+    baseline, and "not enough history" is a non-verdict the downstream
+    filter should treat as quiet (the same censoring posture as
+    with_rolling_outliers' degenerate windows).
+
+    Overflow bound: |a·cnt_b| ≤ n²·max|y| and thr·n² likewise, so
+    exactness holds while max|value|·scale·n² < 2^62 — a 100-row window
+    over 10^6-fixed-point values is safe; Spark 4 ANSI mode backstops
+    overflow loudly.
+
+    Scale shape: one shuffle on the entity, one codegen window pass
+    computing all four running sums/counts together."""
+    if n < 1:
+        raise ValueError("with_level_shift: n must be >= 1")
+    recent = (
+        Window.partitionBy(entity_col)
+        .orderBy(*[F.col(c) for c in order])
+        .rowsBetween(-(n - 1), 0)
+    )
+    prior = (
+        Window.partitionBy(entity_col)
+        .orderBy(*[F.col(c) for c in order])
+        .rowsBetween(-(2 * n - 1), -n)
+    )
+    y = F.round(F.col(value_col) * F.lit(scale)).cast("bigint")
+    out = (
+        df.withColumn("__y", y)
+        .withColumn("recent_cnt", F.count("__y").over(recent).cast("bigint"))
+        .withColumn(
+            # a window with zero VALUES sums to 0, not NULL — the empty
+            # sum is a real number downstream arithmetic can consume,
+            # and the flag already censors the cnt == 0 case
+            "recent_sum",
+            F.coalesce(F.sum("__y").over(recent), F.lit(0)).cast("bigint"),
+        )
+        .withColumn("prior_cnt", F.count("__y").over(prior).cast("bigint"))
+        .withColumn(
+            "prior_sum",
+            F.coalesce(F.sum("__y").over(prior), F.lit(0)).cast("bigint"),
+        )
+        .withColumn(
+            "__n_prior_rows",
+            F.count(F.lit(1)).over(prior).cast("bigint"),
+        )
+    )
+    lhs = F.abs(
+        F.col("recent_sum") * F.col("prior_cnt")
+        - F.col("prior_sum") * F.col("recent_cnt")
+    )
+    rhs = F.lit(thr_cents) * F.col("recent_cnt") * F.col("prior_cnt")
+    flag = (
+        # a verdict needs a full prior window of ROWS and at least one
+        # VALUE on each side; everything else is censored to false
+        (F.col("__n_prior_rows") == n)
+        & (F.col("prior_cnt") > 0)
+        & (F.col("recent_cnt") > 0)
+        & (lhs > rhs)
+    )
+    return out.withColumn("is_shift", flag).drop("__y", "__n_prior_rows")

@@ -2819,6 +2819,169 @@ FROM edges e LEFT JOIN rc USING (bin) LEFT JOIN nc USING (bin)
 """
 
 
+def q_interval_islands(spark, sf):
+    """Merged per-user activity islands (round 6): each event spans
+    [ts, ts + value seconds]; overlapping/touching spans coalesce into
+    maximal islands with extent and span count — union-of-intervals
+    coverage without double counting (operators/ranges.py
+    interval_islands — one shuffle: the island aggregation reuses the
+    window's entity partitioning)."""
+    from tgist_features_spark.operators.ranges import interval_islands
+
+    e = _t(spark, sf, "events").select(
+        "event_id",
+        "user_id",
+        _US(F.col("ts")).alias("s_us"),
+        (
+            _US(F.col("ts"))
+            + F.round(F.col("value") * 1_000_000).cast("bigint")
+        ).alias("e_us"),
+    )
+    return interval_islands(e, "user_id", "s_us", "e_us", "event_id")
+
+
+SQL_INTERVAL_ISLANDS = """
+WITH iv AS (
+  SELECT event_id, user_id, epoch_us(ts) AS s_us,
+         epoch_us(ts) + round(value * 1000000)::BIGINT AS e_us
+  FROM events),
+fl AS (
+  SELECT user_id, event_id, s_us, e_us,
+         CASE WHEN max(e_us) OVER w_prev IS NULL
+                OR s_us > max(e_us) OVER w_prev THEN 1 ELSE 0 END AS opener
+  FROM iv
+  WINDOW w_prev AS (PARTITION BY user_id ORDER BY s_us, e_us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+isl AS (
+  SELECT user_id, s_us, e_us,
+         SUM(opener) OVER (PARTITION BY user_id ORDER BY s_us, e_us, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                          )::BIGINT AS island_id
+  FROM fl)
+SELECT user_id, island_id, MIN(s_us)::BIGINT AS island_start,
+       MAX(e_us)::BIGINT AS island_end, COUNT(*)::BIGINT AS n_spans
+FROM isl GROUP BY 1, 2
+"""
+
+
+def q_vocab_edit1(spark, sf):
+    """Exact edit-distance-1 vocabulary pairs (round 6): every distinct
+    token pair at Levenshtein distance exactly 1 over the corpus's
+    content words AND provenance labels — typo/variant/near-identical-
+    label detection with PERFECT recall via deletion-neighborhood
+    signatures, whose bucket sizes are combinatorially bounded (no cap
+    needed) (operators/dedup.py vocab_edit1_pairs). Provenance labels
+    are in scope because near-identical source tags (src0/src1,
+    shard-01/shard-02) are exactly the label-space confusions this
+    audit exists to surface."""
+    from tgist_features_spark.operators.dedup import vocab_edit1_pairs
+
+    d = _t(spark, sf, "documents").select(
+        F.concat_ws(" ", "source", "text").alias("text")
+    )
+    return vocab_edit1_pairs(d, min_len=4)
+
+
+SQL_VOCAB_EDIT1 = """
+WITH toks AS (
+  SELECT DISTINCT tok FROM (
+    SELECT unnest(list_transform(
+             string_split(lower(source || ' ' || text), ' '),
+             t -> regexp_replace(t, '[^a-z0-9]', '', 'g'))) AS tok
+    FROM documents)
+  WHERE len(tok) >= 4)
+SELECT a.tok AS w_a, b.tok AS w_b,
+       len(a.tok)::BIGINT AS len_a, len(b.tok)::BIGINT AS len_b
+FROM toks a JOIN toks b
+  ON a.tok < b.tok AND abs(len(a.tok) - len(b.tok)) <= 1
+ AND levenshtein(a.tok, b.tok) = 1
+"""
+
+
+def q_cohort_retention(spark, sf):
+    """Weekly cohort retention table (round 6): users cohorted by
+    first-event week; each (cohort, offset) cell counts users active
+    that many weeks later — exact integers, rate left to the reader
+    (operators/aggregates.py cohort_retention — one shuffle on the
+    user, no join)."""
+    from tgist_features_spark.operators.aggregates import cohort_retention
+
+    e = _t(spark, sf, "events").select("user_id", "ts")
+    return cohort_retention(e, "user_id", "ts", bucket_s=604_800)
+
+
+SQL_COHORT_RETENTION = """
+WITH b AS (SELECT user_id, epoch_us(ts) // 604800000000 AS bkt FROM events),
+per AS (SELECT user_id, MIN(bkt) AS cohort_bucket FROM b GROUP BY 1),
+act AS (SELECT DISTINCT user_id, bkt FROM b)
+SELECT p.cohort_bucket::BIGINT AS cohort_bucket,
+       (a.bkt - p.cohort_bucket)::BIGINT AS bucket_offset,
+       COUNT(*)::BIGINT AS n_active
+FROM act a JOIN per p USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+def q_stratified_kfold(spark, sf):
+    """Stratified 5-fold assignment over documents by language
+    (round 6): md5-ordered round-robin within each stratum, per-label
+    fold sizes differ by at most one (operators/sampling.py
+    stratified_kfold — engine-reproducible md5 ordering)."""
+    from tgist_features_spark.operators.sampling import stratified_kfold
+
+    d = _t(spark, sf, "documents").select("doc_id", "lang")
+    return stratified_kfold(d, "lang", "doc_id", k=5)
+
+
+SQL_STRATIFIED_KFOLD = """
+SELECT doc_id, lang,
+       ((row_number() OVER (PARTITION BY lang
+           ORDER BY md5(doc_id::VARCHAR || 'fold'), doc_id) - 1) % 5
+       )::BIGINT AS fold
+FROM documents
+"""
+
+
+def q_level_shift(spark, sf):
+    """Rolling level-shift flags (round 6): per-user trailing-10 vs
+    prior-10 mean comparison in multiplied-out integer form — the
+    changepoint screen next to the z-score outlier flags
+    (operators/windows.py with_level_shift)."""
+    from tgist_features_spark.operators.windows import with_level_shift
+
+    e = _t(spark, sf, "events").select("event_id", "user_id", "value", "ts")
+    return with_level_shift(
+        e, "value", "user_id", ("ts", "event_id"), n=10, thr_cents=2000
+    ).select(
+        "event_id", "user_id", "recent_cnt", "recent_sum",
+        "prior_cnt", "prior_sum", "is_shift",
+    )
+
+
+SQL_LEVEL_SHIFT = """
+WITH w AS (
+  SELECT event_id, user_id, ts, round(value * 100)::BIGINT AS y
+  FROM events),
+r AS (
+  SELECT event_id, user_id,
+         COUNT(y) OVER recent::BIGINT AS recent_cnt,
+         COALESCE(SUM(y) OVER recent, 0)::BIGINT AS recent_sum,
+         COUNT(y) OVER prior::BIGINT AS prior_cnt,
+         COALESCE(SUM(y) OVER prior, 0)::BIGINT AS prior_sum,
+         COUNT(*) OVER prior::BIGINT AS n_prior_rows
+  FROM w
+  WINDOW recent AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW),
+         prior AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 19 PRECEDING AND 10 PRECEDING))
+SELECT event_id, user_id, recent_cnt, recent_sum, prior_cnt, prior_sum,
+       (n_prior_rows = 10 AND prior_cnt > 0 AND recent_cnt > 0
+        AND abs(recent_sum * prior_cnt - prior_sum * recent_cnt)
+            > 2000 * recent_cnt * prior_cnt) AS is_shift
+FROM r
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- first 50 keys = the driver correctness window (driver caps
     # its oracle run at 50 keys, in order). Round-6 rotation: the 4
@@ -2890,6 +3053,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # of forced keys this round)
     "rolling_outliers": q_rolling_outliers,
     "population_drift": q_population_drift,
+    "interval_islands": q_interval_islands,
+    "vocab_edit1": q_vocab_edit1,
+    "cohort_retention": q_cohort_retention,
+    "stratified_kfold": q_stratified_kfold,
+    "level_shift": q_level_shift,
     "embed_near_dup": q_embed_near_dup,
     "train_split": q_train_split,
     "group_sample": q_group_sample,
@@ -3012,6 +3180,11 @@ ORACLES: dict[str, str] = {
     "conversion_latency": SQL_CONVERSION_LATENCY,
     "rolling_outliers": SQL_ROLLING_OUTLIERS,
     "population_drift": SQL_POPULATION_DRIFT,
+    "interval_islands": SQL_INTERVAL_ISLANDS,
+    "vocab_edit1": SQL_VOCAB_EDIT1,
+    "cohort_retention": SQL_COHORT_RETENTION,
+    "stratified_kfold": SQL_STRATIFIED_KFOLD,
+    "level_shift": SQL_LEVEL_SHIFT,
     "embed_near_dup": SQL_EMBED_NEAR_DUP,
     "grouping_sets": SQL_GROUPING_SETS,
     "sql_shipping": SQL_SQL_SHIPPING,
