@@ -481,3 +481,79 @@ def test_stateful_transitions_parity_with_batch(spark, tmp_path):
     # per-user transition volume: n_events - 1 each (first emits nothing)
     total = spark.sql(f"SELECT COUNT(*) c FROM {name}").first()["c"]
     assert total == len(pdf) - 5
+
+
+def test_stateful_funnel_parity_with_batch(spark, tmp_path):
+    """T9: streaming chained-funnel advancement rows aggregated over the
+    whole stream == the batch funnel_chain n_reached table, including
+    chains whose consecutive step matches arrive in DIFFERENT
+    micro-batches (the carried-state boundary), and non-funnel event
+    types never reaching the stateful operator."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from tgist_features_spark.operators.ranges import funnel_chain
+    from tgist_features_spark.streaming.stream import stateful_funnel
+
+    rng = np.random.default_rng(61)
+    rows = []
+    eid = 0
+    for u in range(12):
+        for k in range(20):
+            rows.append((
+                eid, u,
+                str(rng.choice(["view", "click", "purchase", "noise"],
+                               p=[0.4, 0.3, 0.1, 0.2])),
+                pd.Timestamp(100_000 * u + 600 * k, unit="s"),
+            ))
+            eid += 1
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "event_type", "ts"])
+    steps = ["view", "click", "purchase"]
+    window_s = 1800.0  # 3 events' spacing: some chains break, some hold
+
+    src = str(tmp_path / "fev")
+    os.makedirs(src, exist_ok=True)
+    schema = "event_id long, user_id long, event_type string, ts timestamp"
+    # split so every user's stream crosses the batch boundary mid-chain
+    early = pdf[pdf["event_id"] % 20 < 9]
+    late = pdf[pdf["event_id"] % 20 >= 9]
+    spark.createDataFrame(early, schema=schema).coalesce(1).write.mode(
+        "overwrite").parquet(src + "/b=0")
+    spark.createDataFrame(late, schema=schema).coalesce(1).write.mode(
+        "overwrite").parquet(src + "/b=1")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/b=*")
+    )
+    name = _run_to_memory(
+        stateful_funnel(stream, steps, window_s=window_s), "append"
+    )
+    got = (
+        spark.sql(
+            f"SELECT step_idx, step, COUNT(*) AS n_reached FROM {name} "
+            "GROUP BY 1, 2"
+        ).toPandas().set_index("step_idx")
+    )
+    want = (
+        funnel_chain(
+            spark.createDataFrame(pdf, schema=schema), steps,
+            window_s=window_s,
+        ).toPandas().set_index("step_idx")
+    )
+    # batch reports every step (zero-reached included); the stream only
+    # emits reached steps — compare on the batch's nonzero rows and
+    # check the stream emitted nothing beyond them
+    nz = want[want["n_reached"] > 0]
+    assert len(nz) > 0 and nz["n_reached"].iloc[0] > 0
+    assert set(got.index) == set(nz.index)
+    for i in nz.index:
+        assert got.loc[i, "n_reached"] == nz.loc[i, "n_reached"], i
+        assert got.loc[i, "step"] == nz.loc[i, "step"]
+    # each user advances through each stage at most once
+    per_user = spark.sql(
+        f"SELECT user_id, step_idx, COUNT(*) c FROM {name} GROUP BY 1, 2"
+    ).toPandas()
+    assert (per_user["c"] == 1).all()

@@ -505,3 +505,99 @@ def stateful_transitions(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+FUNNEL_OUT_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("step_idx", T.IntegerType()),
+    T.StructField("step", T.StringType()),
+    T.StructField("ts", T.TimestampType()),
+])
+
+_FUNNEL_STATE = T.StructType([
+    T.StructField("stage", T.IntegerType()),
+    T.StructField("t_us", T.LongType()),
+])
+
+
+def stateful_funnel(
+    stream: DataFrame,
+    steps: list[str],
+    window_s: float = 3600.0,
+    delay: str = "30 minutes",
+) -> DataFrame:
+    """T9: streaming CHAINED funnel — the incremental form of the batch
+    ``funnel_chain`` fold. Emits one row the moment a user's funnel
+    ADVANCES (anchor matched, or step i+1 matched within ``window_s``
+    of the step-i match), carrying the greedy state machine
+    (stage, matched-ts) across micro-batches as 2 scalars per user.
+    Because the greedy earliest-match chain visits each stage at most
+    once per user, ``output.groupBy(step_idx).count()`` over any prefix
+    of the stream equals the batch ``funnel_chain`` n_reached column
+    over the same prefix — the parity test pins this, including chains
+    whose consecutive matches arrive in different micro-batches.
+
+    The stream is filtered to the funnel's step types BEFORE the
+    stateful shuffle, so state traffic scales with funnel-relevant
+    events only. Within a batch the fold is a sequential scan over the
+    (ts, id)-sorted funnel events of one user — the same inherently
+    sequential recurrence the batch operator runs as an F.aggregate
+    fold; all chunks are concatenated before sorting (the T7
+    Arrow-chunk-ordering rule). Late data beyond the watermark is the
+    upstream dedup stage's contract, as with every stateful op here."""
+    if len(steps) < 2:
+        raise ValueError("stateful_funnel: need at least two steps")
+    if len(set(steps)) != len(steps):
+        raise ValueError("stateful_funnel: steps must be distinct")
+    w = int(round(window_s * 1_000_000))
+    if w < 1:
+        raise ValueError("stateful_funnel: window must be >= 1 microsecond")
+    si_map = {s: i for i, s in enumerate(steps)}
+    step_names = list(steps)
+
+    def fn(key: Any, pdfs, state: GroupState):
+        chunks = [p for p in pdfs if len(p)]
+        if not chunks:
+            if state.exists:
+                state.update(tuple(state.get))
+            yield pd.DataFrame(
+                columns=[f.name for f in FUNNEL_OUT_SCHEMA.fields]
+            )
+            return
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            ["ts", "event_id"], kind="mergesort"
+        )
+        stage, t_prev = (state.get if state.exists else (-1, 0))
+        ts_us = pdf["ts"].to_numpy(dtype="datetime64[us]").astype("int64")
+        sis = pdf["event_type"].map(si_map).to_numpy()
+        hit_idx: list[int] = []
+        hit_stage: list[int] = []
+        for i in range(len(pdf)):
+            si, t = int(sis[i]), int(ts_us[i])
+            if (stage == -1 and si == 0) or (
+                si == stage + 1 and t > t_prev and t <= t_prev + w
+            ):
+                stage, t_prev = si, t
+                hit_idx.append(i)
+                hit_stage.append(si)
+        state.update((int(stage), int(t_prev)))
+        out = pdf.iloc[hit_idx]
+        yield pd.DataFrame({
+            "user_id": key[0],
+            "step_idx": np.array(hit_stage, dtype="int32"),
+            "step": [step_names[s] for s in hit_stage],
+            "ts": out["ts"].to_numpy(),
+        })
+
+    return (
+        stream.filter(F.col("event_type").isin(step_names))
+        .withWatermark("ts", delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=FUNNEL_OUT_SCHEMA,
+            stateStructType=_FUNNEL_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
