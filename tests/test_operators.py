@@ -2045,3 +2045,167 @@ def test_level_shift_matches_numpy(spark):
             assert got.loc[e, "recent_sum"] == a
             n_flagged += int(flag)
     assert n_flagged > 0  # the injected shifts are detected
+
+
+def test_interarrival_histogram_matches_pandas(spark):
+    from tgist_features_spark.operators.windows import interarrival_histogram
+
+    rng = np.random.default_rng(59)
+    pdf = pd.DataFrame({
+        "event_id": range(400),
+        "user_id": rng.integers(0, 15, 400),
+        "event_type": rng.choice(["a", "b"], 400),
+        "off": rng.integers(0, 100000, 400),
+    })
+    pdf["ts"] = pd.to_datetime(pdf["off"], unit="s")
+    got = (
+        interarrival_histogram(
+            spark.createDataFrame(
+                pdf[["event_id", "user_id", "event_type", "ts"]]),
+            "user_id", ("ts", "event_id"), by_col="event_type",
+        ).toPandas().set_index(["event_type", "gap_bucket"]).sort_index()
+    )
+    exp: dict[tuple[str, int], list[int]] = {}
+    for _, grp in pdf.sort_values(["off", "event_id"]).groupby("user_id"):
+        offs = (grp["off"] * 1_000_000).to_numpy()
+        types = grp["event_type"].to_numpy()
+        for i in range(1, len(grp)):
+            gap = int(offs[i] - offs[i - 1])
+            bkt = len(bin(gap)) - 2  # strip '0b'; bin(0) -> '0b0' len 1
+            exp.setdefault((types[i], bkt), []).append(gap)
+    assert set(got.index) == set(exp)
+    for k, gaps in exp.items():
+        assert got.loc[k, "n_gaps"] == len(gaps)
+        assert got.loc[k, "min_us"] == min(gaps)
+        assert got.loc[k, "max_us"] == max(gaps)
+        assert got.loc[k, "sum_us"] == sum(gaps)
+    # mass conservation: every non-first event contributes one gap
+    n_first = pdf["user_id"].nunique()
+    assert got["n_gaps"].sum() == len(pdf) - n_first
+
+
+def test_scd2_intervals_matches_pandas(spark):
+    from tgist_features_spark.operators.windows import scd2_intervals
+
+    rows = [
+        # user 1: a a b b a  -> runs a, b, a (repeat inside run collapses)
+        (1, 1, "a", 0), (2, 1, "a", 10), (3, 1, "b", 20),
+        (4, 1, "b", 30), (5, 1, "a", 40),
+        # user 2: NULL is a real state: None, a, None
+        (6, 2, None, 0), (7, 2, "a", 10), (8, 2, None, 20),
+        # user 3: single state
+        (9, 3, "z", 5),
+    ]
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "state", "off"])
+    pdf["ts"] = pd.to_datetime(pdf["off"], unit="s")
+    got = (
+        scd2_intervals(
+            spark.createDataFrame(
+                pdf[["event_id", "user_id", "state", "ts"]]),
+            "user_id", "state", ("ts", "event_id"),
+        ).toPandas().sort_values(["user_id", "valid_from_us"])
+        .reset_index(drop=True)
+    )
+    m = 1_000_000
+    exp = pd.DataFrame([
+        (1, "a", 0, 20 * m), (1, "b", 20 * m, 40 * m), (1, "a", 40 * m, None),
+        (2, None, 0, 10 * m), (2, "a", 10 * m, 20 * m), (2, None, 20 * m, None),
+        (3, "z", 5 * m, None),
+    ], columns=["user_id", "state", "valid_from_us", "valid_to_us"])
+    assert len(got) == len(exp)
+    for i in range(len(exp)):
+        for c in exp.columns:
+            g, e = got.loc[i, c], exp.loc[i, c]
+            assert (pd.isna(g) and pd.isna(e)) or g == e, (i, c, g, e)
+    # half-open intervals tile each key's timeline without overlap
+    for _, grp in got.groupby("user_id"):
+        grp = grp.sort_values("valid_from_us")
+        froms = grp["valid_from_us"].to_numpy()
+        tos = grp["valid_to_us"].to_numpy()
+        assert pd.isna(tos[-1])
+        assert (tos[:-1] == froms[1:]).all()
+
+
+def test_transition_latency_matches_pandas(spark):
+    from tgist_features_spark.operators.windows import transition_latency
+
+    rng = np.random.default_rng(67)
+    pdf = pd.DataFrame({
+        "event_id": range(300),
+        "user_id": rng.integers(0, 10, 300),
+        "event_type": rng.choice(["x", "y", "z"], 300),
+        "off": rng.integers(0, 50000, 300),
+    })
+    pdf["ts"] = pd.to_datetime(pdf["off"], unit="s")
+    got = (
+        transition_latency(
+            spark.createDataFrame(
+                pdf[["event_id", "user_id", "event_type", "ts"]]),
+            "user_id", "event_type", ("ts", "event_id"),
+        ).toPandas().set_index(["from_type", "to_type"])
+    )
+    exp: dict[tuple[str, str], list[int]] = {}
+    for _, grp in pdf.sort_values(["off", "event_id"]).groupby("user_id"):
+        offs = (grp["off"] * 1_000_000).to_numpy()
+        types = grp["event_type"].to_numpy()
+        for i in range(1, len(grp)):
+            exp.setdefault((types[i - 1], types[i]), []).append(
+                int(offs[i] - offs[i - 1]))
+    assert set(got.index) == set(exp)
+    for k, gaps in exp.items():
+        assert got.loc[k, "n_transitions"] == len(gaps)
+        assert got.loc[k, "sum_us"] == sum(gaps)
+        assert got.loc[k, "min_us"] == min(gaps)
+        assert got.loc[k, "max_us"] == max(gaps)
+
+
+def test_group_winsorize_matches_numpy(spark):
+    from tgist_features_spark.operators.aggregates import group_winsorize
+
+    rng = np.random.default_rng(71)
+    pdf = pd.DataFrame({
+        "id": range(600),
+        "g": rng.choice(["a", "b", "c"], 600, p=[0.6, 0.39, 0.01]),
+        "v": rng.integers(-500, 5000, 600),
+    })
+    got = (
+        group_winsorize(spark.createDataFrame(pdf), "v", "g", "id",
+                        lo_pct=10, hi_pct=90)
+        .toPandas().set_index("id").sort_index()
+    )
+    for gname, grp in pdf.groupby("g"):
+        s = grp.sort_values(["v", "id"]).reset_index(drop=True)
+        n = len(s)
+        lo = s.loc[(n - 1) * 10 // 100, "v"]
+        hi = s.loc[(n - 1) * 90 // 100, "v"]
+        for _, r in grp.iterrows():
+            assert got.loc[r["id"], "value_wins"] == min(max(r["v"], lo), hi)
+    # winsorizing at [0, 100] is the identity
+    ident = group_winsorize(spark.createDataFrame(pdf), "v", "g", "id",
+                            lo_pct=0, hi_pct=100).toPandas()
+    assert (ident["value_wins"] == ident["v"]).all()
+
+
+def test_char_pair_counts_matches_bruteforce(spark):
+    from tgist_features_spark.functions.text import char_pair_counts
+
+    docs = ["low low lower Lowest!", "new newer low", "a bb a"]
+    got = {
+        r.pair: r.n_pairs
+        for r in char_pair_counts(
+            spark.createDataFrame([(d,) for d in docs], ["text"])
+        ).collect()
+    }
+    import re
+
+    exp: dict[str, int] = {}
+    for d in docs:
+        for w in d.lower().split(" "):
+            w = re.sub("[^a-z0-9]", "", w)
+            if len(w) < 2:
+                continue
+            for i in range(len(w) - 1):
+                exp[w[i:i + 2]] = exp.get(w[i:i + 2], 0) + 1
+    assert got == exp
+    # occurrence weighting: low x3 + lower + lowest all contribute "lo"
+    assert got["lo"] == 5

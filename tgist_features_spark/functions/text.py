@@ -681,3 +681,51 @@ def cooccurrence_counts(
         .crossJoin(F.broadcast(n_docs))
         .select("a", "b", "n_ab", "n_a", "n_b", "n_docs")
     )
+
+
+def char_pair_counts(
+    df: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-weighted adjacent character-pair counts inside words —
+    the statistic a BPE tokenizer's FIRST merge decision reads (count
+    every adjacent symbol pair over the word-frequency-weighted
+    vocabulary, merge the argmax). Emitting the full table instead of
+    one argmax keeps the operator an honest relation: the trainer
+    folds it, audits read it, and repeated merges re-derive it over a
+    re-segmented vocabulary.
+
+    Tokens are the cooccurrence_counts normalization (lowercased
+    [a-z0-9]+ forms, ASCII-only so pair strings collate identically
+    across engines); words shorter than 2 characters carry no pair.
+    The count weights each word's pairs by the word's total corpus
+    OCCURRENCES (not document frequency) — the BPE convention.
+
+    Scale shape: one word-count aggregation over the exploded token
+    stream (map-side combinable, vocabulary-sized result), then the
+    pair explode runs over the DISTINCT vocabulary — corpus size buys
+    vocabulary growth only logarithmically, so the expensive explode
+    is over the small relation; one final pair aggregation."""
+    toks = F.filter(
+        F.transform(
+            F.split(F.lower(F.col(text_col)), " "),
+            lambda t: F.regexp_replace(t, "[^a-z0-9]", ""),
+        ),
+        lambda t: F.length(t) >= 2,
+    )
+    words = (
+        df.select(F.explode_outer(toks).alias("w"))
+        .filter(F.col("w").isNotNull())
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    )
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.length("w") - 1),
+        lambda i: F.substring(F.col("w"), i.cast("int"), 2),
+    )
+    return (
+        words.select(F.col("__n"), F.explode_outer(pairs).alias("pair"))
+        .filter(F.col("pair").isNotNull())
+        .groupBy("pair")
+        .agg(F.sum("__n").cast("bigint").alias("n_pairs"))
+    )

@@ -570,3 +570,133 @@ def with_level_shift(
         & (lhs > rhs)
     )
     return out.withColumn("is_shift", flag).drop("__y", "__n_prior_rows")
+
+
+def interarrival_histogram(
+    df: DataFrame,
+    entity_col: str,
+    order: tuple[str, ...],
+    ts_col: str = "ts",
+    by_col: str | None = None,
+) -> DataFrame:
+    """Log2-bucketed inter-arrival-time histogram: the distribution of
+    gaps between consecutive events per entity, optionally sliced by a
+    category of the LATER event — the plot an engineer reads before
+    picking a sessionize gap threshold or a debounce window, reduced
+    to a table small enough to eyeball (one row per power-of-two gap
+    range).
+
+    The bucket is EXACT integer log2: ``length(bin(gap_us))`` =
+    floor(log2(gap)) + 1 for gap >= 1, and 1 for gap = 0 (both engines
+    render bin(0) as "0") — no float log, no boundary drift between
+    engines. Each bucket row carries n_gaps plus min/max/sum of the
+    exact microsecond gaps, so the table reconstructs means and checks
+    mass conservation without refolding the corpus.
+
+    Scale shape: one shuffle on the entity for the lag window, then a
+    map-side-combinable aggregation into at most 64 x |categories|
+    rows. First events per entity have no predecessor and contribute
+    no gap."""
+    from tgist_features_spark.functions.timeu import us
+
+    w = Window.partitionBy(entity_col).orderBy(*[F.col(c) for c in order])
+    u = us(F.col(ts_col))
+    gap = u - F.lag(u, 1).over(w)
+    keys = ([F.col(by_col)] if by_col else []) + [
+        F.length(F.bin(F.col("__gap"))).cast("bigint").alias("gap_bucket")
+    ]
+    return (
+        df.withColumn("__gap", gap)
+        .filter(F.col("__gap").isNotNull())
+        .groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+            F.min("__gap").alias("min_us"),
+            F.max("__gap").alias("max_us"),
+            F.sum("__gap").cast("bigint").alias("sum_us"),
+        )
+    )
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key_col: str,
+    attr_col: str,
+    order: tuple[str, ...],
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Slowly-changing-dimension (SCD2) temporalization: collapse a
+    per-key change stream into validity intervals — one row per run of
+    consecutive equal ``attr_col`` values, with
+    [valid_from_us, valid_to_us) half-open extents and the current
+    state carrying NULL valid_to_us. This is the dimension-snapshot
+    shape every point-in-time enrichment reads: "what was the user's
+    plan / the model's version AT event time" becomes a range join
+    against these intervals instead of an as-of recomputation.
+
+    Change detection is NULL-safe (IS DISTINCT FROM its predecessor),
+    so NULL is a real state, not a wildcard. Determinism: runs are
+    defined over the TOTAL order ``order`` (include a unique id as the
+    final tiebreak); equal-attr repeats inside a run collapse into the
+    run's first row.
+
+    Scale shape: one shuffle on the key; the change-flag lag and the
+    post-filter lead are two window evaluations over the SAME
+    partitioning, so EnsureRequirements inserts no second exchange."""
+    from tgist_features_spark.functions.timeu import us
+
+    w = Window.partitionBy(key_col).orderBy(*[F.col(c) for c in order])
+    u = us(F.col(ts_col))
+    changed = ~F.col("__a").eqNullSafe(F.lag("__a", 1).over(w)) | (
+        F.row_number().over(w) == 1
+    )
+    runs = (
+        df.withColumn("__a", F.col(attr_col))
+        .withColumn("__u", u)
+        .withColumn("__chg", changed)
+        .filter(F.col("__chg"))
+    )
+    w2 = Window.partitionBy(key_col).orderBy(*[F.col(c) for c in order])
+    return runs.select(
+        F.col(key_col),
+        F.col("__a").alias(attr_col),
+        F.col("__u").alias("valid_from_us"),
+        F.lead("__u", 1).over(w2).alias("valid_to_us"),
+    )
+
+
+def transition_latency(
+    df: DataFrame,
+    entity_col: str,
+    type_col: str,
+    order: tuple[str, ...],
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per transition pair (from_type -> to_type), the latency profile
+    of consecutive same-entity events: n_transitions plus
+    min/max/sum of the exact microsecond gap — transition_counts'
+    companion table answering not just "what follows what" but "how
+    fast" (the response-latency statistic per role/tool hand-off in a
+    transcript pipeline). Integer microseconds end-to-end; means are
+    the reader's division.
+
+    Scale shape: identical to transition_counts — one shuffle on the
+    entity for the lag window, then a map-side-combinable aggregation
+    into |types|^2 rows."""
+    from tgist_features_spark.functions.timeu import us
+
+    w = Window.partitionBy(entity_col).orderBy(*[F.col(c) for c in order])
+    u = us(F.col(ts_col))
+    out = (
+        df.withColumn("__from", F.lag(F.col(type_col), 1).over(w))
+        .withColumn("__gap", u - F.lag(u, 1).over(w))
+        .filter(F.col("__from").isNotNull())
+    )
+    return out.groupBy(
+        F.col("__from").alias("from_type"), F.col(type_col).alias("to_type")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_transitions"),
+        F.min("__gap").alias("min_us"),
+        F.max("__gap").alias("max_us"),
+        F.sum("__gap").cast("bigint").alias("sum_us"),
+    )

@@ -2982,6 +2982,137 @@ FROM r
 """
 
 
+def q_gap_histogram(spark, sf):
+    """Inter-arrival gap histogram (round 6): per event type of the
+    later event, log2-bucketed consecutive-event gap distribution with
+    exact min/max/sum microseconds — the table a sessionize threshold
+    is chosen from (operators/windows.py interarrival_histogram —
+    exact integer log2 via length(bin(gap)), no float log)."""
+    from tgist_features_spark.operators.windows import interarrival_histogram
+
+    e = _t(spark, sf, "events").select("event_id", "user_id", "event_type", "ts")
+    return interarrival_histogram(
+        e, "user_id", ("ts", "event_id"), ts_col="ts", by_col="event_type"
+    )
+
+
+SQL_GAP_HISTOGRAM = """
+WITH g AS (
+  SELECT event_type,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events)
+SELECT event_type, length(bin(gap))::BIGINT AS gap_bucket,
+       COUNT(*)::BIGINT AS n_gaps, MIN(gap)::BIGINT AS min_us,
+       MAX(gap)::BIGINT AS max_us, SUM(gap)::BIGINT AS sum_us
+FROM g WHERE gap IS NOT NULL GROUP BY 1, 2
+"""
+
+
+def q_scd2_intervals(spark, sf):
+    """SCD2 validity intervals (round 6): each user's event-type change
+    stream collapsed into [valid_from, valid_to) runs, current state
+    open-ended — the dimension-snapshot shape point-in-time enrichment
+    range-joins against (operators/windows.py scd2_intervals —
+    NULL-safe change detection, one shuffle)."""
+    from tgist_features_spark.operators.windows import scd2_intervals
+
+    e = _t(spark, sf, "events").select("event_id", "user_id", "event_type", "ts")
+    return scd2_intervals(e, "user_id", "event_type", ("ts", "event_id"))
+
+
+SQL_SCD2_INTERVALS = """
+WITH s AS (
+  SELECT user_id, event_type, event_id, ts, epoch_us(ts) AS u,
+         row_number() OVER w AS rn,
+         lag(event_type) OVER w AS prev
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+runs AS (
+  SELECT user_id, event_type, ts, event_id, u FROM s
+  WHERE rn = 1 OR event_type IS DISTINCT FROM prev)
+SELECT user_id, event_type, u AS valid_from_us,
+       lead(u) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ) AS valid_to_us
+FROM runs
+"""
+
+
+def q_transition_latency(spark, sf):
+    """Transition latency profile (round 6): per (from_type, to_type)
+    consecutive-event pair, count plus exact min/max/sum gap
+    microseconds — transition_counts' "how fast", means left to the
+    reader (operators/windows.py transition_latency)."""
+    from tgist_features_spark.operators.windows import transition_latency
+
+    e = _t(spark, sf, "events").select("event_id", "user_id", "event_type", "ts")
+    return transition_latency(e, "user_id", "event_type", ("ts", "event_id"))
+
+
+SQL_TRANSITION_LATENCY = """
+WITH g AS (
+  SELECT event_type AS to_type,
+         lag(event_type) OVER w AS from_type,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT from_type, to_type, COUNT(*)::BIGINT AS n_transitions,
+       MIN(gap)::BIGINT AS min_us, MAX(gap)::BIGINT AS max_us,
+       SUM(gap)::BIGINT AS sum_us
+FROM g WHERE from_type IS NOT NULL GROUP BY 1, 2
+"""
+
+
+def q_winsorize(spark, sf):
+    """Per-language winsorized char counts (round 6): clamp at the
+    exact rank-rule P5/P95 order statistics — no interpolating
+    percentile, bit-identical in any engine
+    (operators/aggregates.py group_winsorize)."""
+    from tgist_features_spark.operators.aggregates import group_winsorize
+
+    d = _t(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+    return group_winsorize(d, "n_chars", "lang", "doc_id", lo_pct=5, hi_pct=95)
+
+
+SQL_WINSORIZE = """
+WITH r AS (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM documents),
+b AS (SELECT lang,
+             MAX(CASE WHEN rn = (n - 1) * 5 // 100 + 1 THEN n_chars END) AS lo,
+             MAX(CASE WHEN rn = (n - 1) * 95 // 100 + 1 THEN n_chars END) AS hi
+      FROM r GROUP BY lang)
+SELECT r.doc_id, r.lang, r.n_chars,
+       least(greatest(r.n_chars, b.lo), b.hi)::BIGINT AS value_wins
+FROM r JOIN b USING (lang)
+"""
+
+
+def q_char_pairs(spark, sf):
+    """BPE first-merge statistic (round 6): corpus-occurrence-weighted
+    adjacent character-pair counts inside words — the table a BPE
+    trainer's argmax folds (functions/text.py char_pair_counts — the
+    pair explode runs over the distinct vocabulary, not the corpus)."""
+    from tgist_features_spark.functions.text import char_pair_counts
+
+    return char_pair_counts(_t(spark, sf, "documents"))
+
+
+SQL_CHAR_PAIRS = """
+WITH wd AS (
+  SELECT tok AS w, COUNT(*)::BIGINT AS n FROM (
+    SELECT unnest(list_transform(string_split(lower(text), ' '),
+           t -> regexp_replace(t, '[^a-z0-9]', '', 'g'))) AS tok
+    FROM documents)
+  WHERE len(tok) >= 2 GROUP BY tok),
+p AS (SELECT n, unnest(list_transform(range(1, len(w)),
+          i -> substr(w, i::INT, 2))) AS pair FROM wd)
+SELECT pair, SUM(n)::BIGINT AS n_pairs FROM p GROUP BY pair
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- first 50 keys = the driver correctness window (driver caps
     # its oracle run at 50 keys, in order). Round-6 rotation: the 4
@@ -3058,6 +3189,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cohort_retention": q_cohort_retention,
     "stratified_kfold": q_stratified_kfold,
     "level_shift": q_level_shift,
+    "gap_histogram": q_gap_histogram,
+    "scd2_intervals": q_scd2_intervals,
+    "transition_latency": q_transition_latency,
+    "winsorize": q_winsorize,
+    "char_pairs": q_char_pairs,
     "embed_near_dup": q_embed_near_dup,
     "train_split": q_train_split,
     "group_sample": q_group_sample,
@@ -3185,6 +3321,11 @@ ORACLES: dict[str, str] = {
     "cohort_retention": SQL_COHORT_RETENTION,
     "stratified_kfold": SQL_STRATIFIED_KFOLD,
     "level_shift": SQL_LEVEL_SHIFT,
+    "gap_histogram": SQL_GAP_HISTOGRAM,
+    "scd2_intervals": SQL_SCD2_INTERVALS,
+    "transition_latency": SQL_TRANSITION_LATENCY,
+    "winsorize": SQL_WINSORIZE,
+    "char_pairs": SQL_CHAR_PAIRS,
     "embed_near_dup": SQL_EMBED_NEAR_DUP,
     "grouping_sets": SQL_GROUPING_SETS,
     "sql_shipping": SQL_SQL_SHIPPING,
