@@ -62,7 +62,30 @@ R4_OPS = [
 ]
 
 # round-6 additions
-R6_OPS: list[str] = []
+R6_OPS = [
+    "transitions",
+    "rolling_distinct",
+    "group_trend",
+    "overlap_join",
+    "funnel_chain",
+    "token_bigrams",
+    "cooccurrence",
+    "group_cdf",
+    "equidepth_bins",
+    "conversion_latency",
+    "rolling_outliers",
+    "population_drift",
+    "interval_islands",
+    "vocab_edit1",
+    "cohort_retention",
+    "stratified_kfold",
+    "level_shift",
+    "gap_histogram",
+    "scd2_intervals",
+    "transition_latency",
+    "winsorize",
+    "char_pairs",
+]
 
 # round-5 additions
 R5_OPS = [

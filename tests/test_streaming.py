@@ -557,3 +557,66 @@ def test_stateful_funnel_parity_with_batch(spark, tmp_path):
         f"SELECT user_id, step_idx, COUNT(*) c FROM {name} GROUP BY 1, 2"
     ).toPandas()
     assert (per_user["c"] == 1).all()
+
+
+def test_stateful_scd2_parity_with_batch(spark, tmp_path):
+    """T10: streaming SCD2 closed intervals over the whole stream ==
+    the batch scd2_intervals rows with a non-NULL valid_to, including
+    runs that OPEN in one micro-batch and CLOSE in the next, and NULL
+    as a real state."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from tgist_features_spark.operators.windows import scd2_intervals
+    from tgist_features_spark.streaming.stream import stateful_scd2
+
+    rng = np.random.default_rng(73)
+    rows = []
+    eid = 0
+    for u in range(10):
+        for k in range(24):
+            state = rng.choice(["a", "b", None], p=[0.45, 0.45, 0.1])
+            rows.append((eid, u, state,
+                         pd.Timestamp(50_000 * u + 300 * k, unit="s")))
+            eid += 1
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "event_type", "ts"])
+
+    src = str(tmp_path / "scd")
+    os.makedirs(src, exist_ok=True)
+    schema = "event_id long, user_id long, event_type string, ts timestamp"
+    early = pdf[pdf["event_id"] % 24 < 11]
+    late = pdf[pdf["event_id"] % 24 >= 11]
+    spark.createDataFrame(early, schema=schema).coalesce(1).write.mode(
+        "overwrite").parquet(src + "/b=0")
+    spark.createDataFrame(late, schema=schema).coalesce(1).write.mode(
+        "overwrite").parquet(src + "/b=1")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/b=*")
+    )
+    name = _run_to_memory(stateful_scd2(stream, "event_type"), "append")
+    got = (
+        spark.sql(
+            f"SELECT user_id, state, valid_from_us, valid_to_us FROM {name}"
+        ).toPandas()
+        .sort_values(["user_id", "valid_from_us"]).reset_index(drop=True)
+    )
+    batch = scd2_intervals(
+        spark.createDataFrame(pdf, schema=schema),
+        "user_id", "event_type", ("ts", "event_id"),
+    ).toPandas()
+    closed = (
+        batch[batch["valid_to_us"].notna()]
+        .rename(columns={"event_type": "state"})
+        .sort_values(["user_id", "valid_from_us"]).reset_index(drop=True)
+    )
+    assert len(got) == len(closed) > 0
+    for c in ["user_id", "valid_from_us", "valid_to_us"]:
+        assert (got[c].astype("int64") == closed[c].astype("int64")).all(), c
+    ga, ca = got["state"], closed["state"]
+    assert ((ga == ca) | (ga.isna() & ca.isna())).all()
+    # NULL ran as a real state at least once in the fixture
+    assert got["state"].isna().any()

@@ -601,3 +601,95 @@ def stateful_funnel(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+SCD2_OUT_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("state", T.StringType()),
+    T.StructField("valid_from_us", T.LongType()),
+    T.StructField("valid_to_us", T.LongType()),
+])
+
+_SCD2_STATE = T.StructType([
+    T.StructField("attr", T.StringType()),
+    T.StructField("attr_is_null", T.BooleanType()),
+    T.StructField("from_us", T.LongType()),
+])
+
+
+def stateful_scd2(
+    stream: DataFrame,
+    attr_col: str = "event_type",
+    delay: str = "30 minutes",
+) -> DataFrame:
+    """T10: streaming SCD2 maintenance — the incremental form of the
+    batch ``scd2_intervals`` temporalization. Tracks each key's current
+    (attr, valid_from) as 3 scalars of state and emits a CLOSED
+    half-open interval row the moment the attr CHANGES (NULL-safe, like
+    the batch operator: NULL is a real state). Over any stream prefix
+    the emitted rows equal the batch operator's closed intervals
+    (valid_to_us IS NOT NULL) over the same prefix — the still-open
+    run lives in state, not in the output, because append-mode output
+    is immutable and the open interval's end is unknown (the batch
+    parity test pins exactly this relationship).
+
+    Within a batch the run-length compression is vectorized (shift
+    compare over the (ts, event_id)-sorted batch); chunks concatenate
+    before sorting (the T7 rule)."""
+
+    def fn(key: Any, pdfs, state: GroupState):
+        chunks = [p for p in pdfs if len(p)]
+        if not chunks:
+            if state.exists:
+                state.update(tuple(state.get))
+            yield pd.DataFrame(
+                columns=[f.name for f in SCD2_OUT_SCHEMA.fields]
+            )
+            return
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            ["ts", "event_id"], kind="mergesort"
+        )
+        s = pdf[attr_col]
+        attrs = s.where(s.notna(), None).to_numpy(dtype=object)
+        ts_us = pdf["ts"].to_numpy(dtype="datetime64[us]").astype("int64")
+        if state.exists:
+            cur_a, cur_null, cur_from = state.get
+            cur = None if cur_null else cur_a
+        else:
+            cur, cur_from = attrs[0], int(ts_us[0])
+            attrs, ts_us = attrs[1:], ts_us[1:]
+        # shift compare against the carried state: prev[i] is the attr in
+        # force just before row i (None != None is False, so the compare
+        # is NULL-safe on object arrays)
+        prev = np.empty(len(attrs), dtype=object)
+        prev[1:] = attrs[:-1]
+        prev[0] = cur
+        idx = np.flatnonzero(attrs != prev)
+        if len(idx):
+            run_attr = np.concatenate(([cur], attrs[idx[:-1]]))
+            run_from = np.concatenate(([cur_from], ts_us[idx[:-1]]))
+            out = pd.DataFrame({
+                "user_id": key[0],
+                "state": run_attr,
+                "valid_from_us": run_from.astype("int64"),
+                "valid_to_us": ts_us[idx],
+            })
+            cur, cur_from = attrs[idx[-1]], int(ts_us[idx[-1]])
+        else:
+            out = pd.DataFrame(
+                columns=[f.name for f in SCD2_OUT_SCHEMA.fields]
+            )
+        state.update((cur, cur is None, int(cur_from)))
+        yield out
+
+    return (
+        stream.withWatermark("ts", delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SCD2_OUT_SCHEMA,
+            stateStructType=_SCD2_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
