@@ -2209,3 +2209,38 @@ def test_char_pair_counts_matches_bruteforce(spark):
     assert got == exp
     # occurrence weighting: low x3 + lower + lowest all contribute "lo"
     assert got["lo"] == 5
+
+
+def test_interval_islands_salted_equals_plain(spark):
+    from tgist_features_spark.operators.ranges import (
+        interval_islands,
+        interval_islands_salted,
+    )
+
+    rng = np.random.default_rng(79)
+    rows = []
+    # one hot entity with heavy overlap + several normal ones + one
+    # entity whose intervals never overlap (worst case for the salted
+    # route — must still be exactly equal)
+    for i in range(800):
+        s = int(rng.integers(0, 3000))
+        rows.append((i, 0, s, s + int(rng.integers(5, 120))))
+    for i in range(800, 1000):
+        e = int(rng.integers(1, 8))
+        s = int(rng.integers(0, 2000))
+        rows.append((i, e, s, s + int(rng.integers(0, 50))))
+    for k, i in enumerate(range(1000, 1050)):
+        rows.append((i, 9, 1000 * k, 1000 * k + 10))  # disjoint
+    df = spark.createDataFrame(rows, ["id", "e", "s", "t"])
+    plain = (
+        interval_islands(df, "e", "s", "t", "id")
+        .toPandas().sort_values(["e", "island_id"]).reset_index(drop=True)
+    )
+    for n_salts in (2, 16):
+        salted = (
+            interval_islands_salted(df, "e", "s", "t", "id", n_salts=n_salts)
+            .toPandas().sort_values(["e", "island_id"]).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            salted.astype("int64"), plain.astype("int64")
+        )

@@ -386,10 +386,11 @@ def conversion_latency(
 
 def interval_islands(
     df: DataFrame,
-    entity_col: str,
+    entity_col: str | list[str],
     start_col: str,
     end_col: str,
     id_col: str,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Merge each entity's CLOSED intervals [start, end] into maximal
     islands (the gaps-and-islands problem): touching or overlapping
@@ -413,9 +414,14 @@ def interval_islands(
     exchange: the whole operator is one shuffle regardless of scale.
     End-before-start rows are refused in-plan (raise_error), matching
     interval_overlap_join's contract — silent empty intervals hide
-    data bugs."""
+    data bugs.
+
+    ``weight_col`` makes n_spans a SUM of the given bigint column
+    instead of a row count; ``entity_col`` may be a list for composite
+    keys — both are the hooks interval_islands_salted builds on."""
     from pyspark.sql import Window
 
+    entities = [entity_col] if isinstance(entity_col, str) else list(entity_col)
     checked_start = F.when(
         F.col(end_col) >= F.col(start_col), F.col(start_col)
     ).otherwise(
@@ -425,12 +431,12 @@ def interval_islands(
     )
     order = [F.col(start_col), F.col(end_col), F.col(id_col)]
     w_prev = (
-        Window.partitionBy(entity_col)
+        Window.partitionBy(*entities)
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     w_run = (
-        Window.partitionBy(entity_col)
+        Window.partitionBy(*entities)
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
@@ -441,10 +447,72 @@ def interval_islands(
     return (
         df.withColumn("__s", checked_start)
         .withColumn("__island", F.sum(opener).over(w_run).cast("bigint"))
-        .groupBy(F.col(entity_col), F.col("__island").alias("island_id"))
+        .groupBy(
+            *[F.col(e) for e in entities], F.col("__island").alias("island_id")
+        )
         .agg(
             F.min("__s").alias("island_start"),
             F.max(F.col(end_col)).alias("island_end"),
-            F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+            (
+                F.sum(F.col(weight_col)) if weight_col
+                else F.count(F.lit(1))
+            ).cast("bigint").alias("n_spans"),
         )
+    )
+
+
+def interval_islands_salted(
+    df: DataFrame,
+    entity_col: str,
+    start_col: str,
+    end_col: str,
+    id_col: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Skew-safe two-phase interval_islands, EXACTLY equal to the plain
+    form (tested): interval union is mergeable —
+    islands(A ∪ B) = islands(islands(A) ∪ islands(B)) — so a hot
+    entity's intervals first merge within ``n_salts`` hash-salted
+    sub-streams in parallel ((entity, salt) windows), and only the
+    (usually far smaller) per-salt island relation goes through the
+    per-entity window. Same output columns, same island numbering: a
+    merged extent is insensitive to the order of tied sub-islands, and
+    the packed (salt, sub-island) id is only a determinism tiebreak.
+    n_spans sums across sub-islands, so span counts survive the
+    two-phase route exactly.
+
+    The caveat mirrors salted_agg: if a hot entity's intervals DON'T
+    overlap (sub-islands don't collapse), phase 2 still sees them all
+    in one partition — salting buys parallel pre-merging, not a
+    worst-case bound. For coverage-style inputs (sessions, tool-active
+    spans) overlap is the norm and the collapse is large."""
+    if n_salts < 2:
+        raise ValueError("interval_islands_salted: n_salts must be >= 2")
+    salt = F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_salts))
+    sub = interval_islands(
+        df.withColumn("__salt", salt),
+        [entity_col, "__salt"],
+        start_col,
+        end_col,
+        id_col,
+    )
+    # a unique orderable sub-island id: island_id is dense per
+    # (entity, salt), so salt * 2^40 + island_id never collides below
+    # 2^40 sub-islands per salt (far past any real partition)
+    packed = (F.col("__salt") * F.lit(1 << 40) + F.col("island_id")).alias(
+        "__sid"
+    )
+    return interval_islands(
+        sub.select(
+            F.col(entity_col),
+            F.col("island_start").alias("__ss"),
+            F.col("island_end").alias("__se"),
+            packed,
+            F.col("n_spans").alias("__w"),
+        ),
+        entity_col,
+        "__ss",
+        "__se",
+        "__sid",
+        weight_col="__w",
     )
