@@ -341,7 +341,13 @@ def main() -> None:
             l_start = _wait_for_quiet_host()
             res = _backfill(master)
             l_end = round(os.getloadavg()[0], 2)
-            bucket.append({"res": res, "clean": l_end <= end_gate})
+            # a leg's OWN work keeps ~P cores busy, so the 1-min loadavg
+            # at leg end includes ~P of self-load — gate on EXTERNAL load
+            # only, else a wide leg can never be "clean" (r06 finding:
+            # local[8] legs always ended ~9.2 under a 4.0 gate and the
+            # selection silently fell back to the unclean pool)
+            own = int(master.split("[")[1].rstrip("]"))
+            bucket.append({"res": res, "clean": l_end <= end_gate + own})
             return res, l_start, l_end
 
         def _best(bucket: list[dict]) -> dict:

@@ -2244,3 +2244,40 @@ def test_interval_islands_salted_equals_plain(spark):
         pd.testing.assert_frame_equal(
             salted.astype("int64"), plain.astype("int64")
         )
+
+
+def test_group_winsorize_excludes_nulls(spark):
+    from tgist_features_spark.operators.aggregates import group_winsorize
+
+    pdf = pd.DataFrame({
+        "id": range(20),
+        "g": ["a"] * 20,
+        "v": [None if i % 5 == 0 else i * 10 for i in range(20)],
+    })
+    got = group_winsorize(
+        spark.createDataFrame(pdf), "v", "g", "id", lo_pct=10, hi_pct=90
+    ).toPandas()
+    # the group_cdf NULL contract: NULL rows omitted, ranks over values only
+    assert len(got) == 16
+    assert got["v"].notna().all()
+    vals = sorted(pdf["v"].dropna())
+    lo = vals[(16 - 1) * 10 // 100]
+    hi = vals[(16 - 1) * 90 // 100]
+    assert got["value_wins"].min() == lo and got["value_wins"].max() == hi
+
+
+def test_interarrival_histogram_refuses_bad_order(spark):
+    import pyspark.errors
+
+    from tgist_features_spark.operators.windows import interarrival_histogram
+
+    pdf = pd.DataFrame({
+        "event_id": [1, 2], "user_id": [1, 1], "seq": [1, 2],
+        "ts": pd.to_datetime([100, 50], unit="s"),
+    })
+    df = spark.createDataFrame(pdf)
+    try:
+        interarrival_histogram(df, "user_id", ("seq",)).collect()
+        raise AssertionError("order inconsistent with ts must be refused")
+    except pyspark.errors.PySparkException:
+        pass

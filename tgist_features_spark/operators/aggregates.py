@@ -512,9 +512,12 @@ def group_winsorize(
     fractional ranks; the discrete rank rule cannot).
 
     Returns the input's (id, group, value) plus ``value_wins`` — the
-    clamped value. Clamping is the standard heavy-tail taming step
-    before means/regressions on corpus statistics; pair with
-    group_mad_outliers when you want flags instead of edits.
+    clamped value. NULL-valued rows are EXCLUDED from ranks AND from
+    the output (the group_cdf NULL contract: engines disagree on NULL
+    sort order, and a NULL clamps to nothing). Clamping is the
+    standard heavy-tail taming step before means/regressions on corpus
+    statistics; pair with group_mad_outliers when you want flags
+    instead of edits.
 
     Scale shape: one shuffle on the group for the rank window; the two
     boundary rows per group are filtered from the SAME windowed
@@ -527,7 +530,10 @@ def group_winsorize(
         raise ValueError("group_winsorize: need 0 <= lo_pct <= hi_pct <= 100")
     w = Window.partitionBy(group_col).orderBy(F.col(value_col), F.col(id_col))
     ranked = (
-        df.select(
+        # NULL-valued rows are EXCLUDED, the group_cdf contract: a NULL
+        # has no rank and engines disagree on NULL sort order
+        df.filter(F.col(value_col).isNotNull())
+        .select(
             F.col(id_col), F.col(group_col), F.col(value_col)
         )
         .withColumn("__rn", F.row_number().over(w).cast("bigint"))

@@ -596,12 +596,27 @@ def interarrival_histogram(
     Scale shape: one shuffle on the entity for the lag window, then a
     map-side-combinable aggregation into at most 64 x |categories|
     rows. First events per entity have no predecessor and contribute
-    no gap."""
+    no gap. ``order`` must be consistent with ``ts_col`` (sort by ts
+    first): a negative gap would hit bin()'s two's-complement rendering
+    — engine-divergent — so it is refused in-plan (raise_error), the
+    loud-contract rule."""
     from tgist_features_spark.functions.timeu import us
 
     w = Window.partitionBy(entity_col).orderBy(*[F.col(c) for c in order])
     u = us(F.col(ts_col))
-    gap = u - F.lag(u, 1).over(w)
+    raw = u - F.lag(u, 1).over(w)
+    gap = (
+        # first rows have NULL raw (no predecessor) — they pass through
+        # to the isNotNull filter, they are not contract violations
+        F.when(raw.isNull(), F.lit(None).cast("bigint"))
+        .when(raw >= 0, raw)
+        .otherwise(
+            F.raise_error(
+                F.lit("interarrival_histogram: negative gap — order is "
+                      "not consistent with ts_col")
+            )
+        )
+    )
     keys = ([F.col(by_col)] if by_col else []) + [
         F.length(F.bin(F.col("__gap"))).cast("bigint").alias("gap_bucket")
     ]
