@@ -343,3 +343,58 @@ def test_budget_sample_property(spark, n, n_groups, budget, wmax, seed):
             run += wv
             want.add(int(d))
     assert got == want
+
+
+# --- round-6 interval-islands properties (placed here with the other
+# Spark-backed hypothesis suites; module spark fixture already scoped)
+
+from hypothesis import given as _given, settings as _settings
+from hypothesis import strategies as _st
+
+_ivs = _st.lists(
+    _st.tuples(
+        _st.integers(0, 4),          # entity
+        _st.integers(-1000, 1000),   # start (pre-1970-analog negatives too)
+        _st.integers(0, 120),        # length
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@_settings(max_examples=25, deadline=None)
+@_given(_ivs)
+def test_interval_islands_properties(spark, ivs):
+    """Invariants for arbitrary interval sets: islands are disjoint with
+    strict gaps, each tiles exactly its members, per-entity span counts
+    conserve, and the salted two-phase route is EXACTLY equal."""
+    from tgist_features_spark.operators.ranges import (
+        interval_islands,
+        interval_islands_salted,
+    )
+
+    rows = [(i, e, s, s + ln) for i, (e, s, ln) in enumerate(ivs)]
+    df = spark.createDataFrame(rows, ["id", "e", "s", "t"])
+    got = interval_islands(df, "e", "s", "t", "id").toPandas()
+    salted = interval_islands_salted(df, "e", "s", "t", "id", n_salts=3).toPandas()
+    key = ["e", "island_id"]
+    pd.testing.assert_frame_equal(
+        got.sort_values(key).reset_index(drop=True).astype("int64"),
+        salted.sort_values(key).reset_index(drop=True).astype("int64"),
+    )
+    byent: dict[int, list[tuple[int, int]]] = {}
+    for _, e, s, t in rows:
+        byent.setdefault(e, []).append((s, t))
+    assert got["n_spans"].sum() == len(rows)
+    for e, grp in got.groupby("e"):
+        grp = grp.sort_values("island_id")
+        # island ids are dense from 1
+        assert list(grp["island_id"]) == list(range(1, len(grp) + 1))
+        # strict gaps between consecutive islands
+        starts = grp["island_start"].to_numpy()
+        ends = grp["island_end"].to_numpy()
+        assert (starts[1:] > ends[:-1]).all()
+        # every input interval is contained in exactly one island
+        for s, t in byent[e]:
+            hits = ((starts <= s) & (t <= ends)).sum()
+            assert hits == 1

@@ -160,3 +160,45 @@ def test_simhash_batch_chunking_invariant():
     ref = _simhash_batch(s)
     for budget in (1, 4, 64):
         assert (_simhash_batch(s, chunk_tokens=budget) == ref).all()
+
+
+# --- round-6: deletion-neighborhood exact recall (Spark-backed; uses
+# the conftest spark fixture like the other property suites)
+
+words = st.lists(
+    st.text(alphabet="abcd", min_size=2, max_size=7),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=20, deadline=None)
+@given(words)
+def test_vocab_edit1_perfect_recall_property(spark, ws):
+    """The FastSS claim, adversarially: over a tiny alphabet (dense
+    edit-1 neighborhoods), the signature-join pair set equals the
+    brute-force set EXACTLY — no missed pair (recall), no extra pair
+    (the levenshtein filter)."""
+    from tgist_features_spark.operators.dedup import vocab_edit1_pairs
+
+    doc = " ".join(ws)
+    got = {
+        (r.w_a, r.w_b)
+        for r in vocab_edit1_pairs(
+            spark.createDataFrame([(doc,)], ["text"]), min_len=2
+        ).collect()
+    }
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    vocab = {w for w in ws if len(w) >= 2}
+    exp = {(a, b) for a in vocab for b in vocab if a < b and lev(a, b) == 1}
+    assert got == exp
