@@ -2281,3 +2281,110 @@ def test_interarrival_histogram_refuses_bad_order(spark):
         raise AssertionError("order inconsistent with ts must be refused")
     except pyspark.errors.PySparkException:
         pass
+
+
+def test_group_weighted_median_matches_numpy(spark):
+    from tgist_features_spark.operators.aggregates import group_weighted_median
+
+    rng = np.random.default_rng(83)
+    pdf = pd.DataFrame({
+        "id": range(500),
+        "g": rng.choice(["a", "b", "c"], 500),
+        "v": rng.integers(-100, 100, 500),
+        "w": rng.integers(0, 50, 500),  # zero weights legal, ignored mass
+    })
+    got = (
+        group_weighted_median(spark.createDataFrame(pdf), "v", "w", "g", "id")
+        .toPandas().set_index("g")
+    )
+    for gname, grp in pdf.groupby("g"):
+        s = grp.sort_values(["v", "id"])
+        tot = s["w"].sum()
+        cum = s["w"].cumsum()
+        wmed = s.loc[(cum * 2 >= tot).idxmax(), "v"] if tot > 0 else None
+        # idxmax returns the FIRST True — the lower weighted median
+        assert got.loc[gname, "wmedian"] == wmed
+        assert got.loc[gname, "total_weight"] == tot
+        assert got.loc[gname, "n_rows"] == len(grp)
+    # unit weights degenerate to the lower median
+    pdf["w1"] = 1
+    got1 = (
+        group_weighted_median(spark.createDataFrame(pdf), "v", "w1", "g", "id")
+        .toPandas().set_index("g")
+    )
+    for gname, grp in pdf.groupby("g"):
+        vals = sorted(grp["v"])
+        assert got1.loc[gname, "wmedian"] == vals[(len(vals) - 1) // 2]
+
+
+def test_group_weighted_median_refuses_bad_weights(spark):
+    import pyspark.errors
+
+    from tgist_features_spark.operators.aggregates import group_weighted_median
+
+    for bad in (-1, None):
+        pdf = pd.DataFrame({
+            "id": [1, 2], "g": ["a", "a"], "v": [1, 2],
+            "w": [5, bad],
+        })
+        try:
+            group_weighted_median(
+                spark.createDataFrame(pdf), "v", "w", "g", "id"
+            ).collect()
+            raise AssertionError(f"weight {bad} must be refused")
+        except pyspark.errors.PySparkException:
+            pass
+
+
+def test_count_min_sketches_properties(spark):
+    from tgist_features_spark.operators.aggregates import (
+        cms_estimate,
+        count_min_sketches,
+        merge_count_min_sketches,
+    )
+
+    rng = np.random.default_rng(89)
+    pdf = pd.DataFrame({
+        "key": rng.choice(["x", "y"], 4000),
+        "val": rng.zipf(1.5, 4000) % 200,  # skewed frequencies
+    })
+    df = spark.createDataFrame(pdf)
+    depth, width = 4, 1024
+    sk = count_min_sketches(df, ["key"], "val", depth=depth, width=width)
+    cells = sk.toPandas()
+    # mass conservation: each depth row carries the key's full weight
+    true_tot = pdf.groupby("key").size()
+    for (k, d), grp in cells.groupby(["key", "cm_depth"]):
+        assert grp["cm_cnt"].sum() == true_tot[k]
+    # overestimate property + CMS error bound with generous slack
+    queries = df.distinct()
+    est = (
+        cms_estimate(sk, queries, ["key"], "val", depth=depth, width=width)
+        .toPandas().set_index(["key", "val"])["est"]
+    )
+    true = pdf.groupby(["key", "val"]).size()
+    for idx, t in true.items():
+        e = est[idx]
+        assert e >= t, idx
+        assert e - t <= 16 * true_tot[idx[0]] // width + 1, idx
+    # absent value estimates 0 when its cells are untouched, never negative
+    ghost = spark.createDataFrame(
+        pd.DataFrame({"key": ["x"], "val": [10_000_019]}))
+    g = cms_estimate(sk, ghost, ["key"], "val",
+                     depth=depth, width=width).first()["est"]
+    assert g >= 0
+    # merge of disjoint halves == one-pass sketch, cell for cell
+    h1 = count_min_sketches(
+        spark.createDataFrame(pdf.iloc[:2000]), ["key"], "val",
+        depth=depth, width=width)
+    h2 = count_min_sketches(
+        spark.createDataFrame(pdf.iloc[2000:]), ["key"], "val",
+        depth=depth, width=width)
+    merged = (
+        merge_count_min_sketches([h1, h2], ["key"])
+        .toPandas().sort_values(["key", "cm_depth", "cm_pos"])
+        .reset_index(drop=True)
+    )
+    one_pass = cells.sort_values(["key", "cm_depth", "cm_pos"]).reset_index(
+        drop=True)
+    pd.testing.assert_frame_equal(merged, one_pass)

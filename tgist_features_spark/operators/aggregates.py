@@ -567,3 +567,190 @@ def group_winsorize(
             ).alias("value_wins"),
         )
     )
+
+
+def group_weighted_median(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    group_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Per-group EXACT weighted median over integer weights: the
+    smallest value whose cumulative weight reaches half the group's
+    total (the lower weighted median — a pinned convention, not an
+    interpolation), computed entirely in bigint arithmetic so the
+    result is bit-identical in any engine. This is the
+    token-weighted "typical document" statistic an unweighted median
+    gets wrong whenever length and count diverge (the usual case).
+
+    NULL or negative weights are REFUSED in-plan (raise_error), the
+    budget_sample posture: a silently skipped weight biases the median
+    with no error to notice. NULL values are excluded with their
+    weight (the group_cdf NULL contract).
+
+    Returns one row per group: (group, wmedian, total_weight, n_rows).
+
+    Scale shape: one shuffle on the group; the cumulative-weight window
+    and the boundary pick (min value where 2·cum >= total) fold into
+    the same partitioning — a hot group serializes its sort through one
+    task, the exact-order-statistic price documented on
+    group_winsorize, with approx_percentile as the named sketch
+    alternative."""
+    w_ok = F.when(
+        F.col(weight_col).isNotNull() & (F.col(weight_col) >= 0),
+        F.col(weight_col).cast("bigint"),
+    ).otherwise(
+        F.raise_error(
+            F.lit(f"group_weighted_median: NULL or negative {weight_col}")
+        )
+    )
+    base = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            F.col(group_col),
+            F.col(value_col),
+            F.col(id_col),
+            w_ok.alias("__w"),
+        )
+    )
+    win = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col(value_col), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wg = Window.partitionBy(group_col)
+    cum = (
+        base.withColumn("__cum", F.sum("__w").over(win))
+        .withColumn("__tot", F.sum("__w").over(wg))
+        .withColumn("__n", F.count(F.lit(1)).over(wg))
+    )
+    return (
+        cum.filter(F.col("__cum") * 2 >= F.col("__tot"))
+        .groupBy(group_col)
+        .agg(
+            F.min(F.col(value_col)).alias("wmedian"),
+            F.max("__tot").cast("bigint").alias("total_weight"),
+            F.max("__n").cast("bigint").alias("n_rows"),
+        )
+    )
+
+
+def count_min_sketches(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    weight_col: str | None = None,
+    depth: int = 4,
+    width: int = 1024,
+    seed: str = "cms",
+) -> DataFrame:
+    """Per-key MERGEABLE count-min sketches, kept as a RELATION of
+    (key_cols..., cm_depth, cm_pos, cm_cnt) counter cells rather than a
+    binary blob — the frequency companion to ``distinct_sketches``:
+    exact per-value frequencies cannot be maintained incrementally over
+    an unbounded value domain, but CMS cells written per ingest batch
+    MERGE by plain addition, so the datasheet's heavy-hitter panel
+    updates with each increment instead of refolding the corpus.
+
+    Each input row increments ``depth`` cells: for row r of the sketch
+    matrix, position = pmod(xxhash64(value, seed, r), width) — the
+    standard d-row/w-column CMS with the hash family indexed by the row
+    number. Estimation (``cms_estimate``) takes the MIN across rows: an
+    overestimate by construction (collisions only ADD), within
+    e·N/width of truth with probability 1 − e^-depth per classic CMS
+    analysis. The relation form keeps everything pure Catalyst: build
+    is one explode(depth) + one hash aggregation, merge is a UNION +
+    the same aggregation (cell-wise addition — tested bit-equal to the
+    one-pass sketch), estimation is one broadcast-able join. At most
+    depth·width cells survive per key regardless of corpus size.
+
+    ``weight_col`` (bigint, NULL/negative refused like budget_sample)
+    weights increments; default 1 per row."""
+    if depth < 1 or width < 2:
+        raise ValueError("count_min_sketches: need depth >= 1, width >= 2")
+    if weight_col is None:
+        w = F.lit(1).cast("bigint")
+    else:
+        w = F.when(
+            F.col(weight_col).isNotNull() & (F.col(weight_col) >= 0),
+            F.col(weight_col).cast("bigint"),
+        ).otherwise(
+            F.raise_error(
+                F.lit(f"count_min_sketches: NULL or negative {weight_col}")
+            )
+        )
+    rows = df.select(
+        *[F.col(k) for k in key_cols],
+        F.col(value_col).cast("string").alias("__v"),
+        w.alias("__w"),
+    ).withColumn(
+        "cm_depth", F.explode(F.sequence(F.lit(0), F.lit(depth - 1)))
+    )
+    pos = F.pmod(
+        F.xxhash64(F.col("__v"), F.lit(seed), F.col("cm_depth")), F.lit(width)
+    )
+    return (
+        rows.withColumn("cm_pos", pos.cast("bigint"))
+        .groupBy(*key_cols, "cm_depth", "cm_pos")
+        .agg(F.sum("__w").cast("bigint").alias("cm_cnt"))
+    )
+
+
+def merge_count_min_sketches(
+    sketches: list[DataFrame], key_cols: list[str]
+) -> DataFrame:
+    """Cell-wise addition of CMS relations built with IDENTICAL
+    (depth, width, seed) — incremental maintenance: union the per-batch
+    sketches and re-aggregate. Equal (bit-for-bit) to the one-pass
+    sketch over the concatenated input (tested); checking parameter
+    agreement is the caller's contract, exactly as with
+    merge_distinct_sketches."""
+    if not sketches:
+        raise ValueError("merge_count_min_sketches: need at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy(*key_cols, "cm_depth", "cm_pos").agg(
+        F.sum("cm_cnt").cast("bigint").alias("cm_cnt")
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    queries: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    seed: str = "cms",
+) -> DataFrame:
+    """Frequency estimates for (key, value) query rows against a CMS
+    relation built with the SAME (depth, width, seed): min across the
+    depth rows, absent cells counting as 0 (a value whose every cell is
+    untouched truly has count 0). Returns the query rows plus ``est``.
+    The probe explodes each query into its depth cells and left-joins
+    the sketch — broadcastable from either side; the corpus itself is
+    never touched."""
+    probes = queries.select(
+        *[F.col(k) for k in key_cols],
+        F.col(value_col),
+        F.col(value_col).cast("string").alias("__v"),
+    ).withColumn(
+        "cm_depth", F.explode(F.sequence(F.lit(0), F.lit(depth - 1)))
+    ).withColumn(
+        "cm_pos",
+        F.pmod(
+            F.xxhash64(F.col("__v"), F.lit(seed), F.col("cm_depth")),
+            F.lit(width),
+        ).cast("bigint"),
+    )
+    joined = probes.join(sketch, [*key_cols, "cm_depth", "cm_pos"], "left")
+    return (
+        joined.groupBy(*key_cols, value_col)
+        .agg(
+            F.min(F.coalesce(F.col("cm_cnt"), F.lit(0)))
+            .cast("bigint")
+            .alias("est")
+        )
+    )

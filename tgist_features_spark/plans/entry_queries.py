@@ -3113,6 +3113,43 @@ SELECT pair, SUM(n)::BIGINT AS n_pairs FROM p GROUP BY pair
 """
 
 
+def q_weighted_median(spark, sf):
+    """Token-weighted median doc length per language (round 6): the
+    smallest n_chars whose cumulative token weight reaches half the
+    stratum's total — exact bigint arithmetic, lower-median convention
+    pinned (operators/aggregates.py group_weighted_median)."""
+    from tgist_features_spark.operators.aggregates import (
+        group_weighted_median,
+    )
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("w"),
+    )
+    return group_weighted_median(d, "n_chars", "w", "lang", "doc_id")
+
+
+SQL_WEIGHTED_MEDIAN = """
+WITH b AS (
+  SELECT lang, n_chars, doc_id,
+         len(string_split(text, ' '))::BIGINT AS w
+  FROM documents),
+c AS (
+  SELECT lang, n_chars, w,
+         SUM(w) OVER (PARTITION BY lang ORDER BY n_chars, doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS cum,
+         SUM(w) OVER (PARTITION BY lang) AS tot,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM b)
+SELECT lang, MIN(n_chars)::BIGINT AS wmedian,
+       MAX(tot)::BIGINT AS total_weight, MAX(n)::BIGINT AS n_rows
+FROM c WHERE cum * 2 >= tot GROUP BY lang
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- first 50 keys = the driver correctness window (driver caps
     # its oracle run at 50 keys, in order). Round-6 rotation: the 4
@@ -3194,6 +3231,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "transition_latency": q_transition_latency,
     "winsorize": q_winsorize,
     "char_pairs": q_char_pairs,
+    "weighted_median": q_weighted_median,
     "embed_near_dup": q_embed_near_dup,
     "train_split": q_train_split,
     "group_sample": q_group_sample,
@@ -3326,6 +3364,7 @@ ORACLES: dict[str, str] = {
     "transition_latency": SQL_TRANSITION_LATENCY,
     "winsorize": SQL_WINSORIZE,
     "char_pairs": SQL_CHAR_PAIRS,
+    "weighted_median": SQL_WEIGHTED_MEDIAN,
     "embed_near_dup": SQL_EMBED_NEAR_DUP,
     "grouping_sets": SQL_GROUPING_SETS,
     "sql_shipping": SQL_SQL_SHIPPING,
