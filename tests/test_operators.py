@@ -2388,3 +2388,28 @@ def test_count_min_sketches_properties(spark):
     one_pass = cells.sort_values(["key", "cm_depth", "cm_pos"]).reset_index(
         drop=True)
     pd.testing.assert_frame_equal(merged, one_pass)
+
+
+def test_group_heavy_hitters_matches_pandas(spark):
+    from tgist_features_spark.operators.aggregates import group_heavy_hitters
+
+    rng = np.random.default_rng(97)
+    pdf = pd.DataFrame({
+        "g": rng.choice(["a", "b"], 2000),
+        "v": rng.zipf(1.4, 2000) % 50,
+    })
+    pdf.loc[::101, "v"] = None  # NULLs excluded by contract
+    got = (
+        group_heavy_hitters(spark.createDataFrame(pdf), "g", "v", k=7)
+        .toPandas().sort_values(["g", "rank"]).reset_index(drop=True)
+    )
+    for gname, grp in pdf.dropna(subset=["v"]).groupby("g"):
+        counts = grp.groupby("v").size().reset_index(name="n")
+        counts = counts.sort_values(
+            ["n", "v"], ascending=[False, True]).reset_index(drop=True)
+        top = counts.head(7)
+        mine = got[got["g"] == gname].reset_index(drop=True)
+        assert len(mine) == len(top)
+        assert list(mine["v"]) == list(top["v"])
+        assert list(mine["n"]) == list(top["n"])
+        assert list(mine["rank"]) == list(range(1, len(top) + 1))

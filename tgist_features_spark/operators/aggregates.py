@@ -754,3 +754,41 @@ def cms_estimate(
             .alias("est")
         )
     )
+
+
+def group_heavy_hitters(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k most frequent values per group with a DETERMINISTIC
+    tie rule (count desc, then value asc) — the ranked truncation every
+    per-stratum report reads ("top tools per conversation cohort, top
+    tokens per language"), and the exact counterpart the CMS estimates
+    (count_min_sketches) are checked against on corpora small enough to
+    afford it.
+
+    NULL values are excluded (a NULL is not a value, and engines
+    disagree on NULL ordering — the group_cdf contract).
+
+    Scale shape: ONE real shuffle — the (group, value) count
+    aggregation (map-side combinable, output bounded by the distinct
+    domain, not the corpus); the rank window then runs over that
+    already-aggregated relation, where a second (group)-keyed exchange
+    moves only distinct-value rows. No per-group sort ever sees raw
+    corpus rows."""
+    if k < 1:
+        raise ValueError("group_heavy_hitters: k must be >= 1")
+    counts = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(group_col, value_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("n").desc(), F.col(value_col).asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )

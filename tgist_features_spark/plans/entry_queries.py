@@ -3150,6 +3150,48 @@ FROM c WHERE cum * 2 >= tot GROUP BY lang
 """
 
 
+def q_heavy_hitters(spark, sf):
+    """Top-5 tokens per language (round 6): exact per-stratum heavy
+    hitters with the pinned (count desc, token asc) tie rule — the
+    exact counterpart the CMS estimates are checked against
+    (operators/aggregates.py group_heavy_hitters — the rank window runs
+    over the already-aggregated distinct-value relation, never raw
+    rows)."""
+    from tgist_features_spark.operators.aggregates import group_heavy_hitters
+
+    toks = _t(spark, sf, "documents").select(
+        F.col("lang"),
+        F.explode(
+            F.filter(
+                F.transform(
+                    F.split(F.lower(F.col("text")), " "),
+                    lambda t: F.regexp_replace(t, "[^a-z0-9]", ""),
+                ),
+                lambda t: t != "",
+            )
+        ).alias("tok"),
+    )
+    return group_heavy_hitters(toks, "lang", "tok", k=5)
+
+
+SQL_HEAVY_HITTERS = """
+WITH rel AS (
+  SELECT lang, unnest(list_filter(
+           list_transform(string_split(lower(text), ' '),
+                          t -> regexp_replace(t, '[^a-z0-9]', '', 'g')),
+           t -> t <> '')) AS tok
+  FROM documents),
+c AS (SELECT lang, tok, COUNT(*)::BIGINT AS n FROM rel GROUP BY 1, 2)
+SELECT lang, tok, n,
+       rank FROM (
+  SELECT lang, tok, n,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n DESC, tok ASC)::BIGINT AS rank
+  FROM c)
+WHERE rank <= 5
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- first 50 keys = the driver correctness window (driver caps
     # its oracle run at 50 keys, in order). Round-6 rotation: the 4
@@ -3232,6 +3274,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winsorize": q_winsorize,
     "char_pairs": q_char_pairs,
     "weighted_median": q_weighted_median,
+    "heavy_hitters": q_heavy_hitters,
     "embed_near_dup": q_embed_near_dup,
     "train_split": q_train_split,
     "group_sample": q_group_sample,
@@ -3365,6 +3408,7 @@ ORACLES: dict[str, str] = {
     "winsorize": SQL_WINSORIZE,
     "char_pairs": SQL_CHAR_PAIRS,
     "weighted_median": SQL_WEIGHTED_MEDIAN,
+    "heavy_hitters": SQL_HEAVY_HITTERS,
     "embed_near_dup": SQL_EMBED_NEAR_DUP,
     "grouping_sets": SQL_GROUPING_SETS,
     "sql_shipping": SQL_SQL_SHIPPING,
