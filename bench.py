@@ -85,6 +85,8 @@ R6_OPS = [
     "transition_latency",
     "winsorize",
     "char_pairs",
+    "weighted_median",
+    "heavy_hitters",
 ]
 
 # round-5 additions
