@@ -87,6 +87,7 @@ R6_OPS = [
     "char_pairs",
     "weighted_median",
     "heavy_hitters",
+    "time_weighted_avg",
 ]
 
 # round-5 additions

@@ -2413,3 +2413,42 @@ def test_group_heavy_hitters_matches_pandas(spark):
         assert list(mine["v"]) == list(top["v"])
         assert list(mine["n"]) == list(top["n"])
         assert list(mine["rank"]) == list(range(1, len(top) + 1))
+
+
+def test_time_weighted_avg_matches_numpy(spark):
+    from tgist_features_spark.operators.windows import time_weighted_avg
+
+    rng = np.random.default_rng(101)
+    rows = []
+    eid = 0
+    for u in range(12):
+        t = 0
+        n = int(rng.integers(1, 30))  # singletons included
+        for _ in range(n):
+            t += int(rng.integers(1, 5000))
+            v = None if rng.random() < 0.1 else round(
+                float(rng.uniform(-50, 50)), 2)
+            rows.append((eid, u, v, t))
+            eid += 1
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "value", "off"])
+    pdf["ts"] = pd.to_datetime(pdf["off"], unit="s")
+    got = (
+        time_weighted_avg(
+            spark.createDataFrame(pdf[["event_id", "user_id", "value", "ts"]]),
+            "value", "user_id", ("ts", "event_id"),
+        ).toPandas().set_index("user_id")
+    )
+    for u, grp in pdf.groupby("user_id"):
+        g = grp.sort_values(["off", "event_id"])
+        us_ = (g["off"] * 1_000_000).to_numpy()
+        ys = [None if pd.isna(v) else round(v * 100) for v in g["value"]]
+        num = sum(
+            int(ys[i]) * int(us_[i + 1] - us_[i])
+            for i in range(len(g) - 1) if ys[i] is not None
+        )
+        den = int(us_[-1] - us_[0])
+        assert got.loc[u, "twa_num"] == num
+        assert got.loc[u, "twa_den"] == den
+        assert got.loc[u, "n_obs"] == len(g)
+        if len(g) == 1:
+            assert den == 0  # the documented non-answer

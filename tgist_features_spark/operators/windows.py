@@ -715,3 +715,54 @@ def transition_latency(
         F.max("__gap").alias("max_us"),
         F.sum("__gap").cast("bigint").alias("sum_us"),
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    value_col: str,
+    entity_col: str,
+    order: tuple[str, ...],
+    ts_col: str = "ts",
+    scale: int = 100,
+) -> DataFrame:
+    """Per-entity TIME-weighted average of a step signal, kept as the
+    EXACT integer fraction (twa_num, twa_den): each observation's value
+    holds until the next observation (the step/zero-order-hold
+    convention), so
+        twa = Σ y_i · (t_{i+1} − t_i) / (t_last − t_first),
+    y = round(value·scale) as bigint, all microsecond gaps exact. The
+    float division is the reader's presentation step — the pipeline
+    state is engine-exact, the house rounding-trap rule. This is the
+    telemetry statistic an event-weighted mean silently fakes whenever
+    sampling is irregular (a gauge polled 100× during one quiet minute
+    must not outweigh an hour at load).
+
+    The LAST observation of an entity bounds the integral (it has no
+    successor interval); entities with a single observation return
+    twa_den = 0 with twa_num = 0 — "no time span" is a non-answer the
+    caller must handle, not a fake average. NULL values hold the
+    PREVIOUS value's weight (they end its interval but contribute no
+    interval of their own — NULL is a gap in the gauge, not a zero).
+
+    Overflow: |y|·span_us must stay under 2^63 — a 10^6-fixed-point
+    gauge over a 30-year span is ~3e21... out of bound; at scale=100
+    the bound is |value| · 9.5e16 µs (~3000 years). ANSI mode backstops
+    loudly. Scale shape: one shuffle on the entity, one lead window +
+    one map-side-combinable aggregation."""
+    w = Window.partitionBy(entity_col).orderBy(*[F.col(c) for c in order])
+    u = us(F.col(ts_col))
+    y = F.round(F.col(value_col) * F.lit(scale)).cast("bigint")
+    seg = (
+        df.withColumn("__u", u)
+        .withColumn("__y", y)
+        .withColumn("__nxt", F.lead("__u", 1).over(w))
+    )
+    contrib = F.when(
+        F.col("__nxt").isNotNull() & F.col("__y").isNotNull(),
+        F.col("__y") * (F.col("__nxt") - F.col("__u")),
+    ).otherwise(F.lit(0))
+    return seg.groupBy(entity_col).agg(
+        F.sum(contrib).cast("bigint").alias("twa_num"),
+        (F.max("__u") - F.min("__u")).cast("bigint").alias("twa_den"),
+        F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+    )

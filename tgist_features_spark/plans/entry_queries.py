@@ -3192,6 +3192,32 @@ WHERE rank <= 5
 """
 
 
+def q_time_weighted_avg(spark, sf):
+    """Per-user time-weighted value average (round 6): the step-signal
+    integral as the exact integer fraction (twa_num, twa_den) — the
+    gauge statistic an event-weighted mean fakes under irregular
+    sampling (operators/windows.py time_weighted_avg)."""
+    from tgist_features_spark.operators.windows import time_weighted_avg
+
+    e = _t(spark, sf, "events").select("event_id", "user_id", "value", "ts")
+    return time_weighted_avg(e, "value", "user_id", ("ts", "event_id"))
+
+
+SQL_TIME_WEIGHTED_AVG = """
+WITH s AS (
+  SELECT user_id, epoch_us(ts) AS u, round(value * 100)::BIGINT AS y,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS nxt
+  FROM events)
+SELECT user_id,
+       SUM(CASE WHEN nxt IS NOT NULL AND y IS NOT NULL
+                THEN y * (nxt - u) ELSE 0 END)::BIGINT AS twa_num,
+       (MAX(u) - MIN(u))::BIGINT AS twa_den,
+       COUNT(*)::BIGINT AS n_obs
+FROM s GROUP BY user_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- first 50 keys = the driver correctness window (driver caps
     # its oracle run at 50 keys, in order). Round-6 rotation: the 4
@@ -3275,6 +3301,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "char_pairs": q_char_pairs,
     "weighted_median": q_weighted_median,
     "heavy_hitters": q_heavy_hitters,
+    "time_weighted_avg": q_time_weighted_avg,
     "embed_near_dup": q_embed_near_dup,
     "train_split": q_train_split,
     "group_sample": q_group_sample,
@@ -3409,6 +3436,7 @@ ORACLES: dict[str, str] = {
     "char_pairs": SQL_CHAR_PAIRS,
     "weighted_median": SQL_WEIGHTED_MEDIAN,
     "heavy_hitters": SQL_HEAVY_HITTERS,
+    "time_weighted_avg": SQL_TIME_WEIGHTED_AVG,
     "embed_near_dup": SQL_EMBED_NEAR_DUP,
     "grouping_sets": SQL_GROUPING_SETS,
     "sql_shipping": SQL_SQL_SHIPPING,
