@@ -620,3 +620,59 @@ def test_stateful_scd2_parity_with_batch(spark, tmp_path):
     assert ((ga == ca) | (ga.isna() & ca.isna())).all()
     # NULL ran as a real state at least once in the fixture
     assert got["state"].isna().any()
+
+
+def test_stateful_rolling_distinct_parity_with_batch(spark, tmp_path):
+    """T11: streaming trailing-window distinct counts == the batch
+    with_rolling_distinct rows, row-for-row, including windows that
+    span micro-batches and NULL rows that occupy slots but add no
+    value."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from tgist_features_spark.operators.windows import with_rolling_distinct
+    from tgist_features_spark.streaming.stream import stateful_rolling_distinct
+
+    rng = np.random.default_rng(103)
+    rows = []
+    eid = 0
+    for u in range(8):
+        for k in range(30):
+            v = None if rng.random() < 0.12 else str(
+                rng.choice(["a", "b", "c", "d", "e"]))
+            rows.append((eid, u, v, pd.Timestamp(9000 * u + 60 * k, unit="s")))
+            eid += 1
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "event_type", "ts"])
+
+    src = str(tmp_path / "rd")
+    os.makedirs(src, exist_ok=True)
+    schema = "event_id long, user_id long, event_type string, ts timestamp"
+    early = pdf[pdf["event_id"] % 30 < 13]
+    late = pdf[pdf["event_id"] % 30 >= 13]
+    spark.createDataFrame(early, schema=schema).coalesce(1).write.mode(
+        "overwrite").parquet(src + "/b=0")
+    spark.createDataFrame(late, schema=schema).coalesce(1).write.mode(
+        "overwrite").parquet(src + "/b=1")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/b=*")
+    )
+    n = 7
+    name = _run_to_memory(
+        stateful_rolling_distinct(stream, "event_type", n=n), "append"
+    )
+    got = (
+        spark.sql(f"SELECT event_id, n_distinct FROM {name}")
+        .toPandas().set_index("event_id")["n_distinct"]
+    )
+    want = (
+        with_rolling_distinct(
+            spark.createDataFrame(pdf, schema=schema),
+            "event_type", "user_id", ("ts", "event_id"), n=n,
+        ).toPandas().set_index("event_id")["n_distinct"]
+    )
+    assert len(got) == len(want) == len(pdf)
+    assert got.sort_index().equals(want.sort_index())

@@ -693,3 +693,97 @@ def stateful_scd2(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+ROLLDIST_OUT_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("n_distinct", T.LongType()),
+])
+
+
+def _rolldist_state(n: int) -> T.StructType:
+    # the trailing row tail as a fixed-semantics pair of arrays: values
+    # (with a placeholder where the row's value was NULL) + null flags —
+    # array elements themselves round-trip fine, but an explicit flag
+    # array keeps "NULL value" distinct from any real string
+    return T.StructType([
+        T.StructField("vals", T.ArrayType(T.StringType())),
+        T.StructField("nulls", T.ArrayType(T.BooleanType())),
+    ])
+
+
+def stateful_rolling_distinct(
+    stream: DataFrame,
+    value_col: str = "event_type",
+    n: int = 10,
+    delay: str = "30 minutes",
+) -> DataFrame:
+    """T11: streaming trailing-window distinct count — the incremental
+    form of the batch ``with_rolling_distinct`` variety signal: for
+    every event, how many DISTINCT non-NULL values the user's last
+    ``n`` events (current included) carry. The carried state is the
+    user's trailing row tail (at most n values + null flags), so state
+    per key is bounded by construction — the same bound the batch
+    window's per-row collect_set enjoys. Over any stream prefix the
+    emissions equal the batch operator row-for-row (the parity test
+    pins this, including windows that SPAN micro-batches). NULL rows
+    occupy window slots but contribute nothing to the set — exactly
+    collect_set's behavior.
+
+    Within a batch the walk is a per-row deque scan over the user's
+    (ts, id)-sorted events — the sliding-distinct recurrence is
+    sequential by nature, the same posture as T9's fold; chunks
+    concatenate before sorting (the T7 rule)."""
+    if n < 1:
+        raise ValueError("stateful_rolling_distinct: n must be >= 1")
+
+    def fn(key: Any, pdfs, state: GroupState):
+        chunks = [p for p in pdfs if len(p)]
+        if not chunks:
+            if state.exists:
+                state.update(tuple(state.get))
+            yield pd.DataFrame(
+                columns=[f.name for f in ROLLDIST_OUT_SCHEMA.fields]
+            )
+            return
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            ["ts", "event_id"], kind="mergesort"
+        )
+        if state.exists:
+            vals, nulls = state.get
+            tail = [None if isnull else v
+                    for v, isnull in zip(list(vals), list(nulls))]
+        else:
+            tail = []
+        s = pdf[value_col]
+        incoming = list(s.where(s.notna(), None).to_numpy(dtype=object))
+        counts = []
+        for v in incoming:
+            tail.append(v)
+            if len(tail) > n:
+                tail.pop(0)
+            counts.append(len({x for x in tail if x is not None}))
+        state.update((
+            [("" if v is None else v) for v in tail],
+            [v is None for v in tail],
+        ))
+        yield pd.DataFrame({
+            "user_id": key[0],
+            "event_id": pdf["event_id"].to_numpy(),
+            "ts": pdf["ts"].to_numpy(),
+            "n_distinct": np.array(counts, dtype="int64"),
+        })
+
+    return (
+        stream.withWatermark("ts", delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=ROLLDIST_OUT_SCHEMA,
+            stateStructType=_rolldist_state(n),
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
