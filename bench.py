@@ -88,6 +88,7 @@ R6_OPS = [
     "weighted_median",
     "heavy_hitters",
     "time_weighted_avg",
+    "behavior_fp",
 ]
 
 # round-5 additions

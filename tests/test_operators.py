@@ -2452,3 +2452,35 @@ def test_time_weighted_avg_matches_numpy(spark):
         assert got.loc[u, "n_obs"] == len(g)
         if len(g) == 1:
             assert den == 0  # the documented non-answer
+
+
+def test_behavior_fingerprints_contracts(spark):
+    import hashlib
+
+    from tgist_features_spark.operators.dedup import behavior_fingerprints
+
+    rows = [
+        # users 1 and 2: identical sequences -> identical fingerprints
+        (1, 1, "a", 0), (2, 1, "b", 10), (3, 1, "a", 20),
+        (4, 2, "a", 100), (5, 2, "b", 110), (6, 2, "a", 120),
+        # user 3: "a, NULL, b" must NOT collide with user 4's "a, b"
+        (7, 3, "a", 0), (8, 3, None, 5), (9, 3, "b", 10),
+        (10, 4, "a", 0), (11, 4, "b", 10),
+        # user 5: same MULTISET as user 1, different order -> different fp
+        (12, 5, "b", 0), (13, 5, "a", 10), (14, 5, "a", 20),
+    ]
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "event_type", "off"])
+    pdf["ts"] = pd.to_datetime(pdf["off"], unit="s")
+    got = (
+        behavior_fingerprints(
+            spark.createDataFrame(pdf[["event_id", "user_id", "event_type", "ts"]]),
+            "user_id", "event_type",
+        ).toPandas().set_index("user_id")
+    )
+    assert got.loc[1, "behavior_fp"] == got.loc[2, "behavior_fp"]
+    assert got.loc[3, "behavior_fp"] != got.loc[4, "behavior_fp"]
+    assert got.loc[1, "behavior_fp"] != got.loc[5, "behavior_fp"]
+    assert got.loc[1, "n_events"] == 3
+    # externally reproducible: plain hashlib over the joined sequence
+    assert got.loc[4, "behavior_fp"] == hashlib.md5(b"a b").hexdigest()
+    assert got.loc[3, "behavior_fp"] == hashlib.md5(b"a \x01 b").hexdigest()

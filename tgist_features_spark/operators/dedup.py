@@ -1221,3 +1221,48 @@ def vocab_edit1_pairs(
         F.length("w_a").cast("bigint").alias("len_a"),
         F.length("w_b").cast("bigint").alias("len_b"),
     )
+
+
+def behavior_fingerprints(
+    df: DataFrame,
+    entity_col: str,
+    type_col: str,
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-entity behavioral fingerprint: md5 of the entity's FULL
+    event-type sequence in (ts, id) order — the bot/spam/replay
+    detector for training-data curation: two accounts (or two scraped
+    transcript copies) with byte-identical action sequences collapse
+    to one fingerprint, and ``groupBy(behavior_fp)`` is the cluster
+    report. md5 keeps the fingerprint reproducible OUTSIDE Spark (the
+    sampling-module contract), so the oracle is one ordered
+    string_agg away in any engine.
+
+    NULL types are encoded as an explicit sentinel BEFORE joining (a
+    skipped NULL would make "a, NULL, b" collide with "a, b" — both
+    engines skip NULLs in their join/agg primitives, silently).
+    Sequence text uses a single-space joiner; event types must not
+    contain spaces (true for categorical action labels; hash the type
+    first if yours can).
+
+    Scale shape: one shuffle on the entity; the sequence materializes
+    per entity in one task (fingerprinting is a whole-sequence
+    property by definition — the sessionize-family hot-entity caveat;
+    for adversarial entities cap events upstream, e.g. debounce or a
+    per-entity limit, before fingerprinting)."""
+    from tgist_features_spark.functions.timeu import us
+
+    ev = F.struct(
+        us(F.col(ts_col)).alias("t"),
+        F.col(id_col).alias("i"),
+        F.coalesce(F.col(type_col), F.lit("\x01")).alias("y"),
+    )
+    seq = F.array_join(
+        F.transform(F.array_sort(F.collect_list(ev)), lambda x: x["y"]),
+        " ",
+    )
+    return df.groupBy(entity_col).agg(
+        F.md5(seq).alias("behavior_fp"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )

@@ -3218,6 +3218,26 @@ FROM s GROUP BY user_id
 """
 
 
+def q_behavior_fp(spark, sf):
+    """Behavioral sequence fingerprints (round 6): md5 of each user's
+    full ordered event-type sequence — the bot/replay collapse key;
+    NULL types sentinel-encoded so "a, NULL, b" never collides with
+    "a, b" (operators/dedup.py behavior_fingerprints)."""
+    from tgist_features_spark.operators.dedup import behavior_fingerprints
+
+    e = _t(spark, sf, "events").select("event_id", "user_id", "event_type", "ts")
+    return behavior_fingerprints(e, "user_id", "event_type")
+
+
+SQL_BEHAVIOR_FP = """
+SELECT user_id,
+       md5(string_agg(coalesce(event_type, chr(1)), ' '
+                      ORDER BY ts, event_id)) AS behavior_fp,
+       COUNT(*)::BIGINT AS n_events
+FROM events GROUP BY user_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- first 50 keys = the driver correctness window (driver caps
     # its oracle run at 50 keys, in order). Round-6 rotation: the 4
@@ -3302,6 +3322,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "weighted_median": q_weighted_median,
     "heavy_hitters": q_heavy_hitters,
     "time_weighted_avg": q_time_weighted_avg,
+    "behavior_fp": q_behavior_fp,
     "embed_near_dup": q_embed_near_dup,
     "train_split": q_train_split,
     "group_sample": q_group_sample,
@@ -3437,6 +3458,7 @@ ORACLES: dict[str, str] = {
     "weighted_median": SQL_WEIGHTED_MEDIAN,
     "heavy_hitters": SQL_HEAVY_HITTERS,
     "time_weighted_avg": SQL_TIME_WEIGHTED_AVG,
+    "behavior_fp": SQL_BEHAVIOR_FP,
     "embed_near_dup": SQL_EMBED_NEAR_DUP,
     "grouping_sets": SQL_GROUPING_SETS,
     "sql_shipping": SQL_SQL_SHIPPING,
