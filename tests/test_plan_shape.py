@@ -243,3 +243,62 @@ def test_resample_grid_is_single_window_and_prunes(spark):
         set(x.split(",")) == {"user_id:bigint", "ts:timestamp_ntz"} for x in schemas
     ), schemas
     assert all("props" not in x and "event_type" not in x for x in schemas)
+
+
+def test_round6_single_exchange_claims(spark):
+    """The round-6 continuation operators whose 100 TB story is 'ONE
+    shuffle': interval_islands (the island aggregation's keys are a
+    superset of its window partitioning, so EnsureRequirements must
+    insert no second exchange), scd2_intervals (the change-flag lag and
+    the post-filter lead share one partitioning), group_winsorize (the
+    boundary join is broadcast, the big side never reshuffled),
+    with_level_shift and group_weighted_median (windows + aggregation
+    fold into the entity/group partitioning)."""
+    from tgist_features_spark.operators.aggregates import (
+        group_weighted_median,
+        group_winsorize,
+    )
+    from tgist_features_spark.operators.ranges import interval_islands
+    from tgist_features_spark.operators.windows import (
+        scd2_intervals,
+        with_level_shift,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    iv = ev.select(
+        "event_id", "user_id",
+        F.col("event_id").alias("s"),
+        (F.col("event_id") + 10).alias("t"),
+    )
+    cases = {
+        "interval_islands": _plan(
+            interval_islands(iv, "user_id", "s", "t", "event_id")
+        ),
+        "scd2_intervals": _plan(
+            scd2_intervals(ev, "user_id", "event_type", ("ts", "event_id"))
+        ),
+        "level_shift": _plan(
+            with_level_shift(ev, "value", "user_id", ("ts", "event_id"))
+        ),
+        "weighted_median": _plan(
+            group_weighted_median(
+                docs.withColumn("w", F.lit(1)), "n_chars", "w", "lang",
+                "doc_id",
+            )
+        ),
+    }
+    def _shuffles(p: str) -> int:
+        # formatted plans name shuffle nodes "(n) Exchange" with the
+        # partitioning in the detail section; broadcasts are
+        # "(n) BroadcastExchange" and must not count here
+        return len(re.findall(r"^\(\d+\) Exchange", p, re.M))
+
+    for name, p in cases.items():
+        assert _shuffles(p) == 1, f"{name}: {_shuffles(p)} exchanges\n{p[:1500]}"
+    # winsorize: one hash exchange for the rank window; the boundary
+    # join must be broadcast (big side never reshuffled)
+    pw = _plan(group_winsorize(docs, "n_chars", "lang", "doc_id"))
+    assert _shuffles(pw) == 1, pw[:1500]
+    assert "BroadcastExchange" in pw, pw[:1500]
