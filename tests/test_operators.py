@@ -2484,3 +2484,61 @@ def test_behavior_fingerprints_contracts(spark):
     # externally reproducible: plain hashlib over the joined sequence
     assert got.loc[4, "behavior_fp"] == hashlib.md5(b"a b").hexdigest()
     assert got.loc[3, "behavior_fp"] == hashlib.md5(b"a \x01 b").hexdigest()
+
+
+def test_group_moments_merge_equals_one_pass(spark):
+    """A17: the exact mergeable moments profile — numpy parity on every
+    statistic, NULLs counted but weightless, and merge of per-batch
+    profiles bit-equal to the one-pass profile (integer sums are
+    order-independent, so this is exact, not approximate)."""
+    from tgist_features_spark.operators.aggregates import (
+        group_moments,
+        merge_group_moments,
+    )
+
+    rng = np.random.default_rng(131)
+    vals = np.round(rng.normal(50, 20, 3000), 2)
+    pdf = pd.DataFrame({
+        "g": rng.choice(["a", "b", "c"], 3000),
+        "v": vals,
+    })
+    pdf.loc[rng.choice(3000, 150, replace=False), "v"] = None
+    df = spark.createDataFrame(pdf)
+    got = (
+        group_moments(df, "v", ["g"], scale=100)
+        .toPandas().set_index("g").sort_index()
+    )
+    x = (pdf["v"] * 100).round()
+    for g, grp in pdf.groupby("g"):
+        xi = (grp["v"] * 100).round().dropna().astype("int64")
+        row = got.loc[g]
+        assert row["n_obs"] == len(xi)
+        assert row["n_null"] == grp["v"].isna().sum()
+        assert row["sum_x"] == xi.sum()
+        assert row["sumsq_x"] == (xi * xi).sum()
+        assert row["min_x"] == xi.min()
+        assert row["max_x"] == xi.max()
+        assert row["var_num"] == len(xi) * (xi * xi).sum() - xi.sum() ** 2
+    # all-NULL key: zero sums, NULL extrema, n_null counted
+    allnull = spark.createDataFrame(
+        pd.DataFrame({"g": ["z", "z"], "v": [None, None]}).astype(
+            {"v": "float64"})
+    )
+    z = group_moments(allnull, "v", ["g"], scale=100).first()
+    assert z["n_obs"] == 0 and z["n_null"] == 2
+    assert z["sum_x"] == 0 and z["sumsq_x"] == 0 and z["var_num"] == 0
+    assert z["min_x"] is None and z["max_x"] is None
+    # merge of three batches (one containing the all-NULL key) == one-pass
+    parts = [
+        group_moments(spark.createDataFrame(pdf.iloc[:1000]), "v", ["g"], 100),
+        group_moments(spark.createDataFrame(pdf.iloc[1000:]), "v", ["g"], 100),
+    ]
+    merged = (
+        merge_group_moments(parts, ["g"])
+        .toPandas().sort_values("g").reset_index(drop=True)
+    )
+    one_pass = (
+        group_moments(df, "v", ["g"], 100)
+        .toPandas().sort_values("g").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(merged, one_pass)

@@ -792,3 +792,80 @@ def group_heavy_hitters(
         counts.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
     )
+
+
+def group_moments(
+    df: DataFrame,
+    value_col: str,
+    key_cols: list[str],
+    scale: int = 100,
+) -> DataFrame:
+    """A17: per-key EXACT mergeable moments profile — (n_obs, n_null,
+    sum_x, sumsq_x, min_x, max_x, var_num) over fixed-point values
+    x = round(value * scale) as pure bigint. The exact third leg of the
+    incremental-datasheet trio: HLL sketches approximate distincts
+    (distinct_sketches), CMS approximates frequencies
+    (count_min_sketches); counts/sums/extrema/variance need NO
+    approximation to be mergeable — integer sums and min/max are
+    associative and order-independent, so per-batch profiles merged with
+    ``merge_group_moments`` equal the one-pass profile BIT FOR BIT
+    (tested), and the datasheet's mean/variance panel updates per ingest
+    batch without rescanning history.
+
+    var_num = n*sumsq - sum^2 is the exact variance numerator
+    (variance = var_num / n^2 / scale^2, left to the reading edge — the
+    division is where floats enter, so it stays out of the stored
+    profile). NULL values hold no weight in any statistic but are
+    COUNTED (n_null) — a drift in null-rate is itself a datasheet
+    signal; all-NULL keys keep sum/sumsq = 0 and min/max = NULL.
+
+    Overflow bound: n * sumsq must stay under 2^63 — at scale=100,
+    values in [-1e4, 1e4] give sumsq <= 1e12 per row, so ~3e6 rows per
+    key per batch at the extreme, far more for typical magnitudes;
+    merge adds bigint sums, so the same bound applies corpus-wide.
+    Widen by lowering ``scale`` when the domain is large.
+
+    Scale shape: ONE map-side-combinable hash aggregation (partial
+    combine makes per-partition state a handful of bigints per key);
+    output rows = distinct keys. Merge is a union + the same
+    aggregation over profile rows only — the raw history is never
+    re-read."""
+    x = F.round(F.col(value_col).cast("double") * F.lit(scale)).cast("bigint")
+    base = df.groupBy(*key_cols).agg(
+        F.count(x).cast("bigint").alias("n_obs"),
+        (F.count(F.lit(1)) - F.count(x)).cast("bigint").alias("n_null"),
+        F.coalesce(F.sum(x), F.lit(0)).cast("bigint").alias("sum_x"),
+        F.coalesce(F.sum(x * x), F.lit(0)).cast("bigint").alias("sumsq_x"),
+        F.min(x).cast("bigint").alias("min_x"),
+        F.max(x).cast("bigint").alias("max_x"),
+    )
+    return base.withColumn(
+        "var_num", F.col("n_obs") * F.col("sumsq_x") - F.col("sum_x") * F.col("sum_x")
+    )
+
+
+def merge_group_moments(
+    profiles: list[DataFrame], key_cols: list[str]
+) -> DataFrame:
+    """Merge per-batch moments profiles built with the SAME (value_col,
+    scale): integer sums add, extrema take min/max (NULL-skipping, so a
+    batch with an all-NULL key merges cleanly), var_num is recomputed
+    from the merged sums. Bit-equal to the one-pass profile over the
+    concatenated input — the same posture as merge_count_min_sketches,
+    with parameter agreement the caller's contract."""
+    if not profiles:
+        raise ValueError("merge_group_moments: need at least one profile")
+    out = profiles[0]
+    for p in profiles[1:]:
+        out = out.unionByName(p)
+    merged = out.groupBy(*key_cols).agg(
+        F.sum("n_obs").cast("bigint").alias("n_obs"),
+        F.sum("n_null").cast("bigint").alias("n_null"),
+        F.sum("sum_x").cast("bigint").alias("sum_x"),
+        F.sum("sumsq_x").cast("bigint").alias("sumsq_x"),
+        F.min("min_x").cast("bigint").alias("min_x"),
+        F.max("max_x").cast("bigint").alias("max_x"),
+    )
+    return merged.withColumn(
+        "var_num", F.col("n_obs") * F.col("sumsq_x") - F.col("sum_x") * F.col("sum_x")
+    )

@@ -3238,6 +3238,36 @@ FROM events GROUP BY user_id
 """
 
 
+def q_moments(spark, sf):
+    """Per-event-type exact moments profile (round 6): (n_obs, n_null,
+    sum, sumsq, min, max, var_num) over round(value*100) as pure bigint
+    — the MERGEABLE exact panel of the corpus datasheet (per-batch
+    profiles merged with merge_group_moments are bit-equal to this
+    one-pass form; operators/aggregates.py group_moments)."""
+    from tgist_features_spark.operators.aggregates import group_moments
+
+    e = _t(spark, sf, "events").select("event_type", "value")
+    return group_moments(e, "value", ["event_type"], scale=100)
+
+
+SQL_MOMENTS = """
+WITH s AS (
+  SELECT event_type, round(value * 100)::BIGINT AS x FROM events),
+b AS (
+  SELECT event_type,
+         COUNT(x)::BIGINT AS n_obs,
+         (COUNT(*) - COUNT(x))::BIGINT AS n_null,
+         COALESCE(SUM(x), 0)::BIGINT AS sum_x,
+         COALESCE(SUM(x * x), 0)::BIGINT AS sumsq_x,
+         MIN(x)::BIGINT AS min_x,
+         MAX(x)::BIGINT AS max_x
+  FROM s GROUP BY event_type)
+SELECT event_type, n_obs, n_null, sum_x, sumsq_x, min_x, max_x,
+       (n_obs * sumsq_x - sum_x * sum_x)::BIGINT AS var_num
+FROM b
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- first 50 keys = the driver correctness window (driver caps
     # its oracle run at 50 keys, in order). Round-6 rotation: the 4
@@ -3323,6 +3353,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "heavy_hitters": q_heavy_hitters,
     "time_weighted_avg": q_time_weighted_avg,
     "behavior_fp": q_behavior_fp,
+    "moments": q_moments,
     "embed_near_dup": q_embed_near_dup,
     "train_split": q_train_split,
     "group_sample": q_group_sample,
@@ -3459,6 +3490,7 @@ ORACLES: dict[str, str] = {
     "heavy_hitters": SQL_HEAVY_HITTERS,
     "time_weighted_avg": SQL_TIME_WEIGHTED_AVG,
     "behavior_fp": SQL_BEHAVIOR_FP,
+    "moments": SQL_MOMENTS,
     "embed_near_dup": SQL_EMBED_NEAR_DUP,
     "grouping_sets": SQL_GROUPING_SETS,
     "sql_shipping": SQL_SQL_SHIPPING,
