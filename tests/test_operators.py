@@ -2542,3 +2542,45 @@ def test_group_moments_merge_equals_one_pass(spark):
         .toPandas().sort_values("g").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(merged, one_pass)
+
+
+def test_triangle_enumerate_matches_bruteforce(spark):
+    """G3: degree-oriented triangle enumeration equals the O(n^3) brute
+    force on a random graph, counts each triangle exactly once on a
+    hub graph (the skew case the orientation bounds), and returns
+    ascending id triples."""
+    from itertools import combinations
+
+    from tgist_features_spark.operators.components import triangle_enumerate
+
+    rng = np.random.default_rng(137)
+    n = 60
+    pairs = list(combinations(range(n), 2))
+    chosen = [pairs[i] for i in rng.choice(len(pairs), 300, replace=False)]
+    # add reversed duplicates + self-loops: must be canonicalized away
+    rows = ([(a, b) for a, b in chosen]
+            + [(b, a) for a, b in chosen[:50]]
+            + [(i, i) for i in range(5)])
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["src", "dst"]))
+    got = sorted(
+        tuple(r) for r in triangle_enumerate(df).toPandas().itertuples(
+            index=False)
+    )
+    eset = set(chosen)
+    want = sorted(
+        (a, b, c) for a, b, c in combinations(range(n), 3)
+        if (a, b) in eset and (b, c) in eset and (a, c) in eset
+    )
+    assert got == want and len(want) > 10
+    for a, b, c in got:
+        assert a < b < c
+    # hub graph: star center 0 + a rim cycle -> every rim edge closes
+    # exactly one triangle through the hub; no duplicates
+    m = 40
+    star = [(0, i) for i in range(1, m + 1)]
+    rim = [(i, i + 1) for i in range(1, m)] + [(m, 1)]
+    hub = spark.createDataFrame(
+        pd.DataFrame(star + rim, columns=["src", "dst"]))
+    tri = triangle_enumerate(hub).toPandas()
+    assert len(tri) == m  # one triangle per rim edge, counted once
+    assert (tri["a"] == 0).all()

@@ -198,3 +198,76 @@ def connected_components(
             jpath = jvm.org.apache.hadoop.fs.Path(run_dir)
             fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
             fs.delete(jpath, True)
+
+
+def triangle_enumerate(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """G3: exact triangle enumeration over an undirected simple graph —
+    the clustering-coefficient / community-density primitive a duplicate-
+    cluster or interaction graph gets profiled with (a pair relation
+    says WHO is connected; triangles say how CLIQUE-LIKE the
+    neighborhoods are, the standard spam/botnet/community signal).
+
+    Algorithm: degree-ordered orientation (the classic distributed
+    triangle bound). Canonicalize edges to a < b and dedupe; orient
+    every edge from its (degree, id)-smaller endpoint to the larger.
+    Every triangle then has exactly ONE vertex with two out-edges (its
+    orientation-minimum), so enumerating wedges u->v, u->w with
+    (deg,id)(v) < (deg,id)(w) and semi-joining the closing oriented
+    edge v->w yields each triangle exactly once — no post-dedup pass.
+
+    Scale shape: orientation bounds every vertex's OUT-degree by
+    O(sqrt(2m)) — a hub with 10^7 neighbors contributes no wedges
+    beyond what its sqrt-bounded out-list allows, so total wedge volume
+    is O(m^1.5) (Schank/Wagner bound), the join keys are plain node
+    ids, and every step is an equi-join + hash aggregation Catalyst
+    shuffles on — no caps, no salting needed: the orientation IS the
+    skew handling. Output: one row per triangle as the ascending
+    (a, b, c) id triple.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).cast("bigint").alias("a"),
+            F.greatest(F.col(src), F.col(dst)).cast("bigint").alias("b"),
+        )
+        .filter(F.col("a") < F.col("b"))  # drops self-loops and NULLs
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    )
+    keyed = (
+        e.join(deg.withColumnRenamed("v", "a").withColumnRenamed("deg", "da"), "a")
+        .join(deg.withColumnRenamed("v", "b").withColumnRenamed("deg", "db"), "b")
+    )
+    lower_is_a = F.struct(F.col("da"), F.col("a")) < F.struct(F.col("db"), F.col("b"))
+    oriented = keyed.select(
+        F.when(lower_is_a, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lower_is_a, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(lower_is_a, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    )
+    x, y = oriented.alias("x"), oriented.alias("y")
+    wedges = (
+        x.join(y, F.col("x.u") == F.col("y.u"))
+        .filter(
+            F.struct(F.col("x.dv"), F.col("x.v"))
+            < F.struct(F.col("y.dv"), F.col("y.v"))
+        )
+        .select(
+            F.col("x.u").alias("w0"),
+            F.col("x.v").alias("w1"),
+            F.col("y.v").alias("w2"),
+        )
+    )
+    closing = oriented.select(
+        F.col("u").alias("w1"), F.col("v").alias("w2")
+    )
+    tri = wedges.join(closing, ["w1", "w2"], "leftsemi")
+    triple = F.array_sort(F.array("w0", "w1", "w2"))
+    return tri.select(
+        triple[0].alias("a"), triple[1].alias("b"), triple[2].alias("c")
+    )

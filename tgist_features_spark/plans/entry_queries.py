@@ -3268,6 +3268,70 @@ FROM b
 """
 
 
+def q_triangles(spark, sf):
+    """Exact triangle enumeration (round 6): degree-ordered orientation
+    over a deterministic md5-synthesized interaction graph on the event
+    users (6 pseudo-random neighbors per user — both engines reproduce
+    the identical edge set from the same md5 arithmetic, so the oracle
+    is an exhaustive three-way self-join). The ORIENTATION is the scale
+    story: out-degrees are sqrt-bounded so hub users never fan out
+    (operators/components.py triangle_enumerate). The global row_number
+    here only numbers the |V|-row node relation of the SYNTHETIC
+    benchmark graph — the operator itself takes any edge relation."""
+    from tgist_features_spark.operators.components import triangle_enumerate
+
+    nodes = _t(spark, sf, "events").select("user_id").distinct()
+    num = nodes.select(
+        (F.row_number().over(Window.orderBy("user_id")) - 1)
+        .cast("bigint")
+        .alias("rid")
+    )
+    n = num.agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    gen = (
+        num.crossJoin(F.broadcast(n))
+        .withColumn("j", F.explode(F.sequence(F.lit(1), F.lit(6))))
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("rid").cast("string"),
+                    F.lit("tri"),
+                    F.col("j").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    edges = gen.select(
+        F.col("rid").alias("src"),
+        F.pmod(h, F.col("__n")).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    return triangle_enumerate(edges, "src", "dst")
+
+
+SQL_TRIANGLES = """
+WITH nodes AS (SELECT DISTINCT user_id FROM events),
+num AS (SELECT (row_number() OVER (ORDER BY user_id) - 1)::BIGINT AS rid
+        FROM nodes),
+cnt AS (SELECT COUNT(*)::BIGINT AS n FROM num),
+gen AS (SELECT rid, unnest(range(1, 7)) AS j FROM num),
+raw AS (SELECT rid,
+        (('0x' || substr(md5(rid::VARCHAR || 'tri' || j::VARCHAR), 1, 15))
+         ::UBIGINT % (SELECT n FROM cnt))::BIGINT AS nid
+        FROM gen),
+e AS (SELECT DISTINCT least(rid, nid) AS a, greatest(rid, nid) AS b
+      FROM raw WHERE rid <> nid)
+SELECT e1.a AS a, e1.b AS b, e2.b AS c
+FROM e e1
+JOIN e e2 ON e2.a = e1.b
+JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- first 50 keys = the driver correctness window (driver caps
     # its oracle run at 50 keys, in order). Round-6 rotation: the 4
@@ -3354,6 +3418,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "time_weighted_avg": q_time_weighted_avg,
     "behavior_fp": q_behavior_fp,
     "moments": q_moments,
+    "triangles": q_triangles,
     "embed_near_dup": q_embed_near_dup,
     "train_split": q_train_split,
     "group_sample": q_group_sample,
@@ -3491,6 +3556,7 @@ ORACLES: dict[str, str] = {
     "time_weighted_avg": SQL_TIME_WEIGHTED_AVG,
     "behavior_fp": SQL_BEHAVIOR_FP,
     "moments": SQL_MOMENTS,
+    "triangles": SQL_TRIANGLES,
     "embed_near_dup": SQL_EMBED_NEAR_DUP,
     "grouping_sets": SQL_GROUPING_SETS,
     "sql_shipping": SQL_SQL_SHIPPING,
