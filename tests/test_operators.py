@@ -2584,3 +2584,81 @@ def test_triangle_enumerate_matches_bruteforce(spark):
     tri = triangle_enumerate(hub).toPandas()
     assert len(tri) == m  # one triangle per rim edge, counted once
     assert (tri["a"] == 0).all()
+
+
+def test_zorder_layout_interleave_and_skipping(spark, tmp_path):
+    """S12: zkey matches the Python bit-interleave reference; NULL and
+    out-of-range inputs are refused in-plan; and the layout evidence —
+    a Z-ordered write keeps parquet file min/max spans tight in BOTH
+    dimensions, so a predicate on the NON-leading dimension prunes
+    files that a single-column sort layout cannot skip at all."""
+    import pyarrow.parquet as pq
+    import pyspark.errors
+
+    from tgist_features_spark.operators.ordering import zorder_layout
+
+    def ref(x, y, bits=21):
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i) | ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    rng = np.random.default_rng(139)
+    side = 1 << 10
+    pdf = pd.DataFrame({
+        "x": rng.integers(0, side, 4096),
+        "y": rng.integers(0, side, 4096),
+    })
+    out = zorder_layout(spark.createDataFrame(pdf), "x", "y",
+                        bits=10, num_partitions=16)
+    got = out.toPandas()
+    for _, r in got.sample(200, random_state=0).iterrows():
+        assert r["zkey"] == ref(int(r["x"]), int(r["y"]), 10)
+    # refusals: NULL fires its own branch; out-of-range fires the other
+    bad = spark.createDataFrame(pd.DataFrame({"x": [None], "y": [1]},
+                                             dtype="object"))
+    for frame in (
+        bad,
+        spark.createDataFrame(pd.DataFrame({"x": [side], "y": [1]})),
+    ):
+        try:
+            zorder_layout(frame, "x", "y", bits=10).collect()
+            raise AssertionError("zorder_key accepted invalid input")
+        except pyspark.errors.PySparkException:
+            pass
+    # layout evidence: same data written z-ordered vs x-sorted
+    zdir, xdir = str(tmp_path / "z"), str(tmp_path / "xsort")
+    out.write.parquet(zdir)
+    (spark.createDataFrame(pdf).repartitionByRange(16, "x")
+     .sortWithinPartitions("x").write.parquet(xdir))
+
+    def file_spans(d, col):
+        spans = []
+        for f in sorted(str(p) for p in __import__("pathlib").Path(
+                d).glob("*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            lo, hi = None, None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(
+                    [c.path_in_schema for c in
+                     [md.row_group(rg).column(i)
+                      for i in range(md.row_group(rg).num_columns)]
+                     ].index(col)).statistics
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            spans.append((lo, hi))
+        return spans
+
+    ylo, yhi = 100, 150  # narrow predicate on the non-leading dim
+    z_hit = sum(1 for lo, hi in file_spans(zdir, "y")
+                if not (hi < ylo or lo > yhi))
+    x_hit = sum(1 for lo, hi in file_spans(xdir, "y")
+                if not (hi < ylo or lo > yhi))
+    n_z = len(file_spans(zdir, "y"))
+    assert x_hit == len(file_spans(xdir, "y"))  # x-sort cannot prune on y
+    assert z_hit < n_z  # z-order DOES prune on y
+    # and the z layout still prunes on x too (both dims stay tight)
+    xlo, xhi = 100, 150
+    zx_hit = sum(1 for lo, hi in file_spans(zdir, "x")
+                 if not (hi < xlo or lo > xhi))
+    assert zx_hit < n_z

@@ -3332,6 +3332,34 @@ JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
 """
 
 
+def q_zorder(spark, sf):
+    """Z-order layout keys (round 6): Morton interleave of
+    (n_chars, doc_id mod 2^21) per document — the two-dimensional
+    clustering key whose sorted layout keeps file min/max spans tight
+    in BOTH dimensions (operators/ordering.py zorder_key; pure integer
+    bit arithmetic, recomputed bit-for-bit by the SQL oracle)."""
+    from tgist_features_spark.operators.ordering import zorder_layout
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.col("n_chars").alias("x"),
+        F.pmod(F.col("doc_id"), F.lit(1 << 21)).cast("bigint").alias("y"),
+    )
+    return zorder_layout(d, "x", "y", bits=21).select("doc_id", "zkey")
+
+
+SQL_ZORDER = """
+WITH v AS (
+  SELECT doc_id, n_chars AS x, (doc_id % 2097152)::BIGINT AS y
+  FROM documents),
+b AS (SELECT doc_id, x, y, unnest(range(0, 21)) AS i FROM v)
+SELECT doc_id,
+       SUM((((x >> i) & 1) << (2 * i)) +
+           (((y >> i) & 1) << (2 * i + 1)))::BIGINT AS zkey
+FROM b GROUP BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- first 50 keys = the driver correctness window (driver caps
     # its oracle run at 50 keys, in order). Round-6 rotation: the 4
@@ -3419,6 +3447,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "behavior_fp": q_behavior_fp,
     "moments": q_moments,
     "triangles": q_triangles,
+    "zorder": q_zorder,
     "embed_near_dup": q_embed_near_dup,
     "train_split": q_train_split,
     "group_sample": q_group_sample,
@@ -3557,6 +3586,7 @@ ORACLES: dict[str, str] = {
     "behavior_fp": SQL_BEHAVIOR_FP,
     "moments": SQL_MOMENTS,
     "triangles": SQL_TRIANGLES,
+    "zorder": SQL_ZORDER,
     "embed_near_dup": SQL_EMBED_NEAR_DUP,
     "grouping_sets": SQL_GROUPING_SETS,
     "sql_shipping": SQL_SQL_SHIPPING,
