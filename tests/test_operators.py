@@ -2662,3 +2662,50 @@ def test_zorder_layout_interleave_and_skipping(spark, tmp_path):
     zx_hit = sum(1 for lo, hi in file_spans(zdir, "x")
                  if not (hi < xlo or lo > xhi))
     assert zx_hit < n_z
+
+
+def test_tf_cosine_pairs_matches_bruteforce(spark):
+    """D17: TF-cosine pairs equal the numpy brute force under the same
+    candidate rule (shared term with df <= max_df), the integer
+    threshold test matches float cosine, and repetition WEIGHT changes
+    the answer where set-based Jaccard cannot see a difference."""
+    from collections import Counter
+
+    from tgist_features_spark.operators.dedup import tf_cosine_pairs
+
+    docs = {
+        1: "a b a b a b x1",       # heavy repetition of "a b"
+        2: "a b a b a b x2",       # same phrase, repeated: high cosine
+        3: "a b c d e f x3",       # same SET overlap with 1 on {a,b}
+        4: "q r s t u v w",        # disjoint
+        5: "q r s t u v w",        # identical to 4
+    }
+    rows = [(i, t) for i, txt in docs.items() for t in txt.split()]
+    rel = spark.createDataFrame(pd.DataFrame(rows, columns=["id", "term"]))
+    thr, mdf = 80, 4
+    got = {
+        (r["a"], r["b"]): (r["dot"], r["n2_a"], r["n2_b"])
+        for r in tf_cosine_pairs(rel, "id", "term", thr, mdf).collect()
+    }
+    tfs = {i: Counter(t.split()) for i, t in docs.items()}
+    dfs = Counter(t for c in tfs.values() for t in c)
+    want = {}
+    ids = sorted(docs)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            shared_rare = [t for t in tfs[a] if t in tfs[b] and dfs[t] <= mdf]
+            if not shared_rare:
+                continue
+            dot = sum(tfs[a][t] * tfs[b][t] for t in tfs[a] if t in tfs[b])
+            n2a = sum(v * v for v in tfs[a].values())
+            n2b = sum(v * v for v in tfs[b].values())
+            if dot * dot * 10_000 >= thr * thr * n2a * n2b:
+                want[(a, b)] = (dot, n2a, n2b)
+                # the integer test agrees with the float cosine
+                assert dot / (n2a * n2b) ** 0.5 >= thr / 100 - 1e-12
+    assert got == want
+    # the weighted signal: (1,2) passes on repetition; (1,3) shares the
+    # same term SET prefix but fails the weighted threshold
+    assert (1, 2) in got and (1, 3) not in got
+    assert (4, 5) in got  # identical docs always pass

@@ -1266,3 +1266,84 @@ def behavior_fingerprints(
         F.md5(seq).alias("behavior_fp"),
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
     )
+
+
+def tf_cosine_pairs(
+    terms: DataFrame,
+    id_col: str,
+    term_col: str,
+    threshold_pct: int = 60,
+    max_df: int = 10,
+) -> DataFrame:
+    """D17: all-pairs WEIGHTED similarity over term-frequency vectors —
+    the TF-cosine counterpart to the set-based n-gram Jaccard (D4): two
+    docs repeating the same phrases score high even when their term
+    SETS overlap modestly, which is exactly the boilerplate/template
+    signal set similarity under-weights.
+
+    Input is an exploded (id, term) occurrence relation (one row per
+    occurrence — the operator builds the TF vectors); output is
+    (a, b, dot, n2_a, n2_b) for every discovered pair with
+    cos(a, b) >= threshold_pct/100, all EXACT bigints: the cosine test
+    is evaluated as dot^2 * 10^4 >= thr^2 * n2_a * n2_b (dot >= 0
+    always — TFs are non-negative), so no float, no sqrt, bitwise
+    reproducible in any engine.
+
+    Discovery contract (the inverted-index bound): candidate pairs come
+    ONLY from terms with df <= max_df — candidate volume is bounded by
+    sum over rare terms of C(df, 2) <= max_df/2 * (rare posting rows),
+    and hot terms are diverted entirely (a df-10^7 stopword generates
+    zero join fan-out at any corpus size — the same divert discipline
+    as span stats' max_df). A pair sharing ONLY hot terms is not
+    discovered: documented recall bound, the right trade for near-dup
+    mining where shared RARE phrases are the signal. Scoring, however,
+    is exact over the FULL vectors (hot terms included) for every
+    discovered pair. The oracle mirrors the same candidate rule, so
+    rows match hash-for-hash.
+    """
+    if threshold_pct < 1 or threshold_pct > 100:
+        raise ValueError("tf_cosine_pairs: threshold_pct in [1, 100]")
+    if max_df < 2:
+        raise ValueError("tf_cosine_pairs: max_df must be >= 2")
+    tf_rel = terms.groupBy(
+        F.col(id_col).alias("id"), F.col(term_col).alias("term")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    n2 = tf_rel.groupBy("id").agg(
+        F.sum(F.col("tf") * F.col("tf")).cast("bigint").alias("n2")
+    )
+    rare = (
+        tf_rel.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("term")
+    )
+    posts = tf_rel.join(rare, "term").select("term", "id")
+    cand = (
+        posts.alias("pa")
+        .join(posts.alias("pb"), "term")
+        .filter(F.col("pa.id") < F.col("pb.id"))
+        .select(F.col("pa.id").alias("a"), F.col("pb.id").alias("b"))
+        .distinct()
+    )
+    ta = tf_rel.select(
+        F.col("id").alias("a"), F.col("term").alias("t"), F.col("tf").alias("tfa")
+    )
+    tb = tf_rel.select(
+        F.col("id").alias("b"), F.col("term").alias("t"), F.col("tf").alias("tfb")
+    )
+    dot = (
+        cand.join(ta, "a")
+        .join(tb, ["b", "t"])
+        .groupBy("a", "b")
+        .agg(F.sum(F.col("tfa") * F.col("tfb")).cast("bigint").alias("dot"))
+    )
+    thr2 = threshold_pct * threshold_pct
+    return (
+        dot.join(n2.withColumnRenamed("id", "a").withColumnRenamed("n2", "n2_a"), "a")
+        .join(n2.withColumnRenamed("id", "b").withColumnRenamed("n2", "n2_b"), "b")
+        .filter(
+            F.col("dot") * F.col("dot") * F.lit(10_000)
+            >= F.lit(thr2) * F.col("n2_a") * F.col("n2_b")
+        )
+        .select("a", "b", "dot", "n2_a", "n2_b")
+    )

@@ -3360,6 +3360,82 @@ FROM b GROUP BY doc_id
 """
 
 
+def q_tf_cosine(spark, sf):
+    """All-pairs TF-cosine near-dup pairs (round 6): word-trigram
+    term-frequency vectors, inverted-index discovery bounded to terms
+    with df <= 10, cosine >= 0.6 tested as exact integer cross-products
+    (operators/dedup.py tf_cosine_pairs — the weighted counterpart to
+    set-based ngram_jaccard; hot terms diverted from candidate
+    generation, scored exactly for discovered pairs)."""
+    from tgist_features_spark.operators.dedup import tf_cosine_pairs
+
+    toks = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.filter(
+            F.transform(
+                F.split(F.lower(F.col("text")), " "),
+                lambda t: F.regexp_replace(t, "[^a-z0-9]", ""),
+            ),
+            lambda t: t != "",
+        ).alias("ts"),
+    )
+    grams = toks.select(
+        "doc_id",
+        F.when(
+            F.size("ts") >= 3,
+            F.transform(
+                F.sequence(F.lit(0), F.size("ts") - 3),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.col("ts")[i],
+                    F.col("ts")[i + 1],
+                    F.col("ts")[i + 2],
+                ),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("gs"),
+    )
+    rel = (
+        grams.select("doc_id", F.explode_outer("gs").alias("gram"))
+        .filter(F.col("gram").isNotNull())
+    )
+    return tf_cosine_pairs(rel, "doc_id", "gram", threshold_pct=60, max_df=10)
+
+
+SQL_TF_COSINE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(
+    list_transform(string_split(lower(text), ' '),
+                   t -> regexp_replace(t, '[^a-z0-9]', '', 'g')),
+    t -> t <> '') AS ts
+  FROM documents),
+g AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(ts) - 1),
+         i -> ts[i::INT] || ' ' || ts[(i+1)::INT] || ' ' || ts[(i+2)::INT]))
+         AS gram
+  FROM toks),
+tf AS (SELECT doc_id, gram, COUNT(*)::BIGINT AS tf FROM g GROUP BY 1, 2),
+n2 AS (SELECT doc_id, SUM(tf * tf)::BIGINT AS n2 FROM tf GROUP BY 1),
+rare AS (SELECT gram FROM (SELECT gram, COUNT(*)::BIGINT AS df FROM tf
+                           GROUP BY gram) WHERE df <= 10),
+posts AS (SELECT tf.gram, tf.doc_id FROM tf JOIN rare USING (gram)),
+cand AS (SELECT DISTINCT pa.doc_id AS a, pb.doc_id AS b
+         FROM posts pa JOIN posts pb ON pa.gram = pb.gram
+         WHERE pa.doc_id < pb.doc_id),
+dots AS (SELECT c.a, c.b, SUM(ta.tf * tb.tf)::BIGINT AS dot
+         FROM cand c
+         JOIN tf ta ON ta.doc_id = c.a
+         JOIN tf tb ON tb.doc_id = c.b AND tb.gram = ta.gram
+         GROUP BY c.a, c.b)
+SELECT d.a, d.b, d.dot, na.n2 AS n2_a, nb.n2 AS n2_b
+FROM dots d
+JOIN n2 na ON na.doc_id = d.a
+JOIN n2 nb ON nb.doc_id = d.b
+WHERE d.dot * d.dot * 10000 >= 3600 * na.n2 * nb.n2
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- first 50 keys = the driver correctness window (driver caps
     # its oracle run at 50 keys, in order). Round-6 rotation: the 4
@@ -3448,6 +3524,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "moments": q_moments,
     "triangles": q_triangles,
     "zorder": q_zorder,
+    "tf_cosine": q_tf_cosine,
     "embed_near_dup": q_embed_near_dup,
     "train_split": q_train_split,
     "group_sample": q_group_sample,
@@ -3587,6 +3664,7 @@ ORACLES: dict[str, str] = {
     "moments": SQL_MOMENTS,
     "triangles": SQL_TRIANGLES,
     "zorder": SQL_ZORDER,
+    "tf_cosine": SQL_TF_COSINE,
     "embed_near_dup": SQL_EMBED_NEAR_DUP,
     "grouping_sets": SQL_GROUPING_SETS,
     "sql_shipping": SQL_SQL_SHIPPING,
