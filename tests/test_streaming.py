@@ -676,3 +676,67 @@ def test_stateful_rolling_distinct_parity_with_batch(spark, tmp_path):
     )
     assert len(got) == len(want) == len(pdf)
     assert got.sort_index().equals(want.sort_index())
+
+
+def test_stream_profile_maintenance_equals_one_pass(spark, tmp_path):
+    """T12: per-batch profiles merged at read time equal the one-pass
+    batch profile BIT FOR BIT (moments) and estimate-for-estimate
+    (HLL), across micro-batch boundaries and a restart (marker no-op —
+    rerun must not double-count)."""
+    import numpy as np
+    import pandas as pd
+
+    from tgist_features_spark.operators.aggregates import (
+        distinct_sketches,
+        group_moments,
+    )
+    from tgist_features_spark.sources.table_io import TableIO
+    from tgist_features_spark.streaming.stream import (
+        read_current_profile,
+        stream_profile_writer,
+    )
+
+    src = tmp_path / "ev_src"
+    src.mkdir()
+    rng = np.random.default_rng(149)
+    full = pd.DataFrame({
+        "k": rng.choice(["a", "b"], 600),
+        "v": np.round(rng.normal(10, 3, 600), 2),
+        "u": rng.integers(0, 80, 600),
+    })
+    full.loc[rng.choice(600, 30, replace=False), "v"] = None
+    for i, lo in enumerate(range(0, 600, 200)):
+        full.iloc[lo:lo + 200].to_parquet(src / f"f{i}.parquet")
+
+    io_ = TableIO(spark, str(tmp_path / "wh"))
+    stream = (
+        spark.readStream.schema("k string, v double, u long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+
+    def run_once():
+        q = stream_profile_writer(
+            stream, io_, "v", ["k"], distinct_col="u"
+        ).trigger(availableNow=True).start()
+        q.awaitTermination(120)
+
+    run_once()
+    moments, hll = read_current_profile(spark, io_, ["k"])
+    got = moments.toPandas().sort_values("k").reset_index(drop=True)
+    want = (
+        group_moments(spark.createDataFrame(full), "v", ["k"])
+        .toPandas().sort_values("k").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    got_est = hll.toPandas().set_index("k")["est"].sort_index()
+    want_est = (
+        distinct_sketches(spark.createDataFrame(full), ["k"], "u")
+        .toPandas().set_index("k")["est"].sort_index()
+    )
+    assert got_est.tolist() == want_est.tolist()
+    # restart over the same source: markers + checkpoint make it a no-op
+    run_once()
+    again, _ = read_current_profile(spark, io_, ["k"])
+    pd.testing.assert_frame_equal(
+        again.toPandas().sort_values("k").reset_index(drop=True), want)

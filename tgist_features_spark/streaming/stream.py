@@ -787,3 +787,102 @@ def stateful_rolling_distinct(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+PROFILE_MOMENTS_TABLE = "profile_moments"
+PROFILE_HLL_TABLE = "profile_hll"
+
+
+def stream_profile_writer(
+    stream: DataFrame,
+    io,
+    value_col: str,
+    key_cols: list[str],
+    distinct_col: str | None = None,
+    scale: int = 100,
+    lg_k: int = 12,
+    checkpoint: str | None = None,
+):
+    """T12: incremental corpus-datasheet maintenance — every micro-batch
+    writes its own per-key moments profile (group_moments: exact
+    mergeable bigint sums/extrema) and, optionally, its HLL distinct
+    sketches, each into an ``ingest_batch``-partitioned table. The
+    CURRENT datasheet is obtained by merging the tiny per-batch profile
+    rows (``read_current_profile``) — never by rescanning ingested
+    history, which is the entire point at 100 TB: profile maintenance
+    cost is O(batch), read cost is O(batches x keys).
+
+    Exactly-once under retries comes from the storage shape, not from
+    merge bookkeeping: additive merge is NOT idempotent (a re-added
+    batch double-counts), so batches are never merged INTO a running
+    total on the write path — each batch owns its partition and a retry
+    dynamic-OVERWRITES it (the stream_dedup_writer discipline). The
+    merge happens at READ time, where merge==one-pass exactness is the
+    tested property of the profile operators."""
+    import os  # noqa: PLC0415
+
+    from tgist_features_spark.operators.aggregates import (  # noqa: PLC0415
+        distinct_sketches,
+        group_moments,
+    )
+
+    ckpt = checkpoint or io.path("_profile_ckpt")
+    marker_dir = os.path.join(ckpt, "_batch_markers")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(marker_dir, f"batch_{batch_id}")
+        if os.path.exists(marker):
+            return
+        moments = group_moments(batch_df, value_col, key_cols, scale)
+        (
+            moments.withColumn("ingest_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch")
+            .parquet(io.path(PROFILE_MOMENTS_TABLE))
+        )
+        if distinct_col is not None:
+            sk = distinct_sketches(batch_df, key_cols, distinct_col, lg_k)
+            (
+                sk.withColumn("ingest_batch", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("ingest_batch")
+                .parquet(io.path(PROFILE_HLL_TABLE))
+            )
+        os.makedirs(marker_dir, exist_ok=True)
+        open(marker, "w").close()
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+    )
+
+
+def read_current_profile(
+    spark: SparkSession, io, key_cols: list[str]
+) -> tuple[DataFrame, DataFrame | None]:
+    """The read side of T12: merge all per-batch profile partitions into
+    the current datasheet — (moments, hll_or_None). Bit-equal to the
+    one-pass profile over everything ingested (the merge==one-pass
+    property of group_moments / distinct_sketches), at the cost of
+    reading only profile rows."""
+    from tgist_features_spark.operators.aggregates import (  # noqa: PLC0415
+        merge_distinct_sketches,
+        merge_group_moments,
+    )
+
+    moments = merge_group_moments(
+        [spark.read.parquet(io.path(PROFILE_MOMENTS_TABLE)).drop("ingest_batch")],
+        key_cols,
+    )
+    hll = None
+    if io.exists(PROFILE_HLL_TABLE):
+        hll = merge_distinct_sketches(
+            spark.read.parquet(io.path(PROFILE_HLL_TABLE)).drop(
+                "ingest_batch", "est"
+            ),
+            key_cols,
+        )
+    return moments, hll
