@@ -136,3 +136,55 @@ def test_resample_ffill_matches_pandas(spark):
         got.astype({"is_gap": "int64"}), ref.astype({"is_gap": "int64"})
     )
     assert got[got.user_id == 9]["value"].iloc[0] == 2.0  # tiebreak: larger event_id
+
+
+def test_ohlc_buckets_matches_pandas(spark):
+    """W18: OHLC panel equals a pandas reference; ties on the timestamp
+    resolve by the tiebreak column (pinned); NULL values are weightless
+    but counted, and an all-NULL bucket keeps its row with NULL
+    o/h/l/c."""
+    import numpy as np
+    import pandas as pd
+
+    from tgist_features_spark.operators.windows import ohlc_buckets
+
+    rng = np.random.default_rng(151)
+    n = 2000
+    base = 1_700_000_000
+    pdf = pd.DataFrame({
+        "event_id": np.arange(n),
+        "e": rng.choice(["u1", "u2"], n),
+        # coarse second grid forces duplicate timestamps -> tie rule
+        "ts": pd.to_datetime(
+            base + rng.integers(0, 7200, n) // 10 * 10, unit="s"),
+        "v": np.round(rng.normal(5, 2, n), 2),
+    })
+    pdf.loc[rng.choice(n, 100, replace=False), "v"] = None
+    # one bucket that is entirely NULL
+    allnull_ts = pd.to_datetime(base + 4 * 3600, unit="s")
+    pdf = pd.concat([pdf, pd.DataFrame({
+        "event_id": [n, n + 1], "e": ["u1", "u1"],
+        "ts": [allnull_ts, allnull_ts], "v": [None, None]})],
+        ignore_index=True)
+    got = (
+        ohlc_buckets(spark.createDataFrame(pdf), "e", "ts", "v",
+                     "event_id", interval_s=3600, scale=100)
+        .toPandas().set_index(["e", "bucket"]).sort_index()
+    )
+    pdf["x"] = (pdf["v"] * 100).round()
+    pdf["u"] = pdf["ts"].astype("int64") // 1000
+    pdf["bucket"] = pdf["u"] // 3_600_000_000
+    for (e, b), grp in pdf.groupby(["e", "bucket"]):
+        row = got.loc[(e, b)]
+        nn = grp.dropna(subset=["x"]).sort_values(["u", "event_id"])
+        assert row["n_obs"] == len(nn)
+        assert row["n_null"] == grp["x"].isna().sum()
+        if len(nn):
+            assert row["open_x"] == nn.iloc[0]["x"]
+            assert row["close_x"] == nn.iloc[-1]["x"]
+            assert row["low_x"] == nn["x"].min()
+            assert row["high_x"] == nn["x"].max()
+        else:
+            assert pd.isna(row["open_x"]) and pd.isna(row["close_x"])
+            assert pd.isna(row["low_x"]) and pd.isna(row["high_x"])
+    assert len(got) == pdf.groupby(["e", "bucket"]).ngroups

@@ -766,3 +766,53 @@ def time_weighted_avg(
         (F.max("__u") - F.min("__u")).cast("bigint").alias("twa_den"),
         F.count(F.lit(1)).cast("bigint").alias("n_obs"),
     )
+
+
+def ohlc_buckets(
+    df: DataFrame,
+    entity: str,
+    ts_col: str,
+    value_col: str,
+    order_tiebreak: str,
+    interval_s: int = 3600,
+    scale: int = 100,
+) -> DataFrame:
+    """W18: per-(entity, time-bucket) open/high/low/close panel — the
+    candlestick compression a telemetry or engagement stream gets rolled
+    into before charting/modeling ("first and last reading each hour,
+    plus extrema and volume"). Values are fixed-point bigints
+    (round(value*scale)); open/close carry a PINNED deterministic tie
+    rule — the value at the least/greatest (ts, tiebreak) — so two
+    events on the same microsecond cannot flip the panel between runs
+    or engines.
+
+    NULL values are excluded from all four statistics but counted
+    (n_null); a bucket whose every value is NULL keeps the row (the
+    gap is visible) with NULL o/h/l/c.
+
+    Scale shape: ONE map-side-combinable hash aggregation on
+    (entity, bucket) — min_by/max_by over a (ts, tiebreak) struct keep
+    open/close inside the same partial-aggregate pass as the extrema;
+    no window, no sort, no second shuffle."""
+    x = F.round(F.col(value_col).cast("double") * F.lit(scale)).cast("bigint")
+    w_us = interval_s * 1_000_000
+    # (a - pmod(a, n)) div n == floor(a / n) for any sign, pure bigint
+    # (the ADVICE floor-div pattern — no double '/')
+    bucket = F.expr(f"(__us - pmod(__us, {w_us})) div {w_us}")
+    ordkey = F.struct(F.col("__us").alias("u"), F.col(order_tiebreak).alias("t"))
+    # NULL values must not win min_by/max_by: guard the key so NULL-value
+    # rows sort behind every real observation
+    guarded = F.when(x.isNotNull(), ordkey)
+    return (
+        df.withColumn("__x", x)
+        .withColumn("__us", us(ts_col))
+        .groupBy(F.col(entity), bucket.alias("bucket"))
+        .agg(
+            F.min_by("__x", guarded).alias("open_x"),
+            F.max_by("__x", guarded).alias("close_x"),
+            F.min("__x").alias("low_x"),
+            F.max("__x").alias("high_x"),
+            F.count("__x").cast("bigint").alias("n_obs"),
+            (F.count(F.lit(1)) - F.count("__x")).cast("bigint").alias("n_null"),
+        )
+    )

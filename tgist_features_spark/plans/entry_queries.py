@@ -3436,6 +3436,48 @@ WHERE d.dot * d.dot * 10000 >= 3600 * na.n2 * nb.n2
 """
 
 
+def q_ohlc(spark, sf):
+    """Hourly OHLC panel per user (round 6): open/high/low/close over
+    round(value*100) bigints with the (ts, event_id) tie rule pinned —
+    one map-side-combinable aggregation, min_by/max_by keep open/close
+    inside the same pass as the extrema (operators/windows.py
+    ohlc_buckets)."""
+    from tgist_features_spark.operators.windows import ohlc_buckets
+
+    e = _t(spark, sf, "events").select("event_id", "user_id", "value", "ts")
+    return ohlc_buckets(e, "user_id", "ts", "value", "event_id",
+                        interval_s=3600, scale=100)
+
+
+SQL_OHLC = """
+WITH s AS (
+  SELECT user_id, event_id, epoch_us(ts) AS u,
+         round(value * 100)::BIGINT AS x,
+         (epoch_us(ts) // 3600000000)::BIGINT AS bucket
+  FROM events),
+base AS (
+  SELECT user_id, bucket,
+         MIN(x)::BIGINT AS low_x, MAX(x)::BIGINT AS high_x,
+         COUNT(x)::BIGINT AS n_obs,
+         (COUNT(*) - COUNT(x))::BIGINT AS n_null
+  FROM s GROUP BY 1, 2),
+nn AS (
+  SELECT user_id, bucket, x,
+         row_number() OVER (PARTITION BY user_id, bucket
+                            ORDER BY u, event_id) AS rf,
+         row_number() OVER (PARTITION BY user_id, bucket
+                            ORDER BY u DESC, event_id DESC) AS rl
+  FROM s WHERE x IS NOT NULL)
+SELECT b.user_id, b.bucket, f.x AS open_x, l.x AS close_x,
+       b.low_x, b.high_x, b.n_obs, b.n_null
+FROM base b
+LEFT JOIN (SELECT user_id, bucket, x FROM nn WHERE rf = 1) f
+  USING (user_id, bucket)
+LEFT JOIN (SELECT user_id, bucket, x FROM nn WHERE rl = 1) l
+  USING (user_id, bucket)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- first 50 keys = the driver correctness window (driver caps
     # its oracle run at 50 keys, in order). Round-6 rotation: the 4
@@ -3525,6 +3567,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "triangles": q_triangles,
     "zorder": q_zorder,
     "tf_cosine": q_tf_cosine,
+    "ohlc": q_ohlc,
     "embed_near_dup": q_embed_near_dup,
     "train_split": q_train_split,
     "group_sample": q_group_sample,
@@ -3665,6 +3708,7 @@ ORACLES: dict[str, str] = {
     "triangles": SQL_TRIANGLES,
     "zorder": SQL_ZORDER,
     "tf_cosine": SQL_TF_COSINE,
+    "ohlc": SQL_OHLC,
     "embed_near_dup": SQL_EMBED_NEAR_DUP,
     "grouping_sets": SQL_GROUPING_SETS,
     "sql_shipping": SQL_SQL_SHIPPING,
