@@ -2709,3 +2709,40 @@ def test_tf_cosine_pairs_matches_bruteforce(spark):
     # same term SET prefix but fails the weighted threshold
     assert (1, 2) in got and (1, 3) not in got
     assert (4, 5) in got  # identical docs always pass
+
+
+def test_borda_fuse_matches_reference(spark):
+    """X15: Borda fusion equals a Python reference — items missing from
+    one list take that list's per-query N+1 penalty, ties break on item
+    id, and the consensus item (mid-ranked in both) beats items a
+    single list loved but the other never saw."""
+    from tgist_features_spark.operators.similarity import borda_fuse
+
+    a_rows = [("q1", i, r) for r, i in enumerate([10, 11, 12, 13], 1)]
+    b_rows = [("q1", i, r) for r, i in enumerate([12, 11, 99, 98], 1)]
+    a_rows += [("q2", 5, 1), ("q2", 6, 2)]
+    b_rows += [("q2", 6, 1)]
+    ra = spark.createDataFrame(a_rows, ["q", "item", "rank"])
+    rb = spark.createDataFrame(b_rows, ["q", "item", "rank"])
+    got = borda_fuse(ra, rb, "q", "item", "rank", k=3).collect()
+
+    def ref(a, b, k=3):
+        out = {}
+        for q in {r[0] for r in a + b}:
+            la = {i: r for qq, i, r in a if qq == q}
+            lb = {i: r for qq, i, r in b if qq == q}
+            na, nb = max(la.values()), max(lb.values(), default=0)
+            items = set(la) | set(lb)
+            sc = sorted(
+                (la.get(i, na + 1) + lb.get(i, nb + 1), i) for i in items
+            )
+            out[q] = [(i, s, r + 1) for r, (s, i) in enumerate(sc[:k])]
+        return out
+
+    want = ref(a_rows, b_rows)
+    for r in got:
+        assert (r["item"], r["fused"], r["fused_rank"]) in want[r["q"]], r
+    assert len(got) == sum(len(v) for v in want.values())
+    # consensus beats one-sided: 11 (2+2=4) ranks above 10 (1 + nb+1=6)
+    q1 = {r["item"]: r["fused_rank"] for r in got if r["q"] == "q1"}
+    assert q1[11] < q1[10]

@@ -485,3 +485,62 @@ def group_centroids(
         "n_vecs",
         centroid.alias("centroid"),
     )
+
+
+def borda_fuse(
+    rank_a: DataFrame,
+    rank_b: DataFrame,
+    query_col: str,
+    item_col: str,
+    rank_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """X15: Borda-count rank fusion of two per-query rankings — the
+    integer-exact ensembling rule for combining retrieval/quality
+    signals (BM25 beside embedding similarity, quality beside recency)
+    without the float reciprocal sums of RRF, which no two engines
+    reproduce bit-for-bit. Lower fused score = better.
+
+    Each input is a (query, item, rank) relation with ranks 1..N_q per
+    query. An item missing from one ranking is penalized with that
+    ranking's per-query N_q + 1 — absent evidence is worse than any
+    ranked position but not infinitely so (the standard Borda
+    treatment). fused = rank_a' + rank_b'; ties break on item id
+    ascending, top-k kept per query via row_number.
+
+    Scale shape: one full-outer equi-join on (query, item) plus two
+    tiny per-query max aggregations broadcast back; the rank window
+    runs over candidate rows only (at most N_a + N_b per query — list
+    fusion never touches the corpus)."""
+    if k < 1:
+        raise ValueError("borda_fuse: k must be >= 1")
+
+    def _side(df: DataFrame, tag: str) -> tuple[DataFrame, DataFrame]:
+        rel = df.select(
+            F.col(query_col).alias("q"),
+            F.col(item_col).alias("item"),
+            F.col(rank_col).cast("bigint").alias(f"r_{tag}"),
+        )
+        n = rel.groupBy("q").agg(
+            F.max(f"r_{tag}").cast("bigint").alias(f"n_{tag}")
+        )
+        return rel, n
+
+    ra, na = _side(rank_a, "a")
+    rb, nb = _side(rank_b, "b")
+    cand = ra.join(rb, ["q", "item"], "full_outer")
+    scored = (
+        cand.join(F.broadcast(na), "q")
+        .join(F.broadcast(nb), "q")
+        .withColumn(
+            "fused",
+            F.coalesce(F.col("r_a"), F.col("n_a") + 1)
+            + F.coalesce(F.col("r_b"), F.col("n_b") + 1),
+        )
+    )
+    w = Window.partitionBy("q").orderBy(F.col("fused").asc(), F.col("item").asc())
+    return (
+        scored.withColumn("fused_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("fused_rank") <= k)
+        .select("q", "item", "r_a", "r_b", "fused", "fused_rank")
+    )

@@ -3478,6 +3478,61 @@ LEFT JOIN (SELECT user_id, bucket, x FROM nn WHERE rl = 1) l
 """
 
 
+def q_rank_fusion(spark, sf):
+    """Borda rank fusion (round 6): per language, fuse the length
+    ranking with a deterministic md5 'diversity' ranking into one
+    top-10 — integer-exact list ensembling, missing items penalized at
+    that list's N+1 (operators/similarity.py borda_fuse)."""
+    from tgist_features_spark.operators.similarity import borda_fuse
+
+    d = _t(spark, sf, "documents")
+    wa = Window.partitionBy("lang").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    wb = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
+    )
+    ra = (
+        d.select("lang", "doc_id", F.row_number().over(wa).alias("rank"))
+        .filter(F.col("rank") <= 20)
+    )
+    rb = (
+        d.select("lang", "doc_id", F.row_number().over(wb).alias("rank"))
+        .filter(F.col("rank") <= 20)
+    )
+    return borda_fuse(ra, rb, "lang", "doc_id", "rank", k=10)
+
+
+SQL_RANK_FUSION = """
+WITH ra AS (
+  SELECT lang AS q, doc_id AS item,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id)::BIGINT AS r_a
+  FROM documents QUALIFY r_a <= 20),
+rb AS (
+  SELECT lang AS q, doc_id AS item,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(doc_id::VARCHAR), doc_id)::BIGINT
+           AS r_b
+  FROM documents QUALIFY r_b <= 20),
+na AS (SELECT q, MAX(r_a)::BIGINT AS n_a FROM ra GROUP BY q),
+nb AS (SELECT q, MAX(r_b)::BIGINT AS n_b FROM rb GROUP BY q),
+cand AS (
+  SELECT COALESCE(ra.q, rb.q) AS q, COALESCE(ra.item, rb.item) AS item,
+         ra.r_a, rb.r_b
+  FROM ra FULL OUTER JOIN rb ON ra.q = rb.q AND ra.item = rb.item),
+sc AS (
+  SELECT c.q, c.item, c.r_a, c.r_b,
+         (COALESCE(c.r_a, na.n_a + 1) + COALESCE(c.r_b, nb.n_b + 1))::BIGINT
+           AS fused
+  FROM cand c JOIN na ON na.q = c.q JOIN nb ON nb.q = c.q)
+SELECT q, item, r_a, r_b, fused,
+       row_number() OVER (PARTITION BY q ORDER BY fused, item)::BIGINT
+         AS fused_rank
+FROM sc QUALIFY fused_rank <= 10
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- first 50 keys = the driver correctness window (driver caps
     # its oracle run at 50 keys, in order). Round-6 rotation: the 4
@@ -3568,6 +3623,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zorder": q_zorder,
     "tf_cosine": q_tf_cosine,
     "ohlc": q_ohlc,
+    "rank_fusion": q_rank_fusion,
     "embed_near_dup": q_embed_near_dup,
     "train_split": q_train_split,
     "group_sample": q_group_sample,
@@ -3709,6 +3765,7 @@ ORACLES: dict[str, str] = {
     "zorder": SQL_ZORDER,
     "tf_cosine": SQL_TF_COSINE,
     "ohlc": SQL_OHLC,
+    "rank_fusion": SQL_RANK_FUSION,
     "embed_near_dup": SQL_EMBED_NEAR_DUP,
     "grouping_sets": SQL_GROUPING_SETS,
     "sql_shipping": SQL_SQL_SHIPPING,
