@@ -2746,3 +2746,31 @@ def test_borda_fuse_matches_reference(spark):
     # consensus beats one-sided: 11 (2+2=4) ranks above 10 (1 + nb+1=6)
     q1 = {r["item"]: r["fused_rank"] for r in got if r["q"] == "q1"}
     assert q1[11] < q1[10]
+
+
+def test_snapshot_diff_null_safe(spark):
+    """D18: snapshot diff classifies added/removed/changed with NULL as
+    a value — NULL->x and x->NULL are 'changed', NULL->NULL is
+    unchanged (omitted), identical rows are omitted."""
+    from tgist_features_spark.operators.dedup import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c"), (4, None), (5, "e")],
+        ["id", "v"],
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "x"), (3, None), (4, None), (6, "f")],
+        ["id", "v"],
+    )
+    got = {
+        r["id"]: (r["change"], r["v_old"], r["v_new"])
+        for r in snapshot_diff(old, new, ["id"], ["v"]).collect()
+    }
+    assert got == {
+        2: ("changed", None, "x"),   # NULL -> value
+        3: ("changed", "c", None),   # value -> NULL
+        5: ("removed", "e", None),
+        6: ("added", None, "f"),
+    }
+    # 1 (equal) and 4 (NULL == NULL) are omitted
+    assert 1 not in got and 4 not in got

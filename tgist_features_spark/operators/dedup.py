@@ -1347,3 +1347,60 @@ def tf_cosine_pairs(
         )
         .select("a", "b", "dot", "n2_a", "n2_b")
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """D18: keyed diff between two table snapshots — (key..., change,
+    plus <col>_old / <col>_new for every compared column), change in
+    {'added', 'removed', 'changed'}; unchanged rows are omitted. The
+    audit primitive behind incremental publishing ("what did this
+    ingest actually change?"), upsert verification, and drift triage —
+    the relational form of a snapshot-diff in a table format's history.
+
+    NULL is a VALUE, not a wildcard: comparisons are null-safe (<=>),
+    so NULL -> 'x' and 'x' -> NULL are both 'changed' and NULL -> NULL
+    is unchanged — the scd2_intervals change-detection contract.
+    Callers guarantee keys are unique per snapshot (the upsert table
+    contract); duplicate keys diff positionally-nondeterministically
+    and are the caller's bug, not masked here.
+
+    Scale shape: ONE full-outer shuffle join on the key columns — both
+    sides partition by the same key, no broadcast assumption (both
+    snapshots are corpus-scale); the change classification is a pure
+    projection. At 100 TB the join co-locates if both snapshots are
+    bucketed by key (TableIO's layout), making the diff shuffle-free."""
+    o = old.select(
+        *[F.col(k).alias(f"__k_{k}") for k in key_cols],
+        *[F.col(c).alias(f"{c}_old") for c in compare_cols],
+        F.lit(1).alias("__in_old"),
+    )
+    n = new.select(
+        *[F.col(k).alias(f"__k_{k}") for k in key_cols],
+        *[F.col(c).alias(f"{c}_new") for c in compare_cols],
+        F.lit(1).alias("__in_new"),
+    )
+    j = o.join(n, [f"__k_{k}" for k in key_cols], "full_outer")
+    same = F.lit(True)
+    for c in compare_cols:
+        same = same & F.col(f"{c}_old").eqNullSafe(F.col(f"{c}_new"))
+    change = (
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(~same, F.lit("changed"))
+    )
+    out_cols = (
+        [F.col(f"__k_{k}").alias(k) for k in key_cols]
+        + [F.col("__change").alias("change")]
+        + [F.col(f"{c}_old") for c in compare_cols]
+        + [F.col(f"{c}_new") for c in compare_cols]
+    )
+    return (
+        j.withColumn("__change", change)
+        .filter(F.col("__change").isNotNull())
+        .select(*out_cols)
+    )

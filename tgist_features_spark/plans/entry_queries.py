@@ -3533,6 +3533,55 @@ FROM sc QUALIFY fused_rank <= 10
 """
 
 
+def q_snapshot_diff(spark, sf):
+    """Keyed snapshot diff (round 6): two deterministic document-table
+    versions (mod-arithmetic membership + a mod-5 value bump) diffed
+    into added/removed/changed rows with null-safe comparison
+    (operators/dedup.py snapshot_diff)."""
+    from tgist_features_spark.operators.dedup import snapshot_diff
+
+    d = _t(spark, sf, "documents")
+    old = d.filter(F.pmod(F.col("doc_id"), F.lit(7)) != 0).select(
+        "doc_id", "lang", "n_chars"
+    )
+    new = d.filter(F.pmod(F.col("doc_id"), F.lit(3)) != 0).select(
+        "doc_id",
+        "lang",
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(5)) == 0, F.col("n_chars") + 1
+        )
+        .otherwise(F.col("n_chars"))
+        .alias("n_chars"),
+    )
+    return snapshot_diff(old, new, ["doc_id"], ["lang", "n_chars"])
+
+
+SQL_SNAPSHOT_DIFF = """
+WITH o AS (SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 7 <> 0),
+n AS (SELECT doc_id, lang,
+             CASE WHEN doc_id % 5 = 0 THEN n_chars + 1 ELSE n_chars END
+               AS n_chars
+      FROM documents WHERE doc_id % 3 <> 0),
+j AS (
+  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+         o.lang AS lang_old, o.n_chars AS n_chars_old,
+         n.lang AS lang_new, n.n_chars AS n_chars_new,
+         o.doc_id IS NOT NULL AS in_old, n.doc_id IS NOT NULL AS in_new
+  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id),
+c AS (
+  SELECT doc_id,
+         CASE WHEN NOT in_old THEN 'added'
+              WHEN NOT in_new THEN 'removed'
+              WHEN NOT (lang_old IS NOT DISTINCT FROM lang_new
+                        AND n_chars_old IS NOT DISTINCT FROM n_chars_new)
+                THEN 'changed' END AS change,
+         lang_old, n_chars_old, lang_new, n_chars_new
+  FROM j)
+SELECT doc_id, change, lang_old, n_chars_old, lang_new, n_chars_new
+FROM c WHERE change IS NOT NULL
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- first 50 keys = the driver correctness window (driver caps
     # its oracle run at 50 keys, in order). Round-6 rotation: the 4
@@ -3624,6 +3673,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tf_cosine": q_tf_cosine,
     "ohlc": q_ohlc,
     "rank_fusion": q_rank_fusion,
+    "snapshot_diff": q_snapshot_diff,
     "embed_near_dup": q_embed_near_dup,
     "train_split": q_train_split,
     "group_sample": q_group_sample,
@@ -3766,6 +3816,7 @@ ORACLES: dict[str, str] = {
     "tf_cosine": SQL_TF_COSINE,
     "ohlc": SQL_OHLC,
     "rank_fusion": SQL_RANK_FUSION,
+    "snapshot_diff": SQL_SNAPSHOT_DIFF,
     "embed_near_dup": SQL_EMBED_NEAR_DUP,
     "grouping_sets": SQL_GROUPING_SETS,
     "sql_shipping": SQL_SQL_SHIPPING,
