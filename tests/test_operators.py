@@ -2774,3 +2774,50 @@ def test_snapshot_diff_null_safe(spark):
     }
     # 1 (equal) and 4 (NULL == NULL) are omitted
     assert 1 not in got and 4 not in got
+
+
+def test_dq_report_counts_planted_violations(spark):
+    """DQ1: every check class counts its planted violations exactly —
+    NULL keys are nullability violations (not uniqueness or membership
+    ones), and the clean table passes everything."""
+    from tgist_features_spark.operators.dq import dq_report
+
+    child = spark.createDataFrame(
+        [
+            # id, line, flag, qty, fk
+            (1, 1, "A", 10, 100),
+            (1, 1, "N", 20, 100),     # dup (id, line)
+            (2, 1, "X", 10, 100),     # bad flag
+            (3, 1, "A", 99, 101),     # qty out of range + dangling fk
+            (None, 1, "A", 10, 100),  # NULL id (nullability only)
+            (4, None, None, None, None),  # NULL line/flag/qty/fk
+        ],
+        "id long, line long, flag string, qty long, fk long",
+    )
+    parent = spark.createDataFrame([(100,), (102,)], "pk long")
+    rep = {
+        (r["check"], r["target"]): (r["n_rows"], r["n_violations"], r["ok"])
+        for r in dq_report(
+            child,
+            not_null=("id",),
+            unique=(("id", "line"),),
+            accepted={"flag": ["A", "N", "R"]},
+            in_range={"qty": (1, 50)},
+            ref={"fk": (parent, "pk")},
+        ).collect()
+    }
+    assert rep[("not_null", "id")] == (6, 1, 0)
+    assert rep[("unique", "id,line")] == (6, 1, 0)       # one dup pair
+    assert rep[("accepted", "flag")] == (6, 1, 0)        # 'X' only
+    assert rep[("in_range", "qty")] == (6, 1, 0)         # 99 only
+    assert rep[("ref", "fk->pk")] == (6, 1, 0)           # 101 only
+    # clean table: all ok
+    clean = spark.createDataFrame([(1, 1, "A", 10, 100)],
+                                  "id long, line long, flag string, "
+                                  "qty long, fk long")
+    ok = dq_report(
+        clean, not_null=("id",), unique=(("id", "line"),),
+        accepted={"flag": ["A"]}, in_range={"qty": (1, 50)},
+        ref={"fk": (parent, "pk")},
+    ).agg({"ok": "min"}).first()[0]
+    assert ok == 1

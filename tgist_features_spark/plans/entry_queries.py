@@ -3582,6 +3582,72 @@ FROM c WHERE change IS NOT NULL
 """
 
 
+def q_dq_report(spark, sf):
+    """Data-quality expectations report (round 6): the pre-publish
+    validation gate over lineitem — nullability, composite-key
+    uniqueness, accepted values, numeric range, and referential
+    integrity against orders — one row per check with exact violation
+    counts (operators/dq.py dq_report; all row-local checks share ONE
+    aggregation pass, the FK check adds one keys-only anti join)."""
+    from tgist_features_spark.operators.dq import dq_report
+
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders")
+    return dq_report(
+        li,
+        not_null=("l_orderkey", "l_quantity"),
+        unique=(("l_orderkey", "l_linenumber"),),
+        accepted={"l_returnflag": ["A", "N", "R"]},
+        in_range={"l_quantity": (1, 50)},
+        ref={"l_orderkey": (orders, "o_orderkey")},
+    )
+
+
+SQL_DQ_REPORT = """
+WITH t AS (SELECT COUNT(*)::BIGINT AS n_rows FROM lineitem),
+checks AS (
+  SELECT 'not_null' AS "check", 'l_orderkey' AS target, t.n_rows,
+         (SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NULL)::BIGINT
+           AS n_violations
+  FROM t
+  UNION ALL
+  SELECT 'not_null', 'l_quantity', t.n_rows,
+         (SELECT COUNT(*) FROM lineitem WHERE l_quantity IS NULL)::BIGINT
+  FROM t
+  UNION ALL
+  SELECT 'accepted', 'l_returnflag', t.n_rows,
+         (SELECT COUNT(*) FROM lineitem
+          WHERE l_returnflag IS NOT NULL
+            AND l_returnflag NOT IN ('A', 'N', 'R'))::BIGINT
+  FROM t
+  UNION ALL
+  SELECT 'in_range', 'l_quantity', t.n_rows,
+         (SELECT COUNT(*) FROM lineitem
+          WHERE l_quantity IS NOT NULL
+            AND (l_quantity < 1 OR l_quantity > 50))::BIGINT
+  FROM t
+  UNION ALL
+  SELECT 'unique', 'l_orderkey,l_linenumber', t.n_rows,
+         ((SELECT COUNT(*) FROM lineitem
+           WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL)
+          - (SELECT COUNT(DISTINCT (l_orderkey, l_linenumber))
+             FROM lineitem
+             WHERE l_orderkey IS NOT NULL
+               AND l_linenumber IS NOT NULL))::BIGINT
+  FROM t
+  UNION ALL
+  SELECT 'ref', 'l_orderkey->o_orderkey', t.n_rows,
+         (SELECT COUNT(*) FROM lineitem l
+          WHERE l.l_orderkey IS NOT NULL
+            AND NOT EXISTS (SELECT 1 FROM orders o
+                            WHERE o.o_orderkey = l.l_orderkey))::BIGINT
+  FROM t)
+SELECT "check", target, n_rows, n_violations,
+       (CASE WHEN n_violations = 0 THEN 1 ELSE 0 END)::INT AS ok
+FROM checks
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- first 50 keys = the driver correctness window (driver caps
     # its oracle run at 50 keys, in order). Round-6 rotation: the 4
@@ -3674,6 +3740,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ohlc": q_ohlc,
     "rank_fusion": q_rank_fusion,
     "snapshot_diff": q_snapshot_diff,
+    "dq_report": q_dq_report,
     "embed_near_dup": q_embed_near_dup,
     "train_split": q_train_split,
     "group_sample": q_group_sample,
@@ -3817,6 +3884,7 @@ ORACLES: dict[str, str] = {
     "ohlc": SQL_OHLC,
     "rank_fusion": SQL_RANK_FUSION,
     "snapshot_diff": SQL_SNAPSHOT_DIFF,
+    "dq_report": SQL_DQ_REPORT,
     "embed_near_dup": SQL_EMBED_NEAR_DUP,
     "grouping_sets": SQL_GROUPING_SETS,
     "sql_shipping": SQL_SQL_SHIPPING,
