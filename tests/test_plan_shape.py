@@ -302,3 +302,33 @@ def test_round6_single_exchange_claims(spark):
     pw = _plan(group_winsorize(docs, "n_chars", "lang", "doc_id"))
     assert _shuffles(pw) == 1, pw[:1500]
     assert "BroadcastExchange" in pw, pw[:1500]
+
+
+def test_session3_plan_claims(spark):
+    """Session-3 plan pins: group_moments and ohlc_buckets are each ONE
+    exchange (open/close ride min_by/max_by inside the same partial-agg
+    pass — no window node); triangle_enumerate's internal checkpoints
+    keep the caller's upstream plan from re-expanding (no parquet
+    re-scan, no single-partition window in the final plan)."""
+    from tgist_features_spark.operators.aggregates import group_moments
+    from tgist_features_spark.operators.components import triangle_enumerate
+    from tgist_features_spark.operators.windows import ohlc_buckets
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+
+    def _shuffles(p: str) -> int:
+        return len(re.findall(r"^\(\d+\) Exchange", p, re.M))
+
+    p = _plan(group_moments(ev, "value", ["event_type"]))
+    assert _shuffles(p) == 1 and "Window" not in p
+
+    p = _plan(ohlc_buckets(ev, "user_id", "ts", "value", "event_id"))
+    assert _shuffles(p) == 1 and "Window" not in p
+
+    edges = ev.select(
+        F.col("event_id").alias("src"),
+        F.pmod(F.col("event_id") * 7 + 3, F.lit(500)).alias("dst"),
+    )
+    p = _plan(triangle_enumerate(edges))
+    assert "Scan parquet" not in p  # inputs materialized once, up front
+    assert "SinglePartition" not in p

@@ -233,6 +233,14 @@ def triangle_enumerate(
         )
         .filter(F.col("a") < F.col("b"))  # drops self-loops and NULLs
         .distinct()
+        # the canonical edge relation is referenced three times below
+        # (degrees + the orientation join's two sides); without lineage
+        # truncation every reference re-expands — and re-READS — the
+        # caller's whole upstream plan (plan-audited: 60 scans before,
+        # 4 after). The materialized relation is O(m), the algorithm's
+        # working set anyway; eager localCheckpoint self-cleans on GC
+        # (the connected_components trade, same reasoning).
+        .localCheckpoint(eager=True)
     )
     deg = (
         e.select(F.col("a").alias("v"))
@@ -249,7 +257,7 @@ def triangle_enumerate(
         F.when(lower_is_a, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(lower_is_a, F.col("b")).otherwise(F.col("a")).alias("v"),
         F.when(lower_is_a, F.col("db")).otherwise(F.col("da")).alias("dv"),
-    )
+    ).localCheckpoint(eager=True)  # referenced 3x: wedge x/y + closing
     x, y = oriented.alias("x"), oriented.alias("y")
     wedges = (
         x.join(y, F.col("x.u") == F.col("y.u"))
