@@ -89,6 +89,15 @@ R6_OPS = [
     "heavy_hitters",
     "time_weighted_avg",
     "behavior_fp",
+    # session-3 additions
+    "moments",
+    "triangles",
+    "zorder",
+    "tf_cosine",
+    "ohlc",
+    "rank_fusion",
+    "snapshot_diff",
+    "dq_report",
 ]
 
 # round-5 additions
