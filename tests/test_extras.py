@@ -889,3 +889,58 @@ def test_table_io_zstd_compression_and_schema_evolution(spark, tmp_path):
     assert old_rows["quality"].isna().all()
     new_rows = merged[~merged["doc_id"].str.startswith("c")]
     assert sorted(new_rows["quality"]) == [0.5, 0.9]
+
+
+def test_gif_roundtrip_all_modes():
+    """GIF codec (round 6): encode->decode is pixel-exact across
+    palette sizes, odd shapes, interlace, and streams long enough to
+    force 12-bit LZW code growth and a table-overflow clear; extension
+    blocks are skipped; garbage is refused."""
+    import numpy as np
+
+    from tgist_features_spark.functions.gifcodec import decode_gif, encode_gif
+
+    rng = np.random.default_rng(31)
+    for n_colors in (2, 5, 16, 256):
+        for shape in ((1, 1), (7, 3), (33, 17)):
+            pal = rng.integers(0, 256, (n_colors, 3), dtype=np.uint8)
+            idx = rng.integers(0, n_colors, shape, dtype=np.uint8)
+            for il in (False, True):
+                got = decode_gif(encode_gif(idx, pal, interlace=il))
+                assert got is not None and np.array_equal(got, pal[idx]), (
+                    n_colors, shape, il)
+    # 12-bit growth + overflow clear (200x300 random of 256 colors
+    # exhausts the 4096-entry table several times)
+    pal = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+    idx = rng.integers(0, 256, (200, 300), dtype=np.uint8)
+    assert np.array_equal(decode_gif(encode_gif(idx, pal)), pal[idx])
+    # a Graphic Control Extension before the image descriptor is skipped
+    b = encode_gif(idx[:8, :8], pal)
+    desc = 13 + 3 * 256  # image descriptor sits after header + 256-color GCT
+    with_ext = b[:desc] + b"\x21\xf9\x04\x00\x00\x00\x00\x00" + b[desc:]
+    assert np.array_equal(decode_gif(with_ext), pal[idx[:8, :8]])
+    # refusals
+    assert decode_gif(b"GIF89a" + b"\x00" * 5) is None
+    assert decode_gif(b"not a gif at all") is None
+    assert decode_gif(b[:20]) is None
+
+
+def test_gif_flows_through_image_features(spark):
+    """The image feature kernel decodes GIF payloads for REAL: width,
+    height and mean intensity come from the actual pixels."""
+    import numpy as np
+    import pandas as pd
+
+    from tgist_features_spark.functions.gifcodec import encode_gif
+    from tgist_features_spark.functions.multimodal import image_features
+
+    rng = np.random.default_rng(33)
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (24, 40), dtype=np.uint8)
+    payload = encode_gif(idx, pal)
+    df = spark.createDataFrame(
+        pd.DataFrame({"media_id": [1], "payload": [payload]}))
+    row = image_features(df).first()
+    assert (row["width"], row["height"]) == (40, 24)
+    want_mean = float(pal[idx].mean(axis=2).mean())
+    assert abs(row["mean_intensity"] - want_mean) < 1e-6

@@ -9,7 +9,10 @@ Decode status (container constraint, re-checked every round):
   baseline JPEG (round 5: full marker walk, canonical Huffman entropy
   decode with byte-unstuffing and restart markers, vectorized
   dequantize + IDCT, 4:4:4/4:2:2/4:2:0 chroma, JFIF YCbCr->RGB — see
-  functions/jpegcodec.py) and PCM16 mono WAV audio;
+  functions/jpegcodec.py), GIF87a/89a (round 6: variable-width LZW
+  with 12-bit growth and overflow clears, global/local color tables,
+  interlace de-passing, extension skipping; first frame — see
+  functions/gifcodec.py) and PCM16 mono WAV audio;
   width/height/duration/intensity/rms come from actual pixels/samples,
   and the resize is a true area-average (anti-aliased) downsample.
 * **Deterministic stubs** only where a codec library is unavoidable
@@ -34,6 +37,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from tgist_features_spark.functions.gifcodec import decode_gif
 from tgist_features_spark.functions.jpegcodec import decode_jpeg, encode_jpeg
 
 MEDIA_SCHEMA = T.StructType(
@@ -319,6 +323,8 @@ def image_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
                     img = decode_png(b)
                 if img is None:
                     img = decode_jpeg(b)
+                if img is None:
+                    img = decode_gif(b)
                 if img is not None:
                     gray = img.mean(axis=2)
                     w, h = img.shape[1], img.shape[0]
@@ -427,6 +433,8 @@ def resize_images(df: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
                     img = decode_png(b)
                 if img is None:
                     img = decode_jpeg(b)
+                if img is None:
+                    img = decode_gif(b)
                 if img is not None:
                     px = (
                         _resize_gray(img.mean(axis=2), out_h, out_w).ravel()
