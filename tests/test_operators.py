@@ -2821,3 +2821,49 @@ def test_dq_report_counts_planted_violations(spark):
         ref={"fk": (parent, "pk")},
     ).agg({"ok": "min"}).first()[0]
     assert ok == 1
+
+
+def test_k_core_matches_reference_peeling(spark):
+    """G4: k-core equals Python reference peeling on a random graph;
+    a star dissolves at k=2 (connected but not dense); a planted
+    5-clique survives k=4 while its sparse surroundings peel away."""
+    from collections import defaultdict
+    from itertools import combinations
+
+    from tgist_features_spark.operators.components import k_core_vertices
+
+    def ref_core(edge_list, k):
+        adj = defaultdict(set)
+        for a, b in edge_list:
+            if a != b:
+                adj[a].add(b)
+                adj[b].add(a)
+        changed = True
+        while changed:
+            changed = False
+            for v in list(adj):
+                if len(adj[v]) < k:
+                    for u in adj.pop(v):
+                        adj[u].discard(v)
+                    changed = True
+        return {v: len(ns) for v, ns in adj.items() if ns}
+
+    rng = np.random.default_rng(41)
+    n = 50
+    pairs = list(combinations(range(n), 2))
+    chosen = [pairs[i] for i in rng.choice(len(pairs), 220, replace=False)]
+    df = spark.createDataFrame(pd.DataFrame(chosen, columns=["src", "dst"]))
+    for k in (2, 3, 5):
+        got = {r["v"]: r["deg"] for r in k_core_vertices(df, k).collect()}
+        assert got == ref_core(chosen, k), k
+    # star: hub degree is huge, but every leaf has degree 1
+    star = spark.createDataFrame(
+        pd.DataFrame([(0, i) for i in range(1, 30)], columns=["src", "dst"]))
+    assert k_core_vertices(star, 2).count() == 0
+    # planted clique: 5-clique + a long tail path hanging off it
+    clique = list(combinations(range(5), 2))
+    tail = [(4 + i, 5 + i) for i in range(1, 20)]
+    g = spark.createDataFrame(
+        pd.DataFrame(clique + tail, columns=["src", "dst"]))
+    got = {r["v"]: r["deg"] for r in k_core_vertices(g, 4).collect()}
+    assert got == {v: 4 for v in range(5)}

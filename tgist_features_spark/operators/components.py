@@ -279,3 +279,67 @@ def triangle_enumerate(
     return tri.select(
         triple[0].alias("a"), triple[1].alias("b"), triple[2].alias("c")
     )
+
+
+def k_core_vertices(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 200,
+) -> DataFrame:
+    """G4: the k-core — the maximal subgraph where every vertex keeps
+    degree >= k — as (v, deg) over the surviving vertices. The density
+    filter a fraud/community pipeline runs AFTER components and
+    triangles: a connected blob of tag-alongs dissolves under peeling,
+    a genuinely dense cluster survives.
+
+    Algorithm: synchronous peeling. Each round computes degrees over
+    the CURRENT edge set (one map-side-combinable agg), drops vertices
+    under k, and semi-joins the edge set down on both endpoints; the
+    fixpoint is the k-core by definition (peeling order cannot change
+    the result — removal is monotone). Rounds are bounded by the
+    longest "peeling chain" (a path graph is the worst case), not by
+    |V| in practice; each round ends in an eager localCheckpoint for
+    the same lineage-truncation reason as connected_components (an
+    un-truncated loop re-plans the whole history every round).
+
+    Not SQL-oracle-expressible (iterative re-aggregation is outside
+    recursive CTEs) — verified against a Python reference peeling in
+    pytest, the A8/HLL posture."""
+    if k < 1:
+        raise ValueError("k_core_vertices: k must be >= 1")
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).cast("bigint").alias("a"),
+            F.greatest(F.col(src), F.col(dst)).cast("bigint").alias("b"),
+        )
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        deg = (
+            e.select(F.col("a").alias("v"))
+            .unionAll(e.select(F.col("b").alias("v")))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+        ).localCheckpoint(eager=True)
+        survivors = deg.filter(F.col("deg") >= k)
+        n_all = deg.count()
+        n_keep = survivors.count()
+        if n_keep == n_all:
+            return survivors
+        if n_keep == 0:
+            return survivors  # empty k-core
+        keep_a = survivors.select(F.col("v").alias("a"))
+        keep_b = survivors.select(F.col("v").alias("b"))
+        e = (
+            e.join(keep_a, "a", "leftsemi")
+            .join(keep_b, "b", "leftsemi")
+            .localCheckpoint(eager=True)
+        )
+    raise RuntimeError(
+        f"k_core_vertices: no fixpoint after {max_iters} rounds — "
+        "pathological peeling chain; raise max_iters explicitly"
+    )
