@@ -202,3 +202,73 @@ def test_vocab_edit1_perfect_recall_property(spark, ws):
     vocab = {w for w in ws if len(w) >= 2}
     exp = {(a, b) for a in vocab for b in vocab if a < b and lev(a, b) == 1}
     assert got == exp
+
+
+def test_bpe_train_matches_reference(spark):
+    """X16: the distributed BPE trainer's merge list equals the
+    classic reference algorithm (count adjacent pairs over the
+    word-frequency vocabulary, merge the argmax with the pinned
+    (count desc, left asc, right asc) tie rule, re-segment, repeat) —
+    on the canonical low/lower/newest/widest corpus and on random
+    corpora with engineered ties."""
+    import numpy as np
+
+    from tgist_features_spark.functions.text import bpe_train
+
+    def ref_bpe(word_counts, n_merges):
+        vocab = {tuple(w): n for w, n in word_counts.items()}
+        merges = []
+        for step in range(1, n_merges + 1):
+            stats = {}
+            for syms, n in vocab.items():
+                for i in range(len(syms) - 1):
+                    stats[(syms[i], syms[i + 1])] = (
+                        stats.get((syms[i], syms[i + 1]), 0) + n
+                    )
+            if not stats:
+                break
+            (l, r), c = min(
+                stats.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            merges.append((step, l, r, c))
+            new_vocab = {}
+            for syms, n in vocab.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if (i + 1 < len(syms) and syms[i] == l
+                            and syms[i + 1] == r):
+                        out.append(l + r)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + n
+            vocab = new_vocab
+        return merges
+
+    def run_case(words, n_merges):
+        # build a corpus whose word counts are exactly `words`
+        rows = []
+        for w, n in words.items():
+            rows.extend([w] * n)
+        rng = np.random.default_rng(43)
+        rng.shuffle(rows)
+        docs = [" ".join(rows[i::7]) for i in range(7)]
+        df = spark.createDataFrame([(d,) for d in docs], ["text"])
+        got = [
+            (r["step"], r["left"], r["right"], r["pair_count"])
+            for r in bpe_train(df, "text", n_merges).collect()
+        ]
+        want = ref_bpe(words, n_merges)
+        assert got == want, (got, want)
+
+    # the canonical BPE-paper corpus: 'es' then 'est' merge first
+    run_case({"low": 5, "lower": 2, "newest": 6, "widest": 3}, 6)
+    # random corpus with deliberate count ties (tie rule must decide)
+    rng = np.random.default_rng(47)
+    alphabet = list("abcd")
+    words = {}
+    for _ in range(30):
+        w = "".join(rng.choice(alphabet, rng.integers(2, 7)))
+        words[w] = int(rng.integers(1, 5))
+    run_case(words, 10)

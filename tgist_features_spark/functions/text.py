@@ -729,3 +729,109 @@ def char_pair_counts(
         .groupBy("pair")
         .agg(F.sum("__n").cast("bigint").alias("n_pairs"))
     )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 16,
+) -> DataFrame:
+    """X16: distributed BPE tokenizer TRAINING — iterate the merge rule
+    ``char_pair_counts`` computes once: per step, count corpus-weighted
+    adjacent symbol pairs over the vocabulary, merge the argmax into a
+    new symbol, re-segment, repeat. Returns the merge table
+    (step, left, right, pair_count) — the artifact a tokenizer ships
+    (apply = replay the merges in order).
+
+    Determinism: the argmax tie rule is pinned (count desc, left asc,
+    right asc), so the merge list is reproducible anywhere; symbols
+    are plain strings, the ASCII-normalized token forms of
+    cooccurrence_counts/char_pair_counts.
+
+    Scale shape — the reason BPE training is feasible at 100 TB: ONE
+    corpus-sized aggregation total (the word-count pass, map-side
+    combinable), after which every iteration runs over the
+    vocabulary-sized (symbols, n) relation only: a pair explode + one
+    combinable agg + a 1-row argmax collect + a pure-Catalyst fold
+    (``aggregate``) that applies the merge left-to-right
+    non-overlapping — greedy exactly like the reference algorithm,
+    because a merged symbol's string differs from its left part, so a
+    fresh overlap cannot chain within one pass. The vocabulary
+    relation is eagerly localCheckpointed per step (tiny; untruncated
+    loops re-plan the whole history — the connected_components trap).
+    Each merge decision is a 1-row driver action: bounded metadata,
+    the same budget as connected_components' convergence counts."""
+    if n_merges < 1:
+        raise ValueError("bpe_train: n_merges must be >= 1")
+    toks = F.filter(
+        F.transform(
+            F.split(F.lower(F.col(text_col)), " "),
+            lambda t: F.regexp_replace(t, "[^a-z0-9]", ""),
+        ),
+        lambda t: F.length(t) >= 2,
+    )
+    vocab = (
+        df.select(F.explode_outer(toks).alias("w"))
+        .filter(F.col("w").isNotNull())
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(
+            # split at every inter-character position; the lookahead
+            # also matches at end-of-string, so drop the trailing ""
+            F.filter(
+                F.split(F.col("w"), "(?!^)"), lambda s: s != ""
+            ).alias("syms"),
+            "n",
+        )
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        pair_rel = (
+            vocab.select(
+                F.explode_outer(
+                    F.when(
+                        F.size("syms") >= 2,
+                        F.transform(
+                            F.sequence(F.lit(0), F.size("syms") - 2),
+                            lambda i: F.struct(
+                                F.col("syms")[i].alias("l"),
+                                F.col("syms")[i + 1].alias("r"),
+                            ),
+                        ),
+                    ).otherwise(F.array().cast("array<struct<l:string,r:string>>")),
+                ).alias("p"),
+                "n",
+            )
+            .filter(F.col("p").isNotNull())
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("n").cast("bigint").alias("cnt"))
+        )
+        best = pair_rel.orderBy(
+            F.col("cnt").desc(), F.col("l").asc(), F.col("r").asc()
+        ).first()
+        if best is None:
+            break
+        left, right, cnt = best["l"], best["r"], int(best["cnt"])
+        merges.append((step, left, right, cnt))
+        merged = F.concat(F.lit(left), F.lit(right))
+        # left-to-right non-overlapping merge application as a pure fold
+        vocab = vocab.select(
+            F.aggregate(
+                "syms",
+                F.array().cast("array<string>"),
+                lambda acc, s: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == F.lit(left))
+                    & (s == F.lit(right)),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1), F.array(merged)
+                    ),
+                ).otherwise(F.concat(acc, F.array(s))),
+            ).alias("syms"),
+            "n",
+        ).localCheckpoint(eager=True)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        merges, "step int, left string, right string, pair_count bigint"
+    )
