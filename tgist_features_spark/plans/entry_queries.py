@@ -3648,6 +3648,63 @@ FROM checks
 """
 
 
+def q_bpe_merges(spark, sf):
+    """Distributed BPE tokenizer training, first 3 merges (round 6):
+    the merge table (step, left, right, pair_count) over the document
+    vocabulary — each step one vocab-sized pair agg + a 1-row argmax
+    with the pinned (count desc, left, right) tie rule + a
+    pure-Catalyst greedy fold re-segmentation (functions/text.py
+    bpe_train). The oracle unrolls the identical three steps in SQL,
+    applying each merge with the same left-to-right fold via
+    list_reduce."""
+    from tgist_features_spark.functions.text import bpe_train
+
+    return bpe_train(_t(spark, sf, "documents"), "text", n_merges=3)
+
+
+def _bpe_oracle_sql(n_steps: int) -> str:
+    """Generate the step-unrolled DuckDB oracle for q_bpe_merges —
+    deterministic string assembly, the funnel_chain posture."""
+    parts = ["""
+WITH v0 AS (
+  SELECT list_transform(range(1, length(w) + 1),
+                        i -> substr(w, i::INT, 1)) AS syms,
+         COUNT(*)::BIGINT AS n
+  FROM (
+    SELECT unnest(list_filter(
+      list_transform(string_split(lower(text), ' '),
+                     t -> regexp_replace(t, '[^a-z0-9]', '', 'g')),
+      t -> length(t) >= 2)) AS w
+    FROM documents)
+  GROUP BY w)"""]
+    for k in range(1, n_steps + 1):
+        parts.append(f""",
+p{k} AS (
+  SELECT syms[i] AS l, syms[i+1] AS r, SUM(n)::BIGINT AS cnt
+  FROM (SELECT syms, n, unnest(range(1, len(syms))) AS i FROM v{k - 1})
+  GROUP BY 1, 2),
+b{k} AS (SELECT l, r, cnt FROM p{k} ORDER BY cnt DESC, l, r LIMIT 1),
+v{k} AS (
+  SELECT string_split(
+    list_reduce(list_prepend('', syms),
+      (acc, s) -> CASE WHEN acc <> '' AND s = b.r
+                        AND ends_with(acc, '|' || b.l)
+                   THEN left(acc, length(acc) - length(b.l) - 1)
+                        || '|' || b.l || b.r
+                   ELSE acc || '|' || s END),
+    '|')[2:] AS syms, n
+  FROM v{k - 1}, b{k} b)""")
+    selects = [
+        f"SELECT {k}::INT AS step, l AS left, r AS right, "
+        f"cnt AS pair_count FROM b{k}"
+        for k in range(1, n_steps + 1)
+    ]
+    return "".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+SQL_BPE_MERGES = _bpe_oracle_sql(3)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- first 50 keys = the driver correctness window (driver caps
     # its oracle run at 50 keys, in order). Round-6 rotation: the 4
@@ -3741,6 +3798,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rank_fusion": q_rank_fusion,
     "snapshot_diff": q_snapshot_diff,
     "dq_report": q_dq_report,
+    "bpe_merges": q_bpe_merges,
     "embed_near_dup": q_embed_near_dup,
     "train_split": q_train_split,
     "group_sample": q_group_sample,
@@ -3885,6 +3943,7 @@ ORACLES: dict[str, str] = {
     "rank_fusion": SQL_RANK_FUSION,
     "snapshot_diff": SQL_SNAPSHOT_DIFF,
     "dq_report": SQL_DQ_REPORT,
+    "bpe_merges": SQL_BPE_MERGES,
     "embed_near_dup": SQL_EMBED_NEAR_DUP,
     "grouping_sets": SQL_GROUPING_SETS,
     "sql_shipping": SQL_SQL_SHIPPING,
