@@ -2867,3 +2867,64 @@ def test_k_core_matches_reference_peeling(spark):
         pd.DataFrame(clique + tail, columns=["src", "dst"]))
     got = {r["v"]: r["deg"] for r in k_core_vertices(g, 4).collect()}
     assert got == {v: 4 for v in range(5)}
+
+
+def test_ks_drift_matches_reference(spark):
+    """A18: the binned KS fraction equals a numpy reference over the
+    same equi-depth bin rule, detects a planted location shift, and is
+    ~0 for iid halves."""
+    from tgist_features_spark.operators.aggregates import ks_drift
+
+    rng = np.random.default_rng(59)
+    a = rng.integers(0, 1000, 4000)
+
+    def run(ref_vals, new_vals, n_bins=10):
+        ref = spark.createDataFrame(pd.DataFrame({"v": ref_vals}))
+        new = spark.createDataFrame(pd.DataFrame({"v": new_vals}))
+        r = ks_drift(ref, new, "v", n_bins).first()
+        return r
+
+    def ref_ks(ref_vals, new_vals, n_bins=10):
+        sv = np.sort(ref_vals)
+        n = len(sv)
+        lo = {}
+        for rnk, v in enumerate(sv):
+            b = rnk * n_bins // n
+            lo.setdefault(b, v)
+        edges = sorted(lo.items())
+
+        def bin_of(v):
+            best = 0
+            for b, l in edges:
+                if l <= v:
+                    best = max(best, b)
+            return best
+
+        rc = np.zeros(n_bins, dtype=np.int64)
+        nc = np.zeros(n_bins, dtype=np.int64)
+        for v in ref_vals:
+            rc[bin_of(v)] += 1
+        for v in new_vals:
+            nc[bin_of(v)] += 1
+        present = sorted(lo)
+        cr = cn = 0
+        best = (-1, None)
+        for b in present:
+            cr += rc[b]
+            cn += nc[b]
+            g = abs(cr * len(new_vals) - cn * len(ref_vals))
+            if g > best[0]:
+                best = (g, b)
+        return best
+
+    # iid halves: tiny statistic
+    r = run(a[:2000], a[2000:])
+    g, b = ref_ks(a[:2000], a[2000:])
+    assert (r["ks_num"], r["worst_bin"]) == (g, b)
+    assert r["ks_num"] / r["denom"] < 0.06
+    # planted +300 location shift: large statistic, same reference
+    shifted = a[2000:] + 300
+    r2 = run(a[:2000], shifted)
+    g2, b2 = ref_ks(a[:2000], shifted)
+    assert (r2["ks_num"], r2["worst_bin"]) == (g2, b2)
+    assert r2["ks_num"] / r2["denom"] > 0.25

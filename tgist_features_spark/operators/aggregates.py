@@ -869,3 +869,63 @@ def merge_group_moments(
     return merged.withColumn(
         "var_num", F.col("n_obs") * F.col("sumsq_x") - F.col("sum_x") * F.col("sum_x")
     )
+
+
+def ks_drift(
+    ref: DataFrame,
+    new: DataFrame,
+    value_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """A18: binned Kolmogorov-Smirnov drift statistic — the second
+    drift lens beside PSI (population_drift): PSI reads per-bin mass
+    RATIOS (sensitive to tail reshuffling), KS reads the maximum CDF
+    gap (sensitive to location/scale shift a ratio sum can smear
+    out). Returns ONE row: (ks_num, denom, worst_bin, ref_total,
+    new_total), where the statistic's exact value is ks_num / denom
+    with ks_num = max_k |cum_ref_k * new_total - cum_new_k * ref_total|
+    and denom = ref_total * new_total — pure bigint cross-products, no
+    division in-plan, bitwise reproducible (the group_trend fraction
+    convention). worst_bin is the smallest bin index attaining the
+    maximum (tie rule pinned).
+
+    Overflow bound: cum * total <= ref_total * new_total < 2^63 holds
+    through ~3e9 x 3e9 rows; beyond that, pre-aggregate per value or
+    sample — documented, not silently truncated.
+
+    Scale shape: everything after population_drift's binned counts
+    (its cost profile applies) runs over the n_bins-row relation — a
+    cumsum window and a 1-row argmax over at most n_bins rows."""
+    binned = population_drift(ref, new, value_col, n_bins)
+    w = (
+        Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = binned.select(
+        "bin",
+        "ref_total",
+        "new_total",
+        F.sum("ref_n").over(w).alias("cum_ref"),
+        F.sum("new_n").over(w).alias("cum_new"),
+    )
+    gap = cum.select(
+        "bin",
+        "ref_total",
+        "new_total",
+        F.abs(
+            F.col("cum_ref") * F.col("new_total")
+            - F.col("cum_new") * F.col("ref_total")
+        ).alias("g"),
+    )
+    return (
+        gap.orderBy(F.col("g").desc(), F.col("bin").asc())
+        .limit(1)
+        .select(
+            F.col("g").cast("bigint").alias("ks_num"),
+            (F.col("ref_total") * F.col("new_total"))
+            .cast("bigint")
+            .alias("denom"),
+            F.col("bin").cast("bigint").alias("worst_bin"),
+            F.col("ref_total").cast("bigint").alias("ref_total"),
+            F.col("new_total").cast("bigint").alias("new_total"),
+        )
+    )

@@ -3705,6 +3705,57 @@ v{k} AS (
 SQL_BPE_MERGES = _bpe_oracle_sql(3)
 
 
+def q_ks_drift(spark, sf):
+    """Binned KS drift statistic (round 6): the max CDF gap between
+    the corpus halves as an exact integer fraction
+    (ks_num / (ref_total*new_total)) over the population_drift bins —
+    the location-shift lens beside PSI's ratio lens
+    (operators/aggregates.py ks_drift)."""
+    from tgist_features_spark.operators.aggregates import ks_drift
+
+    d = _t(spark, sf, "documents").select("source", "n_chars")
+    ref = d.filter(F.length("source") == 4)
+    new = d.filter(F.length("source") != 4)
+    return ks_drift(ref, new, "n_chars", n_bins=10)
+
+
+SQL_KS_DRIFT = """
+WITH refc AS (SELECT n_chars AS v FROM documents WHERE len(source) = 4),
+newc AS (SELECT n_chars AS v FROM documents WHERE len(source) <> 4),
+ranked AS (SELECT v, row_number() OVER (ORDER BY v) - 1 AS rnk,
+                  (SELECT COUNT(*) FROM refc) AS n
+           FROM refc),
+edges AS (SELECT ((rnk * 10) // n)::BIGINT AS bin, MIN(v)::BIGINT AS lo
+          FROM ranked GROUP BY 1),
+ar AS (SELECT greatest(coalesce(
+         (SELECT MAX(e.bin) FROM edges e WHERE e.lo <= r.v), 0), 0) AS bin
+       FROM refc r),
+an AS (SELECT greatest(coalesce(
+         (SELECT MAX(e.bin) FROM edges e WHERE e.lo <= s.v), 0), 0) AS bin
+       FROM newc s),
+rc AS (SELECT bin, COUNT(*)::BIGINT AS ref_n FROM ar GROUP BY 1),
+nc AS (SELECT bin, COUNT(*)::BIGINT AS new_n FROM an GROUP BY 1),
+binned AS (
+  SELECT e.bin, COALESCE(rc.ref_n, 0) AS ref_n, COALESCE(nc.new_n, 0) AS new_n,
+         (SELECT COUNT(*) FROM refc)::BIGINT AS ref_total,
+         (SELECT COUNT(*) FROM newc)::BIGINT AS new_total
+  FROM edges e LEFT JOIN rc USING (bin) LEFT JOIN nc USING (bin)),
+cum AS (
+  SELECT bin, ref_total, new_total,
+         SUM(ref_n) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum_ref,
+         SUM(new_n) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum_new
+  FROM binned)
+SELECT abs(cum_ref * new_total - cum_new * ref_total)::BIGINT AS ks_num,
+       (ref_total * new_total)::BIGINT AS denom,
+       bin::BIGINT AS worst_bin, ref_total, new_total
+FROM cum
+ORDER BY abs(cum_ref * new_total - cum_new * ref_total) DESC, bin ASC
+LIMIT 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- first 50 keys = the driver correctness window (driver caps
     # its oracle run at 50 keys, in order). Round-6 rotation: the 4
@@ -3799,6 +3850,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "snapshot_diff": q_snapshot_diff,
     "dq_report": q_dq_report,
     "bpe_merges": q_bpe_merges,
+    "ks_drift": q_ks_drift,
     "embed_near_dup": q_embed_near_dup,
     "train_split": q_train_split,
     "group_sample": q_group_sample,
@@ -3944,6 +3996,7 @@ ORACLES: dict[str, str] = {
     "snapshot_diff": SQL_SNAPSHOT_DIFF,
     "dq_report": SQL_DQ_REPORT,
     "bpe_merges": SQL_BPE_MERGES,
+    "ks_drift": SQL_KS_DRIFT,
     "embed_near_dup": SQL_EMBED_NEAR_DUP,
     "grouping_sets": SQL_GROUPING_SETS,
     "sql_shipping": SQL_SQL_SHIPPING,
