@@ -81,6 +81,16 @@ def main() -> None:
         q = max(r["new_n"], 0.5) / max(new_total, 1)
         psi += (q - p) * math.log(q / p)
 
+    # binned KS beside PSI (the location-shift lens): max CDF gap as
+    # integer cross-products, float only at this print edge
+    cr = cn = 0
+    ks_num = 0
+    for r in sorted(rows, key=lambda r: r["bin"]):
+        cr += r["ref_n"]
+        cn += r["new_n"]
+        ks_num = max(ks_num, abs(cr * new_total - cn * ref_total))
+    ks = ks_num / (ref_total * new_total) if ref_total and new_total else 0.0
+
     print(json.dumps({
         "job": "drift_report",
         "value_col": args.value_col,
@@ -88,6 +98,7 @@ def main() -> None:
         "ref_total": ref_total,
         "new_total": new_total,
         "psi": round(psi, 6),
+        "ks": round(ks, 6),
         "verdict": ("stable" if psi < 0.1
                     else "moderate_shift" if psi < 0.25 else "investigate"),
         "wall_s": round(wall, 3),
