@@ -2928,3 +2928,54 @@ def test_ks_drift_matches_reference(spark):
     g2, b2 = ref_ks(a[:2000], shifted)
     assert (r2["ks_num"], r2["worst_bin"]) == (g2, b2)
     assert r2["ks_num"] / r2["denom"] > 0.25
+
+
+def test_group_spearman_matches_scipy_free_reference(spark):
+    """A19: the exact integer Spearman fraction matches a numpy
+    reference over the same pinned ranks; perfectly monotone data
+    gives rho exactly 1 (and reversed, exactly -1); NULLs are
+    excluded; singleton groups return rho_den = 0."""
+    from tgist_features_spark.operators.aggregates import group_spearman
+
+    rng = np.random.default_rng(61)
+    n = 500
+    pdf = pd.DataFrame({
+        "id": np.arange(n),
+        "g": rng.choice(["a", "b"], n),
+        "x": rng.integers(0, 50, n).astype("float64"),  # heavy ties
+        "y": rng.normal(0, 1, n),
+    })
+    pdf.loc[rng.choice(n, 25, replace=False), "x"] = None
+    got = {
+        r["g"]: (r["n_pairs"], r["sum_d2"], r["rho_num"], r["rho_den"])
+        for r in group_spearman(
+            spark.createDataFrame(pdf), "x", "y", "g", "id"
+        ).collect()
+    }
+    for g, grp in pdf.dropna(subset=["x", "y"]).groupby("g"):
+        rx = grp.sort_values(["x", "id"]).reset_index()
+        rx["r"] = np.arange(1, len(rx) + 1)
+        ry = grp.sort_values(["y", "id"]).reset_index()
+        ry["r"] = np.arange(1, len(ry) + 1)
+        m = rx.set_index("id")["r"].to_frame("rx").join(
+            ry.set_index("id")["r"].to_frame("ry"))
+        d2 = int(((m["rx"] - m["ry"]) ** 2).sum())
+        nn = len(m)
+        den = nn * (nn * nn - 1)
+        assert got[g] == (nn, d2, den - 6 * d2, den), g
+    # monotone: rho == 1 exactly; reversed: rho == -1 exactly
+    mono = spark.createDataFrame(pd.DataFrame({
+        "id": range(100), "g": ["m"] * 100,
+        "x": np.arange(100.0), "y": np.arange(100.0) * 3 + 7}))
+    r = group_spearman(mono, "x", "y", "g", "id").first()
+    assert r["rho_num"] == r["rho_den"] and r["sum_d2"] == 0
+    rev = spark.createDataFrame(pd.DataFrame({
+        "id": range(100), "g": ["r"] * 100,
+        "x": np.arange(100.0), "y": -np.arange(100.0)}))
+    r = group_spearman(rev, "x", "y", "g", "id").first()
+    assert r["rho_num"] == -r["rho_den"]
+    # singleton: den = 0 (a non-answer)
+    single = spark.createDataFrame(
+        pd.DataFrame({"id": [1], "g": ["s"], "x": [1.0], "y": [2.0]}))
+    r = group_spearman(single, "x", "y", "g", "id").first()
+    assert r["rho_den"] == 0

@@ -929,3 +929,60 @@ def ks_drift(
             F.col("new_total").cast("bigint").alias("new_total"),
         )
     )
+
+
+def group_spearman(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_col: str,
+    tiebreak: str,
+) -> DataFrame:
+    """A19: per-group Spearman rank correlation kept EXACT — the
+    "do these two quality signals agree" audit (length vs score,
+    recency vs engagement) without Pearson's outlier fragility or any
+    float accumulation. Returns per group (n_pairs, sum_d2, rho_num,
+    rho_den) with rho = rho_num / rho_den = 1 − 6·Σd²/(n(n²−1)) —
+    pure bigint, the group_trend fraction convention; the division is
+    the reader's.
+
+    Ranks are row_number under the PINNED total order
+    (value, tiebreak) — deterministic and engine-reproducible. Under
+    heavy ties this is "Spearman over the pinned order", not the
+    tie-averaged variant (average ranks are fractional and engines
+    disagree on half-rank rounding); the tiebreak column makes the
+    choice explicit. Rows with a NULL in either variable are excluded
+    (the group_cdf NULL contract); groups with n < 2 return rho_den=0
+    (a non-answer, not a fake correlation — time_weighted_avg's
+    singleton convention).
+
+    Overflow: n(n²−1) < 2^63 holds to n ≈ 2.1M rows per group; Σd² is
+    bounded by n(n²−1)/3, same bound. Scale shape: both rank windows
+    share one (group) hash partitioning — one exchange, two in-
+    partition sorts — then a combinable aggregation."""
+    nn = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+    wx = Window.partitionBy(group_col).orderBy(
+        F.col(x_col).asc(), F.col(tiebreak).asc()
+    )
+    wy = Window.partitionBy(group_col).orderBy(
+        F.col(y_col).asc(), F.col(tiebreak).asc()
+    )
+    ranked = nn.select(
+        F.col(group_col),
+        F.row_number().over(wx).cast("bigint").alias("__rx"),
+        F.row_number().over(wy).cast("bigint").alias("__ry"),
+    )
+    d = F.col("__rx") - F.col("__ry")
+    agg = ranked.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(d * d).cast("bigint").alias("sum_d2"),
+    )
+    n = F.col("n_pairs")
+    den = n * (n * n - F.lit(1))
+    return agg.select(
+        group_col,
+        "n_pairs",
+        "sum_d2",
+        (den - F.lit(6) * F.col("sum_d2")).cast("bigint").alias("rho_num"),
+        den.cast("bigint").alias("rho_den"),
+    )

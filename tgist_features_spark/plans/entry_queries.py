@@ -3756,6 +3756,47 @@ LIMIT 1
 """
 
 
+def q_spearman(spark, sf):
+    """Per-event-type Spearman correlation of value vs time (round 6):
+    exact integer (rho_num, rho_den) fraction over row_number ranks
+    with the (value, event_id) / (ts, event_id) pinned orders — "is
+    this signal drifting with time", the rank-robust audit
+    (operators/aggregates.py group_spearman)."""
+    from tgist_features_spark.operators.aggregates import group_spearman
+
+    e = _t(spark, sf, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("x"),
+        _US(F.col("ts")).alias("y"),
+    )
+    return group_spearman(e, "x", "y", "event_type", "event_id")
+
+
+SQL_SPEARMAN = """
+WITH nn AS (
+  SELECT event_type, event_id,
+         round(value * 100)::BIGINT AS x, epoch_us(ts) AS y
+  FROM events
+  WHERE value IS NOT NULL AND ts IS NOT NULL),
+ranked AS (
+  SELECT event_type,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY x, event_id)::BIGINT AS rx,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY y, event_id)::BIGINT AS ry
+  FROM nn),
+agg AS (
+  SELECT event_type, COUNT(*)::BIGINT AS n_pairs,
+         SUM((rx - ry) * (rx - ry))::BIGINT AS sum_d2
+  FROM ranked GROUP BY event_type)
+SELECT event_type, n_pairs, sum_d2,
+       (n_pairs * (n_pairs * n_pairs - 1) - 6 * sum_d2)::BIGINT AS rho_num,
+       (n_pairs * (n_pairs * n_pairs - 1))::BIGINT AS rho_den
+FROM agg
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- first 50 keys = the driver correctness window (driver caps
     # its oracle run at 50 keys, in order). Round-6 rotation: the 4
@@ -3851,6 +3892,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq_report": q_dq_report,
     "bpe_merges": q_bpe_merges,
     "ks_drift": q_ks_drift,
+    "spearman": q_spearman,
     "embed_near_dup": q_embed_near_dup,
     "train_split": q_train_split,
     "group_sample": q_group_sample,
@@ -3997,6 +4039,7 @@ ORACLES: dict[str, str] = {
     "dq_report": SQL_DQ_REPORT,
     "bpe_merges": SQL_BPE_MERGES,
     "ks_drift": SQL_KS_DRIFT,
+    "spearman": SQL_SPEARMAN,
     "embed_near_dup": SQL_EMBED_NEAR_DUP,
     "grouping_sets": SQL_GROUPING_SETS,
     "sql_shipping": SQL_SQL_SHIPPING,
