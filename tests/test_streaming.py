@@ -740,3 +740,74 @@ def test_stream_profile_maintenance_equals_one_pass(spark, tmp_path):
     again, _ = read_current_profile(spark, io_, ["k"])
     pd.testing.assert_frame_equal(
         again.toPandas().sort_values("k").reset_index(drop=True), want)
+
+
+def test_stateful_rolling_outliers_parity_with_batch(spark, tmp_path):
+    """T13: streaming trailing-window z-outlier flags == the batch
+    with_rolling_outliers rows, row-for-row — window statistics AND
+    flags — including windows spanning micro-batches, NULL rows
+    (slots without statistics), planted spikes, and constant windows
+    (degenerate rule)."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from tgist_features_spark.operators.windows import with_rolling_outliers
+    from tgist_features_spark.streaming.stream import stateful_rolling_outliers
+
+    rng = np.random.default_rng(107)
+    rows = []
+    eid = 0
+    for u in range(6):
+        base = 10.0 + u
+        for k in range(40):
+            if rng.random() < 0.1:
+                v = None
+            elif k in (17, 33):
+                v = base + 50.0  # planted spike
+            elif u == 5:
+                v = base  # constant stream: degenerate-variance rule
+            else:
+                v = round(base + rng.normal(0, 1.0), 2)
+            rows.append((eid, u, v, pd.Timestamp(9000 * u + 60 * k, unit="s")))
+            eid += 1
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "value", "ts"])
+
+    src = str(tmp_path / "ro")
+    os.makedirs(src, exist_ok=True)
+    schema = "event_id long, user_id long, value double, ts timestamp"
+    early = pdf[pdf["event_id"] % 40 < 19]
+    late = pdf[pdf["event_id"] % 40 >= 19]
+    spark.createDataFrame(early, schema=schema).coalesce(1).write.mode(
+        "overwrite").parquet(src + "/b=0")
+    spark.createDataFrame(late, schema=schema).coalesce(1).write.mode(
+        "overwrite").parquet(src + "/b=1")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/b=*")
+    )
+    # self-inclusion bound: a lone spike in a cnt-row window tops out
+    # at z^2 = cnt-1, so n must exceed z^2+1 for spikes to be flaggable
+    n, z = 12, 2
+    name = _run_to_memory(
+        stateful_rolling_outliers(stream, "value", n=n, z=z), "append"
+    )
+    cols = ["win_cnt", "win_sum", "win_sumsq", "is_outlier"]
+    got = (
+        spark.sql(f"SELECT event_id, {', '.join(cols)} FROM {name}")
+        .toPandas().set_index("event_id").sort_index()
+    )
+    want = (
+        with_rolling_outliers(
+            spark.createDataFrame(pdf, schema=schema),
+            "value", "user_id", ("ts", "event_id"), n=n, z=z,
+        ).toPandas().set_index("event_id")[cols].sort_index()
+    )
+    assert len(got) == len(want) == len(pdf)
+    for c in cols:
+        # NaN-safe: empty windows carry NULL sums on both sides
+        assert got[c].fillna(-1).tolist() == want[c].fillna(-1).tolist(), c
+    # sanity: the planted spikes were actually flagged somewhere
+    assert got["is_outlier"].sum() >= 8

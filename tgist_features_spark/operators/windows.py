@@ -447,6 +447,11 @@ def with_rolling_outliers(
     all from the constant window (then the deviation is infinite sigma).
     Returns the input plus (win_cnt, win_sum, win_sumsq, is_outlier).
 
+    Self-inclusion bound (pick n accordingly): the current row is part
+    of its own window, so a LONE spike in a cnt-row window tops out at
+    z² = cnt − 1 — with n <= z² + 1 a single spike is mathematically
+    unflaggable. Use n comfortably above z² + 1 (e.g. n=20 at z=3).
+
     Overflow bound: |y·cnt − s| ≤ 2·max|y|·n and cnt·q ≤ n²·max|y|², so
     exactness needs (2·max|y|·n)² < 2^63 → max|value|·scale·n < 1.5e9 —
     a 100-row window of 10^6-fixed-point values is safe. Spark 4 ANSI

@@ -886,3 +886,119 @@ def read_current_profile(
             key_cols,
         )
     return moments, hll
+
+
+ROLLOUT_OUT_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("win_cnt", T.LongType()),
+    T.StructField("win_sum", T.LongType()),
+    T.StructField("win_sumsq", T.LongType()),
+    T.StructField("is_outlier", T.BooleanType()),
+])
+
+
+def _rollout_state() -> T.StructType:
+    # trailing y tail: fixed-point values + null flags (a NULL-valued
+    # row occupies its window slot but joins no statistic — the batch
+    # operator's cnt/sum consistency rule)
+    return T.StructType([
+        T.StructField("ys", T.ArrayType(T.LongType())),
+        T.StructField("nulls", T.ArrayType(T.BooleanType())),
+    ])
+
+
+def stateful_rolling_outliers(
+    stream: DataFrame,
+    value_col: str = "value",
+    n: int = 20,
+    z: int = 3,
+    scale: int = 100,
+    delay: str = "30 minutes",
+) -> DataFrame:
+    """T13: streaming trailing-window z-outlier flags — the incremental
+    form of the batch ``with_rolling_outliers`` telemetry screen, with
+    the IDENTICAL integer rule: over the non-NULL values of the last
+    ``n`` rows (current included), flag when
+    (y·cnt − s)² > z²·(cnt·q − s²), degenerate windows (cnt < 2 or
+    zero variance) flagging on any deviation from the constant window.
+    No float, no sqrt — the flag a restart or an engine swap cannot
+    flip near the threshold.
+
+    State per key is the trailing row tail (at most n fixed-point
+    values + null flags): bounded by construction. Over any stream
+    prefix the emissions equal the batch operator row-for-row,
+    including windows spanning micro-batches (parity-pinned). Chunks
+    concatenate before sorting (the T7 rule); the per-row walk is the
+    sliding-window recurrence — sequential by nature, the T9/T11
+    posture."""
+    if n < 1:
+        raise ValueError("stateful_rolling_outliers: n must be >= 1")
+
+    def fn(key: Any, pdfs, state: GroupState):
+        chunks = [p for p in pdfs if len(p)]
+        if not chunks:
+            if state.exists:
+                state.update(tuple(state.get))
+            yield pd.DataFrame(
+                columns=[f.name for f in ROLLOUT_OUT_SCHEMA.fields]
+            )
+            return
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            ["ts", "event_id"], kind="mergesort"
+        )
+        if state.exists:
+            ys, nulls = state.get
+            tail = [None if isnull else int(v)
+                    for v, isnull in zip(list(ys), list(nulls))]
+        else:
+            tail = []
+        vals = pdf[value_col].to_numpy()
+        out_rows = []
+        for v in vals:
+            y = None if pd.isna(v) else int(round(float(v) * scale))
+            tail.append(y)
+            if len(tail) > n:
+                tail.pop(0)
+            nn = [x for x in tail if x is not None]
+            cnt = len(nn)
+            # empty window: NULL sums, exactly as the batch window's
+            # F.sum over zero non-null rows
+            s = sum(nn) if nn else None
+            q = sum(x * x for x in nn) if nn else None
+            if y is None:
+                flag = False
+            else:
+                dev = y * cnt - s
+                var_num = cnt * q - s * s
+                flag = (dev * dev > z * z * var_num) if var_num > 0 else (
+                    dev != 0
+                )
+            out_rows.append((cnt, s, q, flag))
+        state.update((
+            [0 if v is None else v for v in tail],
+            [v is None for v in tail],
+        ))
+        cnts, sums, sqs, flags = zip(*out_rows)
+        yield pd.DataFrame({
+            "user_id": key[0],
+            "event_id": pdf["event_id"].to_numpy(),
+            "ts": pdf["ts"].to_numpy(),
+            "win_cnt": np.array(cnts, dtype="int64"),
+            "win_sum": pd.array(sums, dtype="Int64"),
+            "win_sumsq": pd.array(sqs, dtype="Int64"),
+            "is_outlier": np.array(flags, dtype=bool),
+        })
+
+    return (
+        stream.withWatermark("ts", delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=ROLLOUT_OUT_SCHEMA,
+            stateStructType=_rollout_state(),
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
