@@ -98,6 +98,9 @@ R6_OPS = [
     "rank_fusion",
     "snapshot_diff",
     "dq_report",
+    "bpe_merges",
+    "ks_drift",
+    "spearman",
 ]
 
 # round-5 additions

@@ -2979,3 +2979,51 @@ def test_group_spearman_matches_scipy_free_reference(spark):
         pd.DataFrame({"id": [1], "g": ["s"], "x": [1.0], "y": [2.0]}))
     r = group_spearman(single, "x", "y", "g", "id").first()
     assert r["rho_den"] == 0
+
+
+def test_snapshot_diff_reconstructs_new(spark):
+    """D18 property: old + diff fully reconstructs new — applying the
+    adds, drops, and changes to the old snapshot yields exactly the
+    new snapshot, on randomized versions with NULL churn."""
+    from tgist_features_spark.operators.dedup import snapshot_diff
+
+    rng = np.random.default_rng(67)
+    n = 400
+    old = pd.DataFrame({
+        "id": np.arange(n),
+        "v": rng.integers(0, 20, n).astype("float64"),
+        "s": rng.choice(["x", "y", None], n),
+    })
+    new = old.copy()
+    new = new[~new["id"].isin(rng.choice(n, 60, replace=False))]  # drops
+    upd = rng.choice(new["id"].to_numpy(), 80, replace=False)
+    new.loc[new["id"].isin(upd), "v"] += 1                         # changes
+    nullify = rng.choice(new["id"].to_numpy(), 30, replace=False)
+    new.loc[new["id"].isin(nullify), "s"] = None                   # NULL churn
+    adds = pd.DataFrame({
+        "id": np.arange(n, n + 25),
+        "v": rng.integers(0, 20, 25).astype("float64"),
+        "s": rng.choice(["x", "y"], 25),
+    })
+    new = pd.concat([new, adds], ignore_index=True)
+
+    diff = snapshot_diff(
+        spark.createDataFrame(old), spark.createDataFrame(new),
+        ["id"], ["v", "s"],
+    ).toPandas()
+    # reconstruct: start from old, drop removed, apply changes, add new
+    rec = old.set_index("id")
+    removed = diff[diff["change"] == "removed"]["id"]
+    rec = rec.drop(index=removed)
+    for _, r in diff[diff["change"] == "changed"].iterrows():
+        rec.loc[r["id"], ["v", "s"]] = [r["v_new"], r["s_new"]]
+    added = diff[diff["change"] == "added"].set_index("id")[["v_new", "s_new"]]
+    added.columns = ["v", "s"]
+    rec = pd.concat([rec, added]).sort_index().reset_index()
+
+    want = new.sort_values("id").reset_index(drop=True)
+    rec = rec[want.columns]
+    assert len(rec) == len(want)
+    for c in want.columns:
+        a, b = rec[c], want[c]
+        assert ((a == b) | (a.isna() & b.isna())).all(), c
