@@ -86,33 +86,33 @@ def test_entry_smoke(spark):
 
 
 def test_driver_window_composition():
-    """The driver checks the FIRST 50 registry keys: the 4 new round-6
-    queries + funnel_chain, every key whose backing FUNCTION changed in
-    round 6 (floor-div fixes, empty-cache refusal, weight validation,
-    components cost cut, cluster_sizes cap), and the FULL 34-key r04
-    tail — so every registry key's newest green driver row is <= 1
-    round old. Guards against accidental reordering."""
+    """The driver checks the FIRST 50 registry keys. Late-round-6
+    rotation policy (jobs/rotation_plan.py): (1) every key with NO
+    driver row yet — all 37 round-6 additions; (2) every key whose
+    backing FUNCTION changed after the r05 driver run (ADVICE
+    floor-div/validation fixes, components cost cut, cluster_sizes
+    cap, multimodal GIF fallback); (3) the oldest-evidence r04 keys
+    that still fit. Guards against accidental reordering."""
     ks = list(entry_mod.queries())
     window = set(ks[:50])
     must_be_checked = {
-        # new round-6 queries needing first-time driver evidence
+        # round-6 keys needing FIRST-TIME driver evidence
         "transitions", "rolling_distinct", "group_trend", "overlap_join",
         "funnel_chain", "token_bigrams", "cooccurrence", "group_cdf",
-        "equidepth_bins", "conversion_latency",
-        # backing functions changed in round 6
+        "equidepth_bins", "conversion_latency", "rolling_outliers",
+        "population_drift", "interval_islands", "vocab_edit1",
+        "cohort_retention", "stratified_kfold", "level_shift",
+        "gap_histogram", "scd2_intervals", "transition_latency",
+        "winsorize", "char_pairs", "weighted_median", "heavy_hitters",
+        "time_weighted_avg", "behavior_fp", "moments", "triangles",
+        "zorder", "tf_cosine", "ohlc", "rank_fusion", "snapshot_diff",
+        "dq_report", "bpe_merges", "ks_drift", "spearman",
+        # backing functions changed after the r05 driver run
         "group_norm", "centroids", "cross_dedup", "budget_sample",
-        "dup_clusters", "cluster_sizes",
-        # the entire 34-key r04 tail — rotated back in so no key's
-        # driver evidence is more than one round old
+        "dup_clusters", "cluster_sizes", "multimodal_bytes",
+        # oldest driver evidence (r04) among untouched keys
         "ivf_ann", "ann_lsh", "tf_stats", "resample", "pack_chunks",
-        "tpch_q1", "per_user_agg", "tfidf", "corpus_report",
-        "canonical_order", "rollup", "global_topk", "union_counts",
-        "broadcast_join", "fingerprint", "ngram_stats", "lang_id",
-        "bpeish_tokens", "multimodal_bytes", "sql_shipping", "smj_join",
-        "tokenize", "quality", "window_ranks", "string_funcs",
-        "feature_vector", "bm25", "redact", "chunk_windows", "date_parts",
-        "approx_distinct", "shuffle_order", "pack_padded",
-        "gopher_quality",
+        "tpch_q1",
     }
     missing = must_be_checked - window
     assert not missing, f"driver window lost round-6 evidence for: {missing}"

@@ -3799,73 +3799,27 @@ FROM agg
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- first 50 keys = the driver correctness window (driver caps
-    # its oracle run at 50 keys, in order). Round-6 rotation: the 4
-    # new round-6 queries + funnel_chain, every key whose backing
-    # function changed this round, and the FULL 34-key r04 tail —
-    # so every registry key's newest green driver row is <= 1 round
-    # old. Keys rotated out are r05-green with functions untouched.
+    # its oracle run at 50 keys, in order). Late-round-6 rotation:
+    # (1) all 37 round-6 keys that have never had a driver row —
+    # first-time evidence beats refreshing already-green keys;
+    # (2) the 7 keys whose backing functions changed since the r05
+    # driver run (ADVICE floor-div/validation fixes, components cost
+    # cut, cluster_sizes cap, multimodal GIF fallback) — their r05
+    # rows predate the code they now run;
+    # (3) the oldest-evidence r04 keys that still fit.
+    # Keys rotated out are r04/r05-green with backing functions
+    # verified untouched (git diff dc704ab..HEAD); their interim
+    # evidence is the both-SF oracle_sweep records in COVERAGE.md.
     "transitions": q_transitions,
     "rolling_distinct": q_rolling_distinct,
     "group_trend": q_group_trend,
     "overlap_join": q_overlap_join,
     "funnel_chain": q_funnel_chain,
-    "group_norm": q_group_norm,
-    "centroids": q_centroids,
-    "cross_dedup": q_cross_dedup,
-    "budget_sample": q_budget_sample,
-    "dup_clusters": q_dup_clusters,
-    "cluster_sizes": q_cluster_sizes,
-    "ivf_ann": q_ivf_ann,
-    "ann_lsh": q_ann_lsh,
-    "tf_stats": q_tf_stats,
-    "resample": q_resample,
-    "pack_chunks": q_pack_chunks,
-    "tpch_q1": q_tpch_q1,
-    "per_user_agg": q_per_user_agg,
-    "tfidf": q_tfidf,
-    "corpus_report": q_corpus_report,
-    "canonical_order": q_canonical_order,
-    "rollup": q_rollup,
-    "global_topk": q_global_topk,
-    "union_counts": q_union_counts,
-    "broadcast_join": q_broadcast_join,
-    "fingerprint": q_fingerprint,
-    "ngram_stats": q_ngram_stats,
-    "lang_id": q_lang_id,
-    "bpeish_tokens": q_bpeish_tokens,
-    "multimodal_bytes": q_multimodal_bytes,
-    "sql_shipping": q_sql_shipping,
-    "smj_join": q_smj_join,
-    "tokenize": q_tokenize,
-    "quality": q_quality,
-    "window_ranks": q_window_ranks,
-    "string_funcs": q_string_funcs,
-    "feature_vector": q_feature_vector,
-    "bm25": q_bm25,
-    "redact": q_redact,
-    "chunk_windows": q_chunk_windows,
-    "date_parts": q_date_parts,
-    "approx_distinct": q_approx_distinct,
-    "shuffle_order": q_shuffle_order,
-    "pack_padded": q_pack_padded,
-    "gopher_quality": q_gopher_quality,
-    # five more NEW round-6 queries (they displaced the filler slots;
-    # the displaced keys are r05-green with append-only file changes)
     "token_bigrams": q_token_bigrams,
     "cooccurrence": q_cooccurrence,
     "group_cdf": q_group_cdf,
     "equidepth_bins": q_equidepth_bins,
     "conversion_latency": q_conversion_latency,
-    # --- tail (past the driver cap): every key r05-green in the
-    # driver run, backing functions untouched this round.
-    "range_join": q_range_join,
-    "funnel": q_funnel,
-    "debounce": q_debounce,
-    "mad_outliers": q_mad_outliers,
-    "dedup_minhash": q_dedup_minhash,
-    # new round-6 tail additions: oracled + pytest-verified now, driver
-    # evidence at the next window rotation (the 50-key window is full
-    # of forced keys this round)
     "rolling_outliers": q_rolling_outliers,
     "population_drift": q_population_drift,
     "interval_islands": q_interval_islands,
@@ -3893,6 +3847,56 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_merges": q_bpe_merges,
     "ks_drift": q_ks_drift,
     "spearman": q_spearman,
+    # backing functions changed since the r05 driver run
+    "group_norm": q_group_norm,
+    "centroids": q_centroids,
+    "cross_dedup": q_cross_dedup,
+    "budget_sample": q_budget_sample,
+    "dup_clusters": q_dup_clusters,
+    "cluster_sizes": q_cluster_sizes,
+    "multimodal_bytes": q_multimodal_bytes,
+    # oldest driver evidence (r04) among untouched keys
+    "ivf_ann": q_ivf_ann,
+    "ann_lsh": q_ann_lsh,
+    "tf_stats": q_tf_stats,
+    "resample": q_resample,
+    "pack_chunks": q_pack_chunks,
+    "tpch_q1": q_tpch_q1,
+    # --- tail (past the driver cap): r04/r05-green in prior driver
+    # runs, backing functions untouched since (git-diff verified);
+    # both-SF local oracle_sweep records stand in between rotations.
+    "per_user_agg": q_per_user_agg,
+    "tfidf": q_tfidf,
+    "corpus_report": q_corpus_report,
+    "canonical_order": q_canonical_order,
+    "rollup": q_rollup,
+    "global_topk": q_global_topk,
+    "union_counts": q_union_counts,
+    "broadcast_join": q_broadcast_join,
+    "fingerprint": q_fingerprint,
+    "ngram_stats": q_ngram_stats,
+    "lang_id": q_lang_id,
+    "bpeish_tokens": q_bpeish_tokens,
+    "sql_shipping": q_sql_shipping,
+    "smj_join": q_smj_join,
+    "tokenize": q_tokenize,
+    "quality": q_quality,
+    "window_ranks": q_window_ranks,
+    "string_funcs": q_string_funcs,
+    "feature_vector": q_feature_vector,
+    "bm25": q_bm25,
+    "redact": q_redact,
+    "chunk_windows": q_chunk_windows,
+    "date_parts": q_date_parts,
+    "approx_distinct": q_approx_distinct,
+    "shuffle_order": q_shuffle_order,
+    "pack_padded": q_pack_padded,
+    "gopher_quality": q_gopher_quality,
+    "range_join": q_range_join,
+    "funnel": q_funnel,
+    "debounce": q_debounce,
+    "mad_outliers": q_mad_outliers,
+    "dedup_minhash": q_dedup_minhash,
     "embed_near_dup": q_embed_near_dup,
     "train_split": q_train_split,
     "group_sample": q_group_sample,
