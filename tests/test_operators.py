@@ -3027,3 +3027,138 @@ def test_snapshot_diff_reconstructs_new(spark):
     for c in want.columns:
         a, b = rec[c], want[c]
         assert ((a == b) | (a.isna() & b.isna())).all(), c
+
+
+def test_pagerank_fixed_point_matches_reference(spark):
+    """G5: integer fixed-point PageRank equals a Python reference
+    implementing the same pinned truncating arithmetic on a random
+    weighted digraph (parallel edges combined, non-positive / NULL
+    weights dropped), and total mass never exceeds scale."""
+    from tgist_features_spark.operators.components import pagerank_fixed_point
+
+    rng = np.random.default_rng(141)
+    n = 25
+    raw = []
+    for _ in range(300):
+        u, v = int(rng.integers(0, n)), int(rng.integers(0, n))
+        raw.append((u, v, int(rng.integers(1, 50))))
+    # parallel duplicates + junk rows the operator must drop
+    raw += raw[:40]
+    junk = [(0, 1, 0), (2, 3, -5), (None, 4, 7), (5, None, 7)]
+    pdf = pd.DataFrame(raw + junk, columns=["src", "dst", "w"], dtype="object")
+    df = spark.createDataFrame(pdf)
+
+    edges: dict[tuple[int, int], int] = {}
+    for u, v, w in raw:
+        edges[(u, v)] = edges.get((u, v), 0) + w
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    big = len(nodes)
+    scale, dn, dd = 10**9, 85, 100
+    outw: dict[int, int] = {}
+    for (u, _), w in edges.items():
+        outw[u] = outw.get(u, 0) + w
+    pr = {v: scale // big for v in nodes}
+    for _ in range(3):
+        infl = {v: 0 for v in nodes}
+        for (u, v), w in edges.items():
+            infl[v] += (pr[u] * w) // outw[u]
+        pr = {
+            v: (scale * (dd - dn)) // (dd * big) + (dn * infl[v]) // dd
+            for v in nodes
+        }
+
+    got = pagerank_fixed_point(df, iters=3).toPandas()
+    assert len(got) == big
+    assert (got["n_nodes"] == big).all()
+    by_node = dict(zip(got["node"].astype(int), got["pr_x1e9"].astype(int)))
+    assert by_node == pr
+    assert sum(by_node.values()) <= scale  # truncation only leaks mass
+
+
+def test_ewma_smooth_matches_reference_incl_negatives(spark):
+    """W9: the EWMA fold equals a Python reference using TRUNCATING
+    integer division (the pinned cross-engine rule — Python's // floors,
+    so the reference must truncate explicitly), including negative
+    values; NULLs are excluded; singletons return their own value."""
+    from tgist_features_spark.operators.windows import ewma_smooth
+
+    def tdiv(a: int, d: int) -> int:
+        return a // d if a >= 0 else -((-a) // d)
+
+    rng = np.random.default_rng(143)
+    rows = []
+    for ent in range(40):
+        for i in range(int(rng.integers(1, 30))):
+            v = int(rng.integers(-5000, 5000))
+            rows.append((ent, i, None if rng.random() < 0.1 else v))
+    pdf = pd.DataFrame(rows, columns=["e", "pos", "v"], dtype="object")
+    df = spark.createDataFrame(pdf)
+    got = ewma_smooth(df, "v", "e", ("pos",), k=3).toPandas()
+
+    want = {}
+    for ent, grp in pdf.dropna(subset=["v"]).groupby("e"):
+        vals = [int(v) for v in grp.sort_values("pos")["v"]]
+        s = vals[0]
+        for x in vals[1:]:
+            s = tdiv(x + 7 * s, 8)
+        want[ent] = (len(vals), vals[-1], s)
+    assert len(got) == len(want)
+    for _, r in got.iterrows():
+        assert want[r["e"]] == (r["n_events"], r["v_last"], r["ewma"])
+    with pytest.raises(ValueError):
+        ewma_smooth(df, "v", "e", ("pos",), k=0)
+
+
+def test_rfm_scores_reference_and_properties(spark):
+    """A19: RFM quintiles equal a pandas reference applying the same
+    pinned (metric, entity) rank rule per segment; per-segment bucket
+    populations differ by at most one; scores live in 1..n_bins and
+    the digit composite is consistent; n_bins > 9 is refused."""
+    from tgist_features_spark.operators.aggregates import rfm_scores
+
+    rng = np.random.default_rng(145)
+    rows = []
+    for ent in range(120):
+        seg = ["A", "B", "C"][ent % 3]
+        for _ in range(int(rng.integers(1, 8))):
+            rows.append(
+                (ent, seg, int(rng.integers(0, 10**8)), int(rng.integers(1, 10**6)))
+            )
+    pdf = pd.DataFrame(rows, columns=["ent", "seg", "ts_us", "cents"])
+    df = spark.createDataFrame(pdf)
+    got = (
+        rfm_scores(df, "ent", "seg", "ts_us", "cents", n_bins=5)
+        .toPandas().sort_values("ent").reset_index(drop=True)
+    )
+
+    pe = pdf.groupby(["ent", "seg"]).agg(
+        last_us=("ts_us", "max"), n_events=("ts_us", "size"),
+        monetary=("cents", "sum"),
+    ).reset_index()
+    pe["rec_days"] = (pdf["ts_us"].max() - pe["last_us"]) // 86_400_000_000
+    for metric, out, asc_score in (
+        ("rec_days", "r_score", False),
+        ("n_events", "f_score", True),
+        ("monetary", "m_score", True),
+    ):
+        scores = {}
+        for _, grp in pe.groupby("seg"):
+            g = grp.sort_values([metric, "ent"]).reset_index(drop=True)
+            n = len(g)
+            for i, ent in enumerate(g["ent"]):
+                b = (i * 5) // n
+                scores[ent] = b + 1 if asc_score else 5 - b
+        pe[out] = pe["ent"].map(scores)
+    want = pe.sort_values("ent").reset_index(drop=True)
+    for c in ("rec_days", "n_events", "monetary", "r_score", "f_score", "m_score"):
+        assert (got[c].astype(int) == want[c].astype(int)).all(), c
+    assert (
+        got["rfm"] == got["r_score"] * 100 + got["f_score"] * 10 + got["m_score"]
+    ).all()
+    for _, grp in got.groupby("seg"):
+        for c in ("r_score", "f_score", "m_score"):
+            counts = grp[c].value_counts()
+            assert counts.max() - counts.min() <= 1
+            assert set(counts.index) <= set(range(1, 6))
+    with pytest.raises(ValueError):
+        rfm_scores(df, "ent", "seg", "ts_us", "cents", n_bins=10)

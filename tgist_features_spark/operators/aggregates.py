@@ -986,3 +986,107 @@ def group_spearman(
         (den - F.lit(6) * F.col("sum_d2")).cast("bigint").alias("rho_num"),
         den.cast("bigint").alias("rho_den"),
     )
+
+
+def rfm_scores(
+    df: DataFrame,
+    entity_col: str,
+    segment_col: str,
+    ts_us_col: str,
+    amount_col: str,
+    n_bins: int = 5,
+) -> DataFrame:
+    """A19: RFM (recency / frequency / monetary) scoring — the classic
+    customer/entity segmentation feature triple, scored per SEGMENT so
+    every entity is ranked against its own peer group (the standard
+    practice: a wholesale account's "high spend" is a retail account's
+    rounding error; global quantiles are the degenerate single-segment
+    call).
+
+    Per (entity, segment): recency = whole days between the entity's
+    last event and the CORPUS max timestamp (computed in-plan as a
+    broadcast 1-row aggregate, never a driver-side scalar), frequency =
+    event count, monetary = summed integer amount (callers pass a
+    fixed-point column, e.g. cents). Each metric is then equi-depth
+    binned within the segment by the (metric, entity) pinned total
+    order — bin = rank_m1 * n_bins div n, the equidepth_bins rule, so
+    populations differ by at most one BY CONSTRUCTION and the result is
+    pure-integer bitwise across engines. Scores: recency bin 0 (most
+    recent) gets r_score = n_bins, ascending frequency/monetary bins
+    score bin+1 — all scores in 1..n_bins, higher = better. The packed
+    ``rfm`` digit composite (r*100 + f*10 + m) requires n_bins <= 9.
+
+    Rows with NULL timestamp or NULL amount are excluded up front (a
+    NULL has no rank and engines disagree on NULL ordering — the
+    group_cdf contract).
+
+    Scale shape: one map-side-combinable aggregation to the per-entity
+    relation (|entities| rows, the big shrink), a broadcast 1-row max,
+    then ONE shuffle on the segment reused by all three ranking windows
+    (same partitioning -> Catalyst plans a single Exchange with three
+    sorts). Segment cardinality bounds window parallelism — for a
+    degenerate corpus that is one giant segment, rank via the
+    range-partitioned prefix-sum machinery (packing.py) instead.
+
+    Returns (entity, segment, rec_days, n_events, monetary,
+    r_score, f_score, m_score, rfm) — all bigint except the
+    entity/segment passthroughs.
+    """
+    if n_bins < 1 or n_bins > 9:
+        raise ValueError("rfm_scores: n_bins must be in 1..9")
+    base = df.filter(
+        F.col(ts_us_col).isNotNull() & F.col(amount_col).isNotNull()
+    )
+    per_entity = base.groupBy(
+        F.col(entity_col), F.col(segment_col)
+    ).agg(
+        F.max(F.col(ts_us_col)).cast("bigint").alias("__last_us"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.col(amount_col)).cast("bigint").alias("monetary"),
+    )
+    corpus_max = base.agg(
+        F.max(F.col(ts_us_col)).cast("bigint").alias("__max_us")
+    )
+    day_us = 86_400_000_000
+    scored = (
+        per_entity.crossJoin(F.broadcast(corpus_max))
+        # both stamps are non-negative epoch micros with last <= max, so
+        # div == floor here; rec_days is whole days, truncated
+        .withColumn(
+            "rec_days",
+            F.expr(f"(__max_us - __last_us) div {day_us}"),
+        )
+        .drop("__last_us", "__max_us")
+    )
+    wseg = Window.partitionBy(segment_col)
+    n_seg = F.count(F.lit(1)).over(wseg).cast("bigint")
+
+    def _bin(metric: str) -> Column:
+        w = wseg.orderBy(F.col(metric), F.col(entity_col))
+        rnk_m1 = F.row_number().over(w).cast("bigint") - F.lit(1)
+        # integer `div`, never the double '/' (the ADVICE floor-div rule)
+        return F.expr(f"(__rnk_{metric} * {int(n_bins)}) div __n_{metric}")
+
+    for metric in ("rec_days", "n_events", "monetary"):
+        w = wseg.orderBy(F.col(metric), F.col(entity_col))
+        scored = scored.withColumn(
+            f"__rnk_{metric}", F.row_number().over(w).cast("bigint") - F.lit(1)
+        ).withColumn(f"__n_{metric}", n_seg)
+    scored = (
+        scored.withColumn("r_score", F.lit(n_bins) - _bin("rec_days"))
+        .withColumn("f_score", _bin("n_events") + F.lit(1))
+        .withColumn("m_score", _bin("monetary") + F.lit(1))
+    )
+    return scored.select(
+        F.col(entity_col),
+        F.col(segment_col),
+        "rec_days",
+        "n_events",
+        "monetary",
+        F.col("r_score").cast("bigint"),
+        F.col("f_score").cast("bigint"),
+        F.col("m_score").cast("bigint"),
+        (
+            F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
+        ).cast("bigint").alias("rfm"),
+    )

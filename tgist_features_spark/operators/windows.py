@@ -821,3 +821,69 @@ def ohlc_buckets(
             (F.count(F.lit(1)) - F.count("__x")).cast("bigint").alias("n_null"),
         )
     )
+
+
+def ewma_smooth(
+    df: DataFrame,
+    value_col: str,
+    entity_col: str,
+    order: tuple[str, ...],
+    k: int = 3,
+) -> DataFrame:
+    """W9: per-entity exponentially-weighted moving average with
+    alpha = 1/2^k, reported at each entity's LAST observation — the
+    "current smoothed level" feature (spend velocity, engagement
+    temperature, error-rate level) that a churn or anomaly model reads
+    per entity, without storing the whole series.
+
+    Semantics, pinned exactly: rows with NULL value are EXCLUDED
+    (engines disagree on NULL fold behavior); the remaining rows are
+    ordered by ``order`` (must be a deterministic total order within an
+    entity) and folded as
+
+        s_1 = v_1;   s_t = (v_t + (2^k - 1) * s_{t-1}) div 2^k
+
+    in pure 64-bit integers — `div` truncates toward zero in Spark and
+    `//` does the same in DuckDB, so the recurrence is bitwise
+    reproducible across engines for ANY sign of input (use an integer
+    fixed-point value column, e.g. cents). Overflow bound:
+    |v| * 2^k < 2^63. The float EWMA differs from this by < 1 unit of
+    the fixed point per step — fixed point with a pinned rounding rule
+    is the price of cross-engine exactness (the A17/moments posture).
+
+    Scale shape: ONE shuffle (groupBy the entity), then a JVM-side
+    array sort + SQL-lambda fold per entity — no Python, no window, no
+    second pass. Per-entity state is the entity's own event list, the
+    same bounded-by-entity-activity posture as behavior fingerprints;
+    entities with millions of events want the streaming maintenance
+    path instead (T4/T13), not a batch fold.
+
+    Returns (entity, n_events bigint, v_last bigint, ewma bigint).
+    """
+    if k < 1 or k > 32:
+        raise ValueError("ewma_smooth: k must be in [1, 32]")
+    m = (1 << k) - 1
+    d = 1 << k
+    df = df.filter(F.col(value_col).isNotNull())
+    ordered = F.array_sort(
+        F.collect_list(
+            F.struct(
+                *[F.col(c) for c in order],
+                F.col(value_col).cast("bigint").alias("v"),
+            )
+        )
+    )
+    return (
+        df.groupBy(F.col(entity_col))
+        .agg(ordered.alias("__seq"))
+        .withColumn("__vals", F.expr("transform(__seq, x -> x.v)"))
+        .select(
+            F.col(entity_col),
+            F.size("__vals").cast("bigint").alias("n_events"),
+            F.element_at("__vals", -1).alias("v_last"),
+            F.expr(
+                "aggregate(slice(__vals, 2, size(__vals) - 1), __vals[0],"
+                f" (s, x) -> (x + {m}L * s) div {d}L)"
+            ).alias("ewma"),
+        )
+    )

@@ -3797,6 +3797,159 @@ FROM agg
 """
 
 
+def q_pagerank3(spark, sf):
+    """Fixed-point PageRank, 3 power iterations (round 6): node
+    importance over the event-type transition graph in pure 64-bit
+    integer arithmetic — which states dominate user flows, weighted by
+    observed traffic (operators/components.py pagerank_fixed_point;
+    per iteration one edge-source join + one map-side-combinable sum
+    keyed by destination, N in-plan as a broadcast 1-row aggregate,
+    eager localCheckpoint truncating the loop lineage). The pinned
+    truncating `div` at every step is what lets a 3-step unrolled SQL
+    oracle reproduce the scores bitwise."""
+    from tgist_features_spark.operators.components import pagerank_fixed_point
+    from tgist_features_spark.operators.windows import transition_counts
+
+    e = _t(spark, sf, "events").select("event_id", "user_id", "event_type", "ts")
+    edges = transition_counts(e, "user_id", "event_type", ("ts", "event_id"))
+    return pagerank_fixed_point(
+        edges, iters=3, src="from_type", dst="to_type", weight="n_transitions"
+    ).select(F.col("node").alias("event_type"), "pr_x1e9", "n_nodes")
+
+
+def _pagerank_oracle_sql(iters: int) -> str:
+    """Unrolled integer PageRank (same pinned arithmetic as
+    pagerank_fixed_point: per-edge truncating contribution, truncating
+    teleport + damped inflow; DuckDB `//` == Spark `div` for the
+    non-negative quantities here)."""
+    head = """
+WITH g AS (
+  SELECT event_type AS u,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS v
+  FROM events),
+edges AS (
+  SELECT u, v, COUNT(*)::BIGINT AS w FROM g WHERE v IS NOT NULL
+  GROUP BY 1, 2),
+nodes AS (SELECT u AS node FROM edges UNION SELECT v AS node FROM edges),
+nn AS (SELECT COUNT(*)::BIGINT AS n FROM nodes),
+outw AS (SELECT u, SUM(w)::BIGINT AS ow FROM edges GROUP BY u),
+pr0 AS (SELECT node, n, (1000000000::BIGINT // n)::BIGINT AS pr FROM nodes, nn)"""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f""",
+pr{i} AS (
+  SELECT p.node, p.n,
+         ((1000000000::BIGINT * 15) // (100 * p.n)
+          + (85 * COALESCE(s.infl, 0)) // 100)::BIGINT AS pr
+  FROM pr{i - 1} p LEFT JOIN (
+    SELECT e.v AS node, SUM((q.pr * e.w) // o.ow)::BIGINT AS infl
+    FROM edges e
+    JOIN pr{i - 1} q ON q.node = e.u
+    JOIN outw o ON o.u = e.u
+    GROUP BY e.v) s USING (node))""")
+    return (
+        head + "".join(steps)
+        + f"\nSELECT node AS event_type, pr AS pr_x1e9, n AS n_nodes FROM pr{iters}\n"
+    )
+
+
+SQL_PAGERANK3 = _pagerank_oracle_sql(3)
+
+
+def q_ewma(spark, sf):
+    """Integer EWMA smoothed level per user, alpha = 1/8 (round 6):
+    each user's exponentially-weighted value level at their last
+    event, folded with the pinned truncating recurrence
+    s_t = (v_t + 7*s_{t-1}) div 8 over cents
+    (operators/windows.py ewma_smooth — one shuffle, JVM lambda fold,
+    bitwise vs DuckDB list_reduce with the same rule)."""
+    from tgist_features_spark.operators.windows import ewma_smooth
+
+    e = _t(spark, sf, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    return ewma_smooth(e, "cents", "user_id", ("ts", "event_id"), k=3)
+
+
+SQL_EWMA = """
+WITH nn AS (
+  SELECT user_id, ts, event_id, round(value * 100)::BIGINT AS cents
+  FROM events WHERE value IS NOT NULL),
+seqs AS (
+  SELECT user_id, list(cents ORDER BY ts, event_id) AS l
+  FROM nn GROUP BY user_id)
+SELECT user_id,
+       len(l)::BIGINT AS n_events,
+       l[-1]::BIGINT AS v_last,
+       list_reduce(l, (s, x) -> (x + 7 * s) // 8)::BIGINT AS ewma
+FROM seqs
+"""
+
+
+def q_rfm(spark, sf):
+    """RFM customer scoring within market segment (round 6): recency /
+    frequency / monetary quintiles by the pinned (metric, custkey)
+    order, all-integer (operators/aggregates.py rfm_scores — one
+    aggregation to per-customer rows, broadcast 1-row corpus max, one
+    segment shuffle reused by the three ranking windows). Customers
+    with no orders are unscored by construction (inner join —
+    standard RFM scores purchasers)."""
+    from tgist_features_spark.operators.aggregates import rfm_scores
+
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    j = o.join(c, "o_custkey").select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("segment"),
+        _US(F.col("o_orderdate")).alias("ts_us"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    return rfm_scores(j, "custkey", "segment", "ts_us", "cents", n_bins=5)
+
+
+SQL_RFM = """
+WITH j AS (
+  SELECT o_custkey AS custkey, c_mktsegment AS segment,
+         epoch_us(o_orderdate) AS ts_us,
+         round(o_totalprice * 100)::BIGINT AS cents
+  FROM orders JOIN customer ON c_custkey = o_custkey
+  WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL),
+pe AS (
+  SELECT custkey, segment, MAX(ts_us)::BIGINT AS last_us,
+         COUNT(*)::BIGINT AS n_events, SUM(cents)::BIGINT AS monetary
+  FROM j GROUP BY 1, 2),
+mx AS (SELECT MAX(ts_us)::BIGINT AS max_us FROM j),
+base AS (
+  SELECT custkey, segment,
+         ((max_us - last_us) // 86400000000)::BIGINT AS rec_days,
+         n_events, monetary
+  FROM pe, mx),
+ranked AS (
+  SELECT *,
+    (row_number() OVER (PARTITION BY segment ORDER BY rec_days, custkey)
+     - 1)::BIGINT AS rr,
+    (row_number() OVER (PARTITION BY segment ORDER BY n_events, custkey)
+     - 1)::BIGINT AS rf,
+    (row_number() OVER (PARTITION BY segment ORDER BY monetary, custkey)
+     - 1)::BIGINT AS rm,
+    COUNT(*) OVER (PARTITION BY segment)::BIGINT AS n
+  FROM base)
+SELECT custkey, segment, rec_days, n_events, monetary,
+       (5 - (rr * 5) // n)::BIGINT AS r_score,
+       ((rf * 5) // n + 1)::BIGINT AS f_score,
+       ((rm * 5) // n + 1)::BIGINT AS m_score,
+       ((5 - (rr * 5) // n) * 100 + ((rf * 5) // n + 1) * 10
+        + ((rm * 5) // n + 1))::BIGINT AS rfm
+FROM ranked
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- first 50 keys = the driver correctness window (driver caps
     # its oracle run at 50 keys, in order). Late-round-6 rotation:
@@ -3936,6 +4089,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hard_negatives": q_hard_negatives,
     "length_histogram": q_length_histogram,
     "dedup_fuzzy": q_dedup_fuzzy,
+    # late-session round-6 additions — oracled + swept locally; first
+    # driver row at the next window rotation
+    "pagerank3": q_pagerank3,
+    "ewma": q_ewma,
+    "rfm": q_rfm,
 }
 
 ORACLES: dict[str, str] = {
@@ -4060,4 +4218,7 @@ ORACLES: dict[str, str] = {
     "resample": SQL_RESAMPLE,
     "pack_padded": SQL_PACK_PADDED,
     "corpus_report": SQL_CORPUS_REPORT,
+    "pagerank3": SQL_PAGERANK3,
+    "ewma": SQL_EWMA,
+    "rfm": SQL_RFM,
 }
