@@ -811,3 +811,84 @@ def test_stateful_rolling_outliers_parity_with_batch(spark, tmp_path):
         assert got[c].fillna(-1).tolist() == want[c].fillna(-1).tolist(), c
     # sanity: the planted spikes were actually flagged somewhere
     assert got["is_outlier"].sum() >= 8
+
+
+def test_stateful_ewma_parity_with_batch(spark, tmp_path):
+    """T14: streaming EWMA maintenance == the batch ewma_smooth result
+    per entity at every stream prefix's end — the same pinned
+    truncating recurrence across micro-batch boundaries, with NULL
+    rows excluded and negative values exercising trunc-vs-floor."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from tgist_features_spark.operators.windows import ewma_smooth
+    from tgist_features_spark.streaming.stream import stateful_ewma
+
+    rng = np.random.default_rng(109)
+    rows = []
+    eid = 0
+    for u in range(8):
+        for j in range(30):
+            if rng.random() < 0.12:
+                v = None
+            else:
+                v = round(float(rng.normal(0, 40.0)), 2)  # negatives too
+            rows.append((eid, u, v, pd.Timestamp(9000 * u + 60 * j, unit="s")))
+            eid += 1
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "value", "ts"])
+
+    src = str(tmp_path / "ew")
+    os.makedirs(src, exist_ok=True)
+    schema = "event_id long, user_id long, value double, ts timestamp"
+    early = pdf[pdf["event_id"] % 30 < 13]
+    late = pdf[pdf["event_id"] % 30 >= 13]
+    spark.createDataFrame(early, schema=schema).coalesce(1).write.mode(
+        "overwrite").parquet(src + "/b=0")
+    spark.createDataFrame(late, schema=schema).coalesce(1).write.mode(
+        "overwrite").parquet(src + "/b=1")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/b=*")
+    )
+    name = _run_to_memory(stateful_ewma(stream, "value", k=3), "append")
+    got = spark.sql(f"SELECT * FROM {name}").toPandas()
+    # one emission per non-NULL event
+    assert len(got) == pdf["value"].notna().sum()
+
+    # final emission per user == the batch operator's row
+    last = (
+        got.sort_values(["user_id", "ts", "event_id"])
+        .groupby("user_id").tail(1).set_index("user_id").sort_index()
+    )
+    batch_in = spark.createDataFrame(pdf, schema=schema).select(
+        "event_id", "user_id", "ts",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    want = (
+        ewma_smooth(batch_in, "cents", "user_id", ("ts", "event_id"), k=3)
+        .toPandas().set_index("user_id").sort_index()
+    )
+    assert (last["n_events"] == want["n_events"]).all()
+    assert (last["v"] == want["v_last"]).all()
+    assert (last["ewma"] == want["ewma"]).all()
+
+    # every intermediate emission equals the python prefix fold
+    def tdiv(a: int) -> int:
+        return a // 8 if a >= 0 else -((-a) // 8)
+
+    for u, grp in pdf.dropna(subset=["value"]).groupby("user_id"):
+        seq = grp.sort_values(["ts", "event_id"])
+        s = None
+        mine = []
+        for _, r in seq.iterrows():
+            y = int(round(float(r["value"]) * 100))
+            s = y if s is None else tdiv(y + 7 * s)
+            mine.append((int(r["event_id"]), s))
+        theirs = (
+            got[got["user_id"] == u]
+            .sort_values(["ts", "event_id"])[["event_id", "ewma"]]
+        )
+        assert list(map(tuple, theirs.to_numpy())) == mine

@@ -1002,3 +1002,102 @@ def stateful_rolling_outliers(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+EWMA_OUT_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("n_events", T.LongType()),
+    T.StructField("v", T.LongType()),
+    T.StructField("ewma", T.LongType()),
+])
+
+
+def _ewma_state() -> T.StructType:
+    return T.StructType([
+        T.StructField("s", T.LongType()),
+        T.StructField("cnt", T.LongType()),
+    ])
+
+
+def stateful_ewma(
+    stream: DataFrame,
+    value_col: str = "value",
+    k: int = 3,
+    scale: int = 100,
+    delay: str = "30 minutes",
+) -> DataFrame:
+    """T14: streaming per-entity EWMA maintenance — the incremental
+    form of the batch ``ewma_smooth`` smoothed-level feature, with the
+    IDENTICAL pinned integer recurrence
+
+        s_1 = v_1;   s_t = (v_t + (2^k - 1) * s_{t-1}) div 2^k
+
+    (`div` truncates toward zero; Python's ``//`` floors, so the
+    truncation is spelled out explicitly here — the same
+    cross-engine/cross-runtime pin the batch operator's tests hold).
+    NULL-valued rows are EXCLUDED, exactly as in batch.
+
+    State per key is TWO 64-bit integers (running smoothed level +
+    count) — the smallest possible stateful footprint, vs the T13
+    rolling tail; this is why EWMA is the scale-friendly "level"
+    feature for entities whose full history would never fit a rolling
+    window. Emits one row per consumed event carrying the
+    post-update (n_events, v, ewma); over any stream prefix the last
+    emission per entity equals the batch ``ewma_smooth`` row
+    (parity-pinned). Chunks concatenate before sorting (the T7 rule).
+    """
+    if k < 1 or k > 32:
+        raise ValueError("stateful_ewma: k must be in [1, 32]")
+    m = (1 << k) - 1
+    d = 1 << k
+
+    def _tdiv(a: int) -> int:
+        return a // d if a >= 0 else -((-a) // d)
+
+    def fn(key: Any, pdfs, state: GroupState):
+        chunks = [p for p in pdfs if len(p)]
+        if not chunks:
+            if state.exists:
+                state.update(tuple(state.get))
+            yield pd.DataFrame(columns=[f.name for f in EWMA_OUT_SCHEMA.fields])
+            return
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            ["ts", "event_id"], kind="mergesort"
+        )
+        s, cnt = state.get if state.exists else (0, 0)
+        out = []
+        for _, row in pdf.iterrows():
+            v = row[value_col]
+            if pd.isna(v):
+                continue
+            y = int(round(float(v) * scale))
+            s = y if cnt == 0 else _tdiv(y + m * s)
+            cnt += 1
+            out.append((int(row["event_id"]), row["ts"], cnt, y, s))
+        state.update((int(s), int(cnt)))
+        if not out:
+            yield pd.DataFrame(columns=[f.name for f in EWMA_OUT_SCHEMA.fields])
+            return
+        eids, tss, cnts, ys, ss = zip(*out)
+        yield pd.DataFrame({
+            "user_id": key[0],
+            "event_id": np.array(eids, dtype="int64"),
+            "ts": list(tss),
+            "n_events": np.array(cnts, dtype="int64"),
+            "v": np.array(ys, dtype="int64"),
+            "ewma": np.array(ss, dtype="int64"),
+        })
+
+    return (
+        stream.withWatermark("ts", delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=EWMA_OUT_SCHEMA,
+            stateStructType=_ewma_state(),
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
