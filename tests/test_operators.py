@@ -3162,3 +3162,59 @@ def test_rfm_scores_reference_and_properties(spark):
             assert set(counts.index) <= set(range(1, 6))
     with pytest.raises(ValueError):
         rfm_scores(df, "ent", "seg", "ts_us", "cents", n_bins=10)
+
+
+def test_quantile_sketches_merge_and_error_bound(spark):
+    """A20: merge-of-parts equals the one-pass sketch BIT-EQUAL (the
+    order-insensitive log-bucket design makes that a construction
+    property, the HLL posture); rank targeting is exact and the value
+    estimate is within alpha relative error; NULLs excluded; non-
+    positive values refused in-plan."""
+    import pyspark.errors
+
+    from tgist_features_spark.operators.aggregates import (
+        merge_quantile_sketches,
+        quantile_sketch_estimate,
+        quantile_sketches,
+    )
+
+    alpha = 0.02
+    rng = np.random.default_rng(147)
+    rows = []
+    for key in ("a", "b", "c"):
+        vals = np.exp(rng.normal(2.0, 1.5, 5000))
+        for i, v in enumerate(vals):
+            rows.append((key, i % 4, None if i % 97 == 0 else float(v)))
+    pdf = pd.DataFrame(rows, columns=["k", "part", "v"])
+    df = spark.createDataFrame(pdf)
+
+    one = quantile_sketches(df, ["k"], "v", alpha=alpha)
+    parts = quantile_sketches(df, ["k", "part"], "v", alpha=alpha).drop("n")
+    merged = merge_quantile_sketches(parts, ["k"])
+
+    a = one.toPandas().sort_values("k").reset_index(drop=True)
+    b = merged.toPandas().sort_values("k").reset_index(drop=True)
+    assert (a["n"] == b["n"]).all()
+    for x, y in zip(a["buckets"], b["buckets"]):
+        assert [tuple(e) for e in x] == [tuple(e) for e in y]
+    # n excludes the NULLs exactly
+    want_n = pdf.dropna(subset=["v"]).groupby("k").size()
+    assert dict(zip(a["k"], a["n"])) == want_n.to_dict()
+
+    qs = [0.1, 0.5, 0.9, 0.99]
+    est = quantile_sketch_estimate(one, qs, alpha=alpha).toPandas()
+    assert len(est) == 3 * len(qs)
+    for key, grp in pdf.dropna(subset=["v"]).groupby("k"):
+        vals = np.sort(grp["v"].to_numpy())
+        for q in qs:
+            exact = vals[int(np.floor(q * (len(vals) - 1)))]
+            got = est[(est["k"] == key) & (est["q"] == q)]["est"].iloc[0]
+            assert abs(got - exact) / exact <= alpha + 1e-9, (key, q)
+
+    bad = spark.createDataFrame(pd.DataFrame({"k": ["a"], "v": [-1.0]}))
+    with pytest.raises(pyspark.errors.PySparkException):
+        quantile_sketches(bad, ["k"], "v", alpha=alpha).collect()
+    with pytest.raises(ValueError):
+        quantile_sketches(df, ["k"], "v", alpha=0.7)
+    with pytest.raises(ValueError):
+        quantile_sketch_estimate(one, [])
