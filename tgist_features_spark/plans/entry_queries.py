@@ -3950,6 +3950,80 @@ FROM ranked
 """
 
 
+def q_ab_lift(spark, sf):
+    """A/B experiment readout (round 6): users are deterministically
+    assigned to arms by the md5 split rule (engine-reproducible — the
+    train_split machinery with an experiment salt), conversion = user
+    ever fired a 'purchase' event; the lift is reported as the EXACT
+    integer cross fraction lift_num/lift_den =
+    (conv_t * users_c) / (conv_c * users_t), never a float ratio.
+    Scale shape: one map-side-combinable per-user aggregation, then a
+    1-row conditional aggregate — assignment is a hash expression, no
+    join, no second shuffle."""
+    from tgist_features_spark.operators.sampling import deterministic_split
+
+    e = _t(spark, sf, "events").select("user_id", "event_type")
+    u = e.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        ).cast("bigint").alias("conv")
+    )
+    armed = deterministic_split(
+        u, "user_id", {"treatment": 0.5, "control": 0.5},
+        salt="exp1", out_col="arm",
+    )
+    t = F.col("arm") == "treatment"
+    out = armed.agg(
+        F.sum(F.when(~t, 1).otherwise(0)).cast("bigint").alias("users_control"),
+        F.sum(F.when(~t, F.col("conv")).otherwise(0)).cast("bigint").alias(
+            "conv_control"
+        ),
+        F.sum(F.when(t, 1).otherwise(0)).cast("bigint").alias("users_treatment"),
+        F.sum(F.when(t, F.col("conv")).otherwise(0)).cast("bigint").alias(
+            "conv_treatment"
+        ),
+    )
+    return out.select(
+        "*",
+        (F.col("conv_treatment") * F.col("users_control")).cast("bigint").alias(
+            "lift_num"
+        ),
+        (F.col("conv_control") * F.col("users_treatment")).cast("bigint").alias(
+            "lift_den"
+        ),
+    )
+
+
+SQL_AB_LIFT = """
+WITH u AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+           AS conv
+  FROM events GROUP BY user_id),
+armed AS (
+  SELECT conv,
+         CASE WHEN ('0x' || substr(md5(user_id::VARCHAR || 'exp1'), 1, 15))
+                   ::UBIGINT % 1000000 < 500000
+              THEN 'treatment' ELSE 'control' END AS arm
+  FROM u),
+agg AS (
+  SELECT
+    SUM(CASE WHEN arm = 'control' THEN 1 ELSE 0 END)::BIGINT AS users_control,
+    SUM(CASE WHEN arm = 'control' THEN conv ELSE 0 END)::BIGINT AS conv_control,
+    SUM(CASE WHEN arm = 'treatment' THEN 1 ELSE 0 END)::BIGINT
+      AS users_treatment,
+    SUM(CASE WHEN arm = 'treatment' THEN conv ELSE 0 END)::BIGINT
+      AS conv_treatment
+  FROM armed)
+SELECT *,
+       (conv_treatment * users_control)::BIGINT AS lift_num,
+       (conv_control * users_treatment)::BIGINT AS lift_den
+FROM agg
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- first 50 keys = the driver correctness window (driver caps
     # its oracle run at 50 keys, in order). Late-round-6 rotation:
@@ -4094,6 +4168,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pagerank3": q_pagerank3,
     "ewma": q_ewma,
     "rfm": q_rfm,
+    "ab_lift": q_ab_lift,
 }
 
 ORACLES: dict[str, str] = {
@@ -4221,4 +4296,5 @@ ORACLES: dict[str, str] = {
     "pagerank3": SQL_PAGERANK3,
     "ewma": SQL_EWMA,
     "rfm": SQL_RFM,
+    "ab_lift": SQL_AB_LIFT,
 }
