@@ -4024,6 +4024,66 @@ FROM agg
 """
 
 
+def q_attribution(spark, sf):
+    """Last-touch marketing attribution (round 6): every purchase is
+    credited to the latest view/click by the same user within a 1-day
+    window — the classic attribution report, expressed as ONE
+    application of the flagship as-of machinery (backward + tolerance)
+    followed by a tiny aggregation; touches are deduped per (user, ts)
+    with the pinned event_id-DESC rule so the as-of tie is
+    deterministic in both engines. Unmatched purchases report as
+    'unattributed'. Scale shape: the as-of merge-scan plan (one
+    range repartition + sortWithinPartitions + vectorized
+    merge_asof), then a map-side-combinable count/sum over the tiny
+    touch-type domain."""
+    e = _t(spark, sf, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("query_ts"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    dw = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    touches = (
+        e.filter(F.col("event_type").isin("view", "click"))
+        .withColumn("rn", F.row_number().over(dw))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "ts", F.col("event_type").alias("touch"))
+    )
+    j = asof_join(
+        purchases, touches, by="user_id", left_on="query_ts", right_on="ts",
+        direction="backward", tolerance=86400.0, value_cols=["touch"],
+        tiebreak=(),
+    )
+    return j.groupBy(
+        F.coalesce(F.col("touch"), F.lit("unattributed")).alias("touch_type")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+        F.sum("cents").cast("bigint").alias("revenue_cents"),
+    )
+
+
+SQL_ATTRIBUTION = """
+WITH p AS (
+  SELECT user_id, ts AS query_ts, round(value * 100)::BIGINT AS cents
+  FROM events WHERE event_type = 'purchase'),
+t AS (
+  SELECT user_id, ts, touch FROM (
+    SELECT user_id, ts, event_type AS touch,
+           row_number() OVER (PARTITION BY user_id, ts
+                              ORDER BY event_id DESC) AS rn
+    FROM events WHERE event_type IN ('view', 'click')) WHERE rn = 1),
+j AS (
+  SELECT p.cents, p.query_ts, t.ts, t.touch
+  FROM p ASOF LEFT JOIN t
+    ON p.user_id = t.user_id AND p.query_ts >= t.ts)
+SELECT COALESCE(CASE WHEN query_ts - ts <= INTERVAL 86400 SECOND
+                     THEN touch END, 'unattributed') AS touch_type,
+       COUNT(*)::BIGINT AS n_purchases,
+       SUM(cents)::BIGINT AS revenue_cents
+FROM j GROUP BY 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- first 50 keys = the driver correctness window (driver caps
     # its oracle run at 50 keys, in order). Late-round-6 rotation:
@@ -4169,6 +4229,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ewma": q_ewma,
     "rfm": q_rfm,
     "ab_lift": q_ab_lift,
+    "attribution": q_attribution,
 }
 
 ORACLES: dict[str, str] = {
@@ -4297,4 +4358,5 @@ ORACLES: dict[str, str] = {
     "ewma": SQL_EWMA,
     "rfm": SQL_RFM,
     "ab_lift": SQL_AB_LIFT,
+    "attribution": SQL_ATTRIBUTION,
 }
