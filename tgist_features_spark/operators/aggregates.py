@@ -996,7 +996,7 @@ def rfm_scores(
     amount_col: str,
     n_bins: int = 5,
 ) -> DataFrame:
-    """A19: RFM (recency / frequency / monetary) scoring — the classic
+    """A21: RFM (recency / frequency / monetary) scoring — the classic
     customer/entity segmentation feature triple, scored per SEGMENT so
     every entity is ranked against its own peer group (the standard
     practice: a wholesale account's "high spend" is a retail account's

@@ -830,7 +830,7 @@ def ewma_smooth(
     order: tuple[str, ...],
     k: int = 3,
 ) -> DataFrame:
-    """W9: per-entity exponentially-weighted moving average with
+    """W19: per-entity exponentially-weighted moving average with
     alpha = 1/2^k, reported at each entity's LAST observation — the
     "current smoothed level" feature (spend velocity, engagement
     temperature, error-rate level) that a churn or anomaly model reads
