@@ -272,3 +272,53 @@ def test_bpe_train_matches_reference(spark):
         w = "".join(rng.choice(alphabet, rng.integers(2, 7)))
         words[w] = int(rng.integers(1, 5))
     run_case(words, 10)
+
+
+def test_bpe_encode_counts_matches_reference(spark):
+    """X16 encode half: replaying a merge list equals the classic
+    greedy left-to-right non-overlapping application per word,
+    including the overlap cases ('aaaa' with (a,a) -> two 'aa'
+    tokens, chained merges consuming earlier outputs), word
+    normalization, and 0/0 for wordless docs."""
+    import pandas as pd
+
+    from tgist_features_spark.functions.text import bpe_encode_counts
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            "aaaa aab the theme",
+            "Theme THEME th-eme!!",
+            "x !!",          # 'x' too short, '!!' strips empty -> wordless
+            "abab ababab aa",
+        ],
+    })
+    merges = [("a", "a"), ("t", "h"), ("th", "e"), ("a", "b")]
+
+    def encode(word: str) -> int:
+        syms = list(word)
+        for left, right in merges:
+            out: list[str] = []
+            for s in syms:
+                if out and out[-1] == left and s == right:
+                    out[-1] = left + right
+                else:
+                    out.append(s)
+            syms = out
+        return len(syms)
+
+    import re
+    want = {}
+    for _, r in docs.iterrows():
+        words = [
+            re.sub(r"[^a-z0-9]", "", t) for t in r["text"].lower().split(" ")
+        ]
+        words = [w for w in words if len(w) >= 2]
+        want[r["doc_id"]] = (len(words), sum(encode(w) for w in words))
+
+    got = bpe_encode_counts(
+        spark.createDataFrame(docs), merges, "doc_id", "text"
+    ).toPandas().set_index("doc_id").sort_index()
+    for did, (nw, nt) in want.items():
+        assert (got.loc[did, "n_words"], got.loc[did, "n_tokens"]) == (nw, nt)
+    assert want[3] == (0, 0)  # pinned: wordless docs report zeros

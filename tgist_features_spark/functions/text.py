@@ -835,3 +835,72 @@ def bpe_train(
     return spark.createDataFrame(
         merges, "step int, left string, right string, pair_count bigint"
     )
+
+
+def bpe_encode_counts(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """X16 (encode half): apply a LEARNED BPE merge list to a corpus and
+    report per-document token counts — the deploy-side of ``bpe_train``
+    (train emits the merge table; encode replays it), so the repo
+    carries the full tokenizer lifecycle, and the count is the number a
+    data-mixture or context-budget pipeline actually consumes.
+
+    Replays each merge in learned order with the SAME left-to-right
+    non-overlapping Catalyst fold as training (greedy-exact for the
+    same reason: a merged symbol's string differs from its left part).
+    Words are the bpe_train normalization (lowercase, non-alnum
+    stripped, length >= 2); documents with no valid words report 0/0.
+
+    Scale shape: the merge replay runs over the DISTINCT-vocabulary
+    relation only (vocab-sized, like training's iterations — the corpus
+    is never re-folded per merge); per-word token counts broadcast-join
+    back onto the exploded (doc, word) relation, then ONE combinable
+    per-doc aggregation. Merge lists are bounded tokenizer artifacts
+    (30-50k entries in production BPE) — plan-time literals, the same
+    class as a broadcast dimension."""
+    toks = F.filter(
+        F.transform(
+            F.split(F.lower(F.col(text_col)), " "),
+            lambda t: F.regexp_replace(t, "[^a-z0-9]", ""),
+        ),
+        lambda t: F.length(t) >= 2,
+    )
+    rel = (
+        df.select(F.col(id_col), F.explode_outer(toks).alias("w"))
+        .filter(F.col("w").isNotNull())
+    )
+    vocab = rel.select("w").distinct().select(
+        "w",
+        F.filter(F.split(F.col("w"), "(?!^)"), lambda s: s != "").alias("syms"),
+    )
+    for left, right in merges:
+        merged = F.concat(F.lit(left), F.lit(right))
+        vocab = vocab.select(
+            "w",
+            F.aggregate(
+                "syms",
+                F.array().cast("array<string>"),
+                lambda acc, s: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == F.lit(left))
+                    & (s == F.lit(right)),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1), F.array(merged)
+                    ),
+                ).otherwise(F.concat(acc, F.array(s))),
+            ).alias("syms"),
+        )
+    per_word = vocab.select("w", F.size("syms").cast("bigint").alias("n_toks"))
+    agg = rel.join(F.broadcast(per_word), "w").groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.sum("n_toks").cast("bigint").alias("n_tokens"),
+    )
+    return df.select(id_col).join(agg, id_col, "left").select(
+        id_col,
+        F.coalesce("n_words", F.lit(0)).cast("bigint").alias("n_words"),
+        F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
+    )

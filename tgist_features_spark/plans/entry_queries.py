@@ -3667,7 +3667,7 @@ def _bpe_oracle_sql(n_steps: int) -> str:
     deterministic string assembly, the funnel_chain posture."""
     parts = ["""
 WITH v0 AS (
-  SELECT list_transform(range(1, length(w) + 1),
+  SELECT w, list_transform(range(1, length(w) + 1),
                         i -> substr(w, i::INT, 1)) AS syms,
          COUNT(*)::BIGINT AS n
   FROM (
@@ -3685,7 +3685,7 @@ p{k} AS (
   GROUP BY 1, 2),
 b{k} AS (SELECT l, r, cnt FROM p{k} ORDER BY cnt DESC, l, r LIMIT 1),
 v{k} AS (
-  SELECT string_split(
+  SELECT w, string_split(
     list_reduce(list_prepend('', syms),
       (acc, s) -> CASE WHEN acc <> '' AND s = b.r
                         AND ends_with(acc, '|' || b.l)
@@ -3703,6 +3703,58 @@ v{k} AS (
 
 
 SQL_BPE_MERGES = _bpe_oracle_sql(3)
+
+
+def q_bpe_encode(spark, sf):
+    """BPE ENCODE over the trained merges (round 6): train the first 3
+    merges on the corpus (bpe_merges), then replay them on the
+    distinct vocabulary and report per-document (n_words, n_tokens) —
+    the deploy half of the tokenizer lifecycle and the count a
+    context-budget pipeline consumes (functions/text.py
+    bpe_encode_counts; vocab-sized replay, broadcast join back, one
+    combinable per-doc agg). The collected merge table is bounded
+    tokenizer metadata (the bpe_train driver-action budget)."""
+    from tgist_features_spark.functions.text import bpe_encode_counts, bpe_train
+
+    m = bpe_train(_t(spark, sf, "documents"), "text", n_merges=3)
+    merges = [
+        (r["left"], r["right"]) for r in m.orderBy("step").collect()
+    ]
+    return bpe_encode_counts(
+        _t(spark, sf, "documents"), merges, "doc_id", "text"
+    )
+
+
+def _bpe_encode_oracle_sql(n_steps: int) -> str:
+    """Step-unrolled DuckDB oracle for q_bpe_encode: the SAME training
+    CTE chain as SQL_BPE_MERGES (which carries each vocab word w
+    through the merge folds), then per-word token counts from the
+    final vocabulary joined back onto the exploded (doc, word)
+    relation."""
+    head = _bpe_oracle_sql(n_steps)
+    # keep the CTE chain; replace the merge-table SELECT tail with the
+    # encode tail
+    cut = head.index("\nSELECT 1::INT AS step")
+    return head[:cut] + f""",
+enc AS (SELECT w, len(syms)::BIGINT AS n_toks FROM v{n_steps}),
+docw AS (
+  SELECT doc_id, unnest(list_filter(
+    list_transform(string_split(lower(text), ' '),
+                   t -> regexp_replace(t, '[^a-z0-9]', '', 'g')),
+    t -> length(t) >= 2)) AS w
+  FROM documents),
+agg AS (
+  SELECT doc_id, COUNT(*)::BIGINT AS n_words,
+         SUM(n_toks)::BIGINT AS n_tokens
+  FROM docw JOIN enc USING (w) GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(a.n_words, 0)::BIGINT AS n_words,
+       COALESCE(a.n_tokens, 0)::BIGINT AS n_tokens
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+SQL_BPE_ENCODE = _bpe_encode_oracle_sql(3)
 
 
 def q_ks_drift(spark, sf):
@@ -4230,6 +4282,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rfm": q_rfm,
     "ab_lift": q_ab_lift,
     "attribution": q_attribution,
+    "bpe_encode": q_bpe_encode,
 }
 
 ORACLES: dict[str, str] = {
@@ -4359,4 +4412,5 @@ ORACLES: dict[str, str] = {
     "rfm": SQL_RFM,
     "ab_lift": SQL_AB_LIFT,
     "attribution": SQL_ATTRIBUTION,
+    "bpe_encode": SQL_BPE_ENCODE,
 }
