@@ -1059,19 +1059,22 @@ def rfm_scores(
         .drop("__last_us", "__max_us")
     )
     wseg = Window.partitionBy(segment_col)
-    n_seg = F.count(F.lit(1)).over(wseg).cast("bigint")
 
     def _bin(metric: str) -> Column:
-        w = wseg.orderBy(F.col(metric), F.col(entity_col))
-        rnk_m1 = F.row_number().over(w).cast("bigint") - F.lit(1)
         # integer `div`, never the double '/' (the ADVICE floor-div rule)
-        return F.expr(f"(__rnk_{metric} * {int(n_bins)}) div __n_{metric}")
+        return F.expr(f"(__rnk_{metric} * {int(n_bins)}) div __n_seg")
 
+    # the segment count is metric-independent: ONE unordered window
+    # (not one per metric — three identical count windows triple the
+    # Window nodes for nothing)
+    scored = scored.withColumn(
+        "__n_seg", F.count(F.lit(1)).over(wseg).cast("bigint")
+    )
     for metric in ("rec_days", "n_events", "monetary"):
         w = wseg.orderBy(F.col(metric), F.col(entity_col))
         scored = scored.withColumn(
             f"__rnk_{metric}", F.row_number().over(w).cast("bigint") - F.lit(1)
-        ).withColumn(f"__n_{metric}", n_seg)
+        )
     scored = (
         scored.withColumn("r_score", F.lit(n_bins) - _bin("rec_days"))
         .withColumn("f_score", _bin("n_events") + F.lit(1))
