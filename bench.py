@@ -101,6 +101,14 @@ R6_OPS = [
     "bpe_merges",
     "ks_drift",
     "spearman",
+    # session-4 additions
+    "pagerank3",
+    "ewma",
+    "rfm",
+    "ab_lift",
+    "attribution",
+    "bpe_encode",
+    "auc",
 ]
 
 # round-5 additions

@@ -3218,3 +3218,44 @@ def test_quantile_sketches_merge_and_error_bound(spark):
         quantile_sketches(df, ["k"], "v", alpha=0.7)
     with pytest.raises(ValueError):
         quantile_sketch_estimate(one, [])
+
+
+def test_group_auc_matches_pairwise_reference(spark):
+    """A22: the integer Mann-Whitney AUC fraction equals the O(n^2)
+    pairwise definition (positives ranked above negatives, ties worth
+    1/2) on random tie-heavy groups; single-class groups report
+    auc_den = 0; NULL rows are excluded."""
+    from fractions import Fraction
+
+    from tgist_features_spark.operators.aggregates import group_auc
+
+    rng = np.random.default_rng(149)
+    rows = []
+    for g in range(25):
+        for _ in range(int(rng.integers(2, 40))):
+            s = int(rng.integers(0, 8))  # small domain -> heavy ties
+            y = bool(rng.random() < 0.3)
+            if rng.random() < 0.05:
+                rows.append((g, None, y))
+            else:
+                rows.append((g, s, y))
+    rows.append((99, 5, True))   # single-class group
+    rows.append((99, 3, True))
+    pdf = pd.DataFrame(rows, columns=["g", "s", "y"], dtype="object")
+    got = (
+        group_auc(spark.createDataFrame(pdf), "s", "y", "g")
+        .toPandas().set_index("g").sort_index()
+    )
+    for g, grp in pdf.dropna(subset=["s"]).groupby("g"):
+        pos = [int(v) for v in grp[grp["y"] == True]["s"]]   # noqa: E712
+        neg = [int(v) for v in grp[grp["y"] == False]["s"]]  # noqa: E712
+        r = got.loc[g]
+        assert (r["n_pos"], r["n_neg"]) == (len(pos), len(neg))
+        if not pos or not neg:
+            assert r["auc_den"] == 0
+            continue
+        num2 = sum(
+            2 * (p > n) + 1 * (p == n) for p in pos for n in neg
+        )  # doubled pairwise wins (tie = 1)
+        want = Fraction(num2, 2 * len(pos) * len(neg))
+        assert Fraction(int(r["auc_num"]), int(r["auc_den"])) == want, g

@@ -1207,3 +1207,71 @@ def quantile_sketch_estimate(
         )
         .drop("buckets", "__r", "__hit")
     )
+
+
+def group_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    group_col: str,
+) -> DataFrame:
+    """A22: exact per-group ROC AUC as an integer fraction — the
+    model-evaluation primitive (does this score rank positives above
+    negatives), via the Mann-Whitney U identity with the standard
+    average-rank tie treatment, kept EXACT by working in doubled rank
+    units: twice the average rank of a row is
+    2*rank_min + (n_ties - 1), an integer, so
+
+        auc_num = sum_over_positives(2*avg_rank) - n_pos*(n_pos+1)
+        auc_den = 2 * n_pos * n_neg
+        AUC     = auc_num / auc_den
+
+    with no float anywhere — bitwise reproducible in any engine (the
+    spearman fraction convention). Groups with a single class report
+    auc_den = 0 (undefined AUC, the rho_den=0 convention); NULL score
+    or label rows are excluded.
+
+    Scale shape: ONE exchange on the group — the rank window and the
+    tie-count window (count over RANGE BETWEEN CURRENT ROW AND CURRENT
+    ROW = the peer group) share the same partitioning AND sort, then
+    one map-side-combinable aggregation. No (group, score) secondary
+    shuffle: the range-frame count replaces it inside the same window
+    pass.
+
+    Returns (group, n_pos, n_neg, auc_num, auc_den) — all bigint.
+    """
+    base = df.filter(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        F.col(group_col),
+        F.col(score_col).alias("__s"),
+        F.col(label_col).cast("boolean").cast("int").alias("__y"),
+    )
+    w = Window.partitionBy(group_col).orderBy(F.col("__s"))
+    ranked = base.select(
+        F.col(group_col),
+        "__y",
+        (
+            F.lit(2) * F.rank().over(w).cast("bigint")
+            + F.count(F.lit(1)).over(w.rangeBetween(0, 0)).cast("bigint")
+            - F.lit(1)
+        ).alias("__avg2"),
+    )
+    agg = ranked.groupBy(group_col).agg(
+        F.sum("__y").cast("bigint").alias("n_pos"),
+        (F.count(F.lit(1)) - F.sum("__y")).cast("bigint").alias("n_neg"),
+        F.sum(F.when(F.col("__y") == 1, F.col("__avg2")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("__s2"),
+    )
+    return agg.select(
+        group_col,
+        "n_pos",
+        "n_neg",
+        (F.col("__s2") - F.col("n_pos") * (F.col("n_pos") + 1))
+        .cast("bigint")
+        .alias("auc_num"),
+        (F.lit(2) * F.col("n_pos") * F.col("n_neg")).cast("bigint").alias(
+            "auc_den"
+        ),
+    )

@@ -4136,6 +4136,46 @@ FROM j GROUP BY 1
 """
 
 
+def q_auc(spark, sf):
+    """Exact per-user ROC AUC (round 6): does the event value rank a
+    user's purchases above their other events — the model-evaluation
+    primitive as an exact integer fraction via Mann-Whitney with
+    doubled average ranks (operators/aggregates.py group_auc — ONE
+    group exchange shared by the rank window and the peer-count range
+    frame, then one combinable aggregation; single-class users report
+    auc_den = 0, the spearman rho_den convention)."""
+    from tgist_features_spark.operators.aggregates import group_auc
+
+    e = _t(spark, sf, "events").select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("score"),
+        (F.col("event_type") == "purchase").alias("label"),
+    )
+    return group_auc(e, "score", "label", "user_id")
+
+
+SQL_AUC = """
+WITH b AS (
+  SELECT user_id, round(value * 100)::BIGINT AS s,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+r AS (
+  SELECT user_id, y,
+         2 * rank() OVER (PARTITION BY user_id ORDER BY s)
+           + COUNT(*) OVER (PARTITION BY user_id, s) - 1 AS avg2
+  FROM b),
+a AS (
+  SELECT user_id, SUM(y)::BIGINT AS n_pos,
+         (COUNT(*) - SUM(y))::BIGINT AS n_neg,
+         SUM(CASE WHEN y = 1 THEN avg2 ELSE 0 END)::BIGINT AS s2
+  FROM r GROUP BY user_id)
+SELECT user_id, n_pos, n_neg,
+       (s2 - n_pos * (n_pos + 1))::BIGINT AS auc_num,
+       (2 * n_pos * n_neg)::BIGINT AS auc_den
+FROM a
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- first 50 keys = the driver correctness window (driver caps
     # its oracle run at 50 keys, in order). Late-round-6 rotation:
@@ -4283,6 +4323,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ab_lift": q_ab_lift,
     "attribution": q_attribution,
     "bpe_encode": q_bpe_encode,
+    "auc": q_auc,
 }
 
 ORACLES: dict[str, str] = {
@@ -4413,4 +4454,5 @@ ORACLES: dict[str, str] = {
     "ab_lift": SQL_AB_LIFT,
     "attribution": SQL_ATTRIBUTION,
     "bpe_encode": SQL_BPE_ENCODE,
+    "auc": SQL_AUC,
 }
