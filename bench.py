@@ -109,6 +109,8 @@ R6_OPS = [
     "attribution",
     "bpe_encode",
     "auc",
+    "loo_encode",
+    "calibration",
 ]
 
 # round-5 additions

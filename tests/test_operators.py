@@ -3259,3 +3259,85 @@ def test_group_auc_matches_pairwise_reference(spark):
         )  # doubled pairwise wins (tie = 1)
         want = Fraction(num2, 2 * len(pos) * len(neg))
         assert Fraction(int(r["auc_num"]), int(r["auc_den"])) == want, g
+
+
+def test_loo_target_encode_leakage_invariance(spark):
+    """A23: the LOO feature equals the pandas reference, and the
+    LEAKAGE INVARIANT holds — flipping a row's own label leaves that
+    row's encoded feature unchanged (loo_num = sum_y - y_i absorbs the
+    flip on both terms); singleton categories report den 0; NULL
+    categories/labels excluded."""
+    from tgist_features_spark.operators.aggregates import loo_target_encode
+
+    rng = np.random.default_rng(151)
+    rows = []
+    for i in range(400):
+        cat = int(rng.integers(0, 60))
+        y = bool(rng.random() < 0.4)
+        if i % 53 == 0:
+            rows.append((i, None, y))
+        elif i % 67 == 0:
+            rows.append((i, cat, None))
+        else:
+            rows.append((i, cat, y))
+    rows.append((9999, 777, True))  # singleton category
+    pdf = pd.DataFrame(rows, columns=["rid", "cat", "y"], dtype="object")
+    df = spark.createDataFrame(pdf)
+    got = (
+        loo_target_encode(df, "cat", "y")
+        .toPandas().set_index("rid").sort_index()
+    )
+    clean = pdf.dropna(subset=["cat", "y"])
+    assert len(got) == len(clean)
+    grp = clean.groupby("cat")["y"].agg(["sum", "size"])
+    for rid, r in clean.set_index("rid").iterrows():
+        g = grp.loc[r["cat"]]
+        assert got.loc[rid, "loo_num"] == int(g["sum"]) - int(bool(r["y"]))
+        assert got.loc[rid, "loo_den"] == int(g["size"]) - 1
+    assert got.loc[9999, "loo_den"] == 0
+
+    # leakage invariance: flip one row's label -> ITS OWN row unchanged
+    flip_rid = int(clean[clean["cat"] == clean["cat"].mode()[0]]["rid"].iloc[0])
+    pdf2 = pdf.copy()
+    pdf2.loc[pdf2["rid"] == flip_rid, "y"] = ~pdf2.loc[
+        pdf2["rid"] == flip_rid, "y"
+    ].astype(bool)
+    got2 = (
+        loo_target_encode(spark.createDataFrame(pdf2), "cat", "y")
+        .toPandas().set_index("rid").sort_index()
+    )
+    assert (
+        got.loc[flip_rid, ["loo_num", "loo_den"]].tolist()
+        == got2.loc[flip_rid, ["loo_num", "loo_den"]].tolist()
+    )
+
+
+def test_calibration_bins_properties(spark):
+    """A24: per-group bin populations differ by at most one, positives
+    never exceed rows, mass conserves to the non-NULL input count, and
+    score spans are non-overlapping ascending per group."""
+    from tgist_features_spark.operators.aggregates import calibration_bins
+
+    rng = np.random.default_rng(153)
+    n = 3000
+    pdf = pd.DataFrame({
+        "id": range(n),
+        "g": rng.integers(0, 4, n),
+        "s": rng.integers(0, 50, n),   # heavy ties
+        "y": rng.random(n) < 0.3,
+    })
+    pdf.loc[::97, "s"] = None
+    got = calibration_bins(
+        spark.createDataFrame(pdf), "s", "y", "g", "id", n_bins=8
+    ).toPandas()
+    assert got["n_rows"].sum() == pdf["s"].notna().sum()
+    assert (got["n_pos"] <= got["n_rows"]).all()
+    for g, grp in got.groupby("g"):
+        counts = grp["n_rows"]
+        assert counts.max() - counts.min() <= 1
+        spans = grp.sort_values("bin")[["score_min", "score_max"]]
+        assert (spans["score_min"] <= spans["score_max"]).all()
+        # ascending: each bin's min >= previous bin's min (ties may
+        # straddle bins under the rank rule, so only min-monotonicity
+        # is guaranteed)
+        assert spans["score_min"].is_monotonic_increasing

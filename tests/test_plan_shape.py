@@ -332,3 +332,61 @@ def test_session3_plan_claims(spark):
     p = _plan(triangle_enumerate(edges))
     assert "Scan parquet" not in p  # inputs materialized once, up front
     assert "SinglePartition" not in p
+
+
+def test_session4_plan_claims(spark):
+    """Session-4 plan pins: ewma_smooth is ONE exchange with no window
+    and no Python stage (SQL-lambda fold); rfm_scores reuses ONE
+    segment exchange across all four window passes (the per-entity agg
+    is the only other shuffle); group_auc is ONE exchange — the peer
+    count rides the rank window's partitioning via the range frame, no
+    (group, score) secondary shuffle; pagerank_fixed_point's
+    per-iteration checkpoints keep the final plan free of re-scans."""
+    from tgist_features_spark.operators.aggregates import group_auc, rfm_scores
+    from tgist_features_spark.operators.components import pagerank_fixed_point
+    from tgist_features_spark.operators.windows import ewma_smooth
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+
+    def _shuffles(p: str) -> int:
+        return len(re.findall(r"^\(\d+\) Exchange", p, re.M))
+
+    p = _plan(
+        ewma_smooth(
+            ev.select("user_id", "ts", "event_id",
+                      F.col("value").cast("bigint").alias("v")),
+            "v", "user_id", ("ts", "event_id"),
+        )
+    )
+    assert _shuffles(p) == 1 and "Window" not in p
+    assert "Python" not in p and "MapInPandas" not in p
+
+    rf = ev.select(
+        F.col("user_id").alias("ent"),
+        F.pmod("user_id", F.lit(3)).alias("seg"),
+        F.col("event_id").alias("ts_us"),
+        F.col("event_id").alias("cents"),
+    )
+    p = _plan(rfm_scores(rf, "ent", "seg", "ts_us", "cents"))
+    # per-entity agg + ONE segment window exchange + the corpus-max
+    # 1-row aggregate's SinglePartition exchange (1-row stats, legit)
+    assert _shuffles(p) == 3, p.count("Exchange")
+    assert len(re.findall(r"^\(\d+\) Window", p, re.M)) == 4
+
+    p = _plan(
+        group_auc(
+            ev.select("user_id", "value",
+                      (F.col("event_type") == "purchase").alias("y")),
+            "value", "y", "user_id",
+        )
+    )
+    assert _shuffles(p) == 1
+
+    edges = ev.select(
+        F.pmod("event_id", F.lit(50)).alias("src"),
+        F.pmod(F.col("event_id") * 3 + 1, F.lit(50)).alias("dst"),
+        F.lit(1).alias("w"),
+    )
+    p = _plan(pagerank_fixed_point(edges, iters=2, src="src", dst="dst",
+                                   weight="w"))
+    assert "Scan parquet" not in p  # inputs materialized once, up front

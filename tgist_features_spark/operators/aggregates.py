@@ -1275,3 +1275,98 @@ def group_auc(
             "auc_den"
         ),
     )
+
+
+def loo_target_encode(
+    df: DataFrame,
+    cat_col: str,
+    label_col: str,
+) -> DataFrame:
+    """A23: LEAKAGE-SAFE target encoding — the classic high-cardinality
+    categorical feature (category -> outcome rate) with the
+    leave-one-out correction, so a row's own label NEVER enters its own
+    feature (the tabular cousin of the engine's point-in-time rule:
+    plain target encoding leaks the label and inflates offline metrics;
+    LOO is the standard fix). Appends to every row the EXACT fraction
+
+        loo_num = sum(labels in category) - own label
+        loo_den = count(category) - 1
+
+    (den = 0 for singleton categories — undefined, the consumer applies
+    its prior; the spearman/auc den-0 convention) — integer end-to-end,
+    no float rate, bitwise in any engine. NULL categories or labels are
+    excluded (a NULL category is not a peer group).
+
+    Scale shape: one map-side-combinable per-category aggregation
+    (|categories| rows) broadcast back onto the stream — the big side
+    is never shuffled (the group_standardize shape). High-cardinality
+    categories are exactly the point: the stats relation stays tiny
+    relative to the corpus at any scale.
+    """
+    base = df.filter(
+        F.col(cat_col).isNotNull() & F.col(label_col).isNotNull()
+    )
+    y = F.col(label_col).cast("boolean").cast("bigint")
+    stats = base.groupBy(cat_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n_cat"),
+        F.sum(y).cast("bigint").alias("__sum_y"),
+    )
+    return (
+        base.join(F.broadcast(stats), cat_col)
+        .select(
+            *base.columns,
+            (F.col("__sum_y") - y).cast("bigint").alias("loo_num"),
+            (F.col("__n_cat") - F.lit(1)).cast("bigint").alias("loo_den"),
+        )
+    )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    group_col: str,
+    id_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """A24: reliability (calibration) table — per group, equi-depth
+    score bins with exact outcome counts: "when the score says decile
+    k, how often is the label true". The companion readout to A22's
+    AUC (AUC ranks; calibration checks the rate the consumer acts on).
+
+    Bin rule is the equidepth_bins pin: rank by (score, id) — the id
+    tiebreak makes bin membership deterministic under ties — and row r
+    of n lands in bin (r-1)*n_bins div n, so populations differ by at
+    most one BY CONSTRUCTION. Per (group, bin): n_rows, n_pos, and the
+    score span — rates are left as exact integer pairs (n_pos/n_rows),
+    never a float division. NULL score/label rows are excluded.
+
+    Scale shape: one shuffle for the per-group rank window, then one
+    map-side-combinable aggregation over the (group, bin) domain.
+    """
+    if n_bins < 1:
+        raise ValueError("calibration_bins: n_bins must be >= 1")
+    base = df.filter(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(score_col), F.col(id_col)
+    )
+    wg = Window.partitionBy(group_col)
+    binned = (
+        base.withColumn(
+            "__rnk", F.row_number().over(w).cast("bigint") - F.lit(1)
+        )
+        .withColumn("__n", F.count(F.lit(1)).over(wg).cast("bigint"))
+        .withColumn("__bin", F.expr(f"(__rnk * {int(n_bins)}) div __n"))
+    )
+    return binned.groupBy(
+        F.col(group_col), F.col("__bin").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.col(label_col).cast("boolean").cast("bigint"))
+        .cast("bigint")
+        .alias("n_pos"),
+        F.min(score_col).cast("bigint").alias("score_min"),
+        F.max(score_col).cast("bigint").alias("score_max"),
+    )

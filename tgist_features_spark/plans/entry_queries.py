@@ -4176,6 +4176,77 @@ FROM a
 """
 
 
+def q_loo_encode(spark, sf):
+    """Leakage-safe target encoding (round 6): per-user purchase-rate
+    feature with the leave-one-out correction — a row's own label
+    never enters its own feature, the tabular cousin of the engine's
+    point-in-time rule — as the exact integer fraction
+    (loo_num, loo_den); singleton categories report den 0
+    (operators/aggregates.py loo_target_encode — one combinable
+    per-category agg broadcast back, big side never shuffled)."""
+    from tgist_features_spark.operators.aggregates import loo_target_encode
+
+    e = _t(spark, sf, "events").select(
+        "event_id",
+        "user_id",
+        (F.col("event_type") == "purchase").alias("label"),
+    )
+    return loo_target_encode(e, "user_id", "label").select(
+        "event_id", "user_id", "loo_num", "loo_den"
+    )
+
+
+SQL_LOO_ENCODE = """
+WITH b AS (
+  SELECT event_id, user_id,
+         (CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS y
+  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+s AS (
+  SELECT user_id, COUNT(*)::BIGINT AS n, SUM(y)::BIGINT AS sy
+  FROM b GROUP BY user_id)
+SELECT b.event_id, b.user_id,
+       (s.sy - b.y)::BIGINT AS loo_num,
+       (s.n - 1)::BIGINT AS loo_den
+FROM b JOIN s USING (user_id)
+"""
+
+
+def q_calibration(spark, sf):
+    """Reliability table (round 6): per-language equi-depth deciles of
+    document length vs the web-source rate — "when the score says
+    decile k, how often is the label true", the companion readout to
+    AUC; rates stay exact integer pairs
+    (operators/aggregates.py calibration_bins — one rank-window
+    shuffle + one combinable (group, bin) agg, the equidepth pin)."""
+    from tgist_features_spark.operators.aggregates import calibration_bins
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        (F.length("source") == 4).alias("label"),
+    )
+    return calibration_bins(d, "n_chars", "label", "lang", "doc_id", 10)
+
+
+SQL_CALIBRATION = """
+WITH b AS (
+  SELECT lang, doc_id, n_chars,
+         CASE WHEN len(source) = 4 THEN 1 ELSE 0 END AS y
+  FROM documents WHERE n_chars IS NOT NULL AND source IS NOT NULL),
+r AS (
+  SELECT lang, y, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id)
+           - 1 AS rnk,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM b)
+SELECT lang, ((rnk * 10) // n)::BIGINT AS bin,
+       COUNT(*)::BIGINT AS n_rows, SUM(y)::BIGINT AS n_pos,
+       MIN(n_chars)::BIGINT AS score_min, MAX(n_chars)::BIGINT AS score_max
+FROM r GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- first 50 keys = the driver correctness window (driver caps
     # its oracle run at 50 keys, in order). Late-round-6 rotation:
@@ -4324,6 +4395,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "attribution": q_attribution,
     "bpe_encode": q_bpe_encode,
     "auc": q_auc,
+    "loo_encode": q_loo_encode,
+    "calibration": q_calibration,
 }
 
 ORACLES: dict[str, str] = {
@@ -4455,4 +4528,6 @@ ORACLES: dict[str, str] = {
     "attribution": SQL_ATTRIBUTION,
     "bpe_encode": SQL_BPE_ENCODE,
     "auc": SQL_AUC,
+    "loo_encode": SQL_LOO_ENCODE,
+    "calibration": SQL_CALIBRATION,
 }
