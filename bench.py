@@ -111,6 +111,9 @@ R6_OPS = [
     "auc",
     "loo_encode",
     "calibration",
+    "autocorr",
+    "rolling_median",
+    "mode",
 ]
 
 # round-5 additions

@@ -3341,3 +3341,83 @@ def test_calibration_bins_properties(spark):
         # straddle bins under the rank rule, so only min-monotonicity
         # is guaranteed)
         assert spans["score_min"].is_monotonic_increasing
+
+
+def test_group_autocorr_matches_numpy(spark):
+    """A25: the integer components reproduce numpy's lag-1 Pearson
+    r^2 via r^2 = cov_num^2/(varx_num*vary_num), with NULL exclusion
+    before pairing and the constant-series den-0 convention."""
+    from tgist_features_spark.operators.aggregates import group_autocorr
+
+    rng = np.random.default_rng(157)
+    rows = []
+    for g in ("a", "b", "c"):
+        prev = 0.0
+        for i in range(300):
+            prev = 0.7 * prev + rng.normal(0, 10)
+            v = None if rng.random() < 0.05 else int(round(prev))
+            rows.append((g, i, v))
+    rows += [("const", i, 7) for i in range(20)]
+    pdf = pd.DataFrame(rows, columns=["g", "i", "v"], dtype="object")
+    got = (
+        group_autocorr(spark.createDataFrame(pdf), "v", "g", ("i",), lag=1)
+        .toPandas().set_index("g")
+    )
+    for g in ("a", "b", "c"):
+        vals = pdf[(pdf["g"] == g)].dropna(subset=["v"]).sort_values("i")["v"]
+        x = np.array(vals[:-1], dtype="int64")
+        y = np.array(vals[1:], dtype="int64")
+        r = got.loc[g]
+        assert r["n_pairs"] == len(x)
+        want_r = np.corrcoef(x, y)[0, 1]
+        got_r2 = r["cov_num"] ** 2 / (r["varx_num"] * r["vary_num"])
+        assert abs(got_r2 - want_r**2) < 1e-9
+        assert np.sign(r["cov_num"]) == np.sign(want_r)
+        assert want_r > 0.3  # the AR(0.7) signal is actually detected
+    assert got.loc["const", "varx_num"] == 0  # undefined r, den-0 rule
+
+
+def test_with_rolling_median_matches_pandas(spark):
+    """W20: the trailing lower median equals the pandas reference
+    (sorted window, (cnt+1) div 2 order statistic) across frame
+    growth, ties, and NULL exclusion."""
+    from tgist_features_spark.operators.windows import with_rolling_median
+
+    rng = np.random.default_rng(159)
+    rows = []
+    for e in range(10):
+        for i in range(60):
+            v = None if rng.random() < 0.1 else int(rng.integers(0, 20))
+            rows.append((e, i, v))
+    pdf = pd.DataFrame(rows, columns=["e", "i", "v"], dtype="object")
+    n = 7
+    got = (
+        with_rolling_median(spark.createDataFrame(pdf), "v", "e", ("i",), n=n)
+        .toPandas().set_index(["e", "i"]).sort_index()
+    )
+    clean = pdf.dropna(subset=["v"])
+    assert len(got) == len(clean)
+    for (e, i), r in got.iterrows():
+        seq = clean[(clean["e"] == e) & (clean["i"] <= i)].sort_values("i")
+        win = sorted(int(v) for v in seq["v"].tail(n))
+        assert r["win_cnt"] == len(win)
+        assert r["roll_med"] == win[(len(win) + 1) // 2 - 1]
+
+
+def test_group_mode_pinned_ties(spark):
+    """A26: mode equals the max-count value with ties broken toward
+    the SMALLEST value; NULLs excluded; n_distinct exact."""
+    from tgist_features_spark.operators.aggregates import group_mode
+
+    pdf = pd.DataFrame(
+        [("g1", "b"), ("g1", "b"), ("g1", "a"), ("g1", "a"), ("g1", "c"),
+         ("g2", "z"), ("g2", None), ("g3", "m"), ("g3", "m"), ("g3", "k")],
+        columns=["g", "v"],
+    )
+    got = (
+        group_mode(spark.createDataFrame(pdf), "v", "g")
+        .toPandas().set_index("g").sort_index()
+    )
+    assert got.loc["g1"].tolist() == ["a", 2, 3]   # tie a/b -> smallest
+    assert got.loc["g2"].tolist() == ["z", 1, 1]   # NULL excluded
+    assert got.loc["g3"].tolist() == ["m", 2, 2]

@@ -1370,3 +1370,99 @@ def calibration_bins(
         F.min(score_col).cast("bigint").alias("score_min"),
         F.max(score_col).cast("bigint").alias("score_max"),
     )
+
+
+def group_autocorr(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    order: tuple[str, ...],
+    lag: int = 1,
+) -> DataFrame:
+    """A25: per-group lag-k autocorrelation COMPONENTS as exact
+    integers — "does this signal predict its own future", the
+    time-series diagnostic beside trend (slope) and level_shift
+    (break): pair every value with its lag-k successor in the pinned
+    ``order`` and report
+
+        n_pairs, cov_num  = n*Sxy - Sx*Sy,
+        varx_num = n*Sxx - Sx*Sx,  vary_num = n*Syy - Sy*Sy
+
+    so r^2 = cov_num^2 / (varx_num * vary_num) and the SIGN of r is
+    the sign of cov_num — no sqrt, no float, bitwise anywhere (the
+    spearman/auc fraction convention; constant series report
+    varx_num = 0, undefined r, the den-0 convention). NULL values are
+    excluded BEFORE pairing (a NULL has no successor semantics;
+    exclusion-then-lag is the pinned rule).
+
+    Overflow bound: n * sum(x^2) must stay under 2^63 — pass values in
+    coarse integer units for long series (e.g. whole units instead of
+    cents: 10^3-unit values allow ~10^6-row groups; the
+    group_standardize bound discipline).
+
+    Scale shape: ONE shuffle on the group (the lead window), then one
+    map-side-combinable aggregation. Group cardinality bounds window
+    parallelism — the spearman posture."""
+    if lag < 1:
+        raise ValueError("group_autocorr: lag must be >= 1")
+    base = df.filter(F.col(value_col).isNotNull())
+    w = Window.partitionBy(group_col).orderBy(*[F.col(c) for c in order])
+    x = F.col("__x")
+    y = F.col("__y")
+    paired = (
+        base.select(
+            F.col(group_col),
+            F.col(value_col).cast("bigint").alias("__x"),
+            *[F.col(c) for c in order],
+        )
+        .withColumn("__y", F.lead("__x", lag).over(w))
+        .filter(y.isNotNull())
+    )
+    agg = paired.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(x).cast("bigint").alias("__sx"),
+        F.sum(y).cast("bigint").alias("__sy"),
+        F.sum(x * x).cast("bigint").alias("__sxx"),
+        F.sum(y * y).cast("bigint").alias("__syy"),
+        F.sum(x * y).cast("bigint").alias("__sxy"),
+    )
+    n = F.col("n_pairs")
+    return agg.select(
+        group_col,
+        "n_pairs",
+        (n * F.col("__sxy") - F.col("__sx") * F.col("__sy"))
+        .cast("bigint").alias("cov_num"),
+        (n * F.col("__sxx") - F.col("__sx") * F.col("__sx"))
+        .cast("bigint").alias("varx_num"),
+        (n * F.col("__syy") - F.col("__sy") * F.col("__sy"))
+        .cast("bigint").alias("vary_num"),
+    )
+
+
+def group_mode(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """A26: per-group MODE with a pinned tie rule — the most frequent
+    value, ties broken toward the smallest value (engines'
+    ``mode()``/``arg_max`` leave ties unspecified; a pinned
+    (count desc, value asc) rule is what makes the answer a fact
+    instead of an accident). NULL values are excluded (SQL mode
+    convention). Returns (group, mode_value, mode_n, n_distinct).
+
+    Scale shape: one map-side-combinable (group, value) count, then
+    one min_by aggregation over the counted relation keyed by
+    (-count, value) — no window, no sort, two combinable shuffles on
+    shrinking relations."""
+    counted = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(group_col, F.col(value_col).alias("__v"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    )
+    key = F.struct((-F.col("__n")).alias("a"), F.col("__v").alias("b"))
+    return counted.groupBy(group_col).agg(
+        F.min_by("__v", key).alias("mode_value"),
+        F.max("__n").alias("mode_n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+    )

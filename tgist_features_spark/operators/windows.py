@@ -887,3 +887,48 @@ def ewma_smooth(
             ).alias("ewma"),
         )
     )
+
+
+def with_rolling_median(
+    df: DataFrame,
+    value_col: str,
+    entity_col: str,
+    order: tuple[str, ...],
+    n: int,
+    out_col: str = "roll_med",
+) -> DataFrame:
+    """W20: exact LOWER median over the trailing ``n``-row frame
+    (current row included) per entity — the robust rolling level the
+    telemetry screens want when one spike should not drag the window
+    (the rolling cousin of the MAD/median family).
+
+    The lower median is the pinned cross-engine rule: element
+    (cnt+1) div 2 of the SORTED window values — engines disagree on
+    even-count median interpolation (DuckDB averages, and averaging
+    two integers makes a float), so the lower order statistic is the
+    deterministic choice, stated in the name of reproducibility.
+    NULL-valued rows are EXCLUDED up front (a removed row shifts
+    frames; exclusion-then-frame is the pinned rule, same as ewma).
+
+    Scale shape: one shuffle on the entity, one window pass; the
+    per-row sort is O(n log n) over the bounded frame — n is a
+    parameter, not data-dependent (NOT the unbounded collect trap).
+    """
+    if n < 1:
+        raise ValueError("with_rolling_median: n must be >= 1")
+    df = df.filter(F.col(value_col).isNotNull())
+    w = (
+        Window.partitionBy(entity_col)
+        .orderBy(*[F.col(c) for c in order])
+        .rowsBetween(-(n - 1), 0)
+    )
+    sorted_win = F.sort_array(
+        F.collect_list(F.col(value_col).cast("bigint")).over(w)
+    )
+    return df.withColumn("__win", sorted_win).select(
+        *df.columns,
+        F.size("__win").cast("bigint").alias("win_cnt"),
+        F.expr("element_at(__win, cast((size(__win) + 1) div 2 as int))")
+        .cast("bigint")
+        .alias(out_col),
+    )

@@ -4247,6 +4247,112 @@ FROM r GROUP BY 1, 2
 """
 
 
+def q_autocorr(spark, sf):
+    """Lag-1 autocorrelation components per event type (round 6):
+    does the signal predict its own next value — exact integer
+    (n, cov_num, varx_num, vary_num) with r^2 = cov^2/(vx*vy), no
+    sqrt, no float (operators/aggregates.py group_autocorr — one lead
+    window + one combinable agg; whole-unit values keep the
+    n*sum(x^2) < 2^63 overflow bound comfortable)."""
+    from tgist_features_spark.operators.aggregates import group_autocorr
+
+    e = _t(spark, sf, "events").select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.round(F.col("value")).cast("bigint").alias("x"),
+    )
+    return group_autocorr(e, "x", "event_type", ("ts", "event_id"), lag=1)
+
+
+SQL_AUTOCORR = """
+WITH b AS (
+  SELECT event_type, round(value)::BIGINT AS x, ts, event_id
+  FROM events WHERE value IS NOT NULL),
+p AS (
+  SELECT event_type, x,
+         lead(x) OVER (PARTITION BY event_type
+                       ORDER BY ts, event_id) AS y
+  FROM b),
+q AS (SELECT * FROM p WHERE y IS NOT NULL),
+a AS (
+  SELECT event_type, COUNT(*)::BIGINT AS n, SUM(x)::BIGINT AS sx,
+         SUM(y)::BIGINT AS sy, SUM(x*x)::BIGINT AS sxx,
+         SUM(y*y)::BIGINT AS syy, SUM(x*y)::BIGINT AS sxy
+  FROM q GROUP BY 1)
+SELECT event_type, n AS n_pairs,
+       (n*sxy - sx*sy)::BIGINT AS cov_num,
+       (n*sxx - sx*sx)::BIGINT AS varx_num,
+       (n*syy - sy*sy)::BIGINT AS vary_num
+FROM a
+"""
+
+
+def q_rolling_median(spark, sf):
+    """Exact rolling lower median over each user's last 15 events
+    (round 6): the robust level a spike cannot drag — the pinned
+    (cnt+1) div 2 order statistic, stated because engines disagree on
+    even-count interpolation (operators/windows.py
+    with_rolling_median — one window pass, O(n log n) over the
+    bounded frame)."""
+    from tgist_features_spark.operators.windows import with_rolling_median
+
+    e = _t(spark, sf, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("bigint").alias("y"),
+    )
+    return with_rolling_median(
+        e, "y", "user_id", ("ts", "event_id"), n=15
+    ).select("event_id", "user_id", "win_cnt", "roll_med")
+
+
+SQL_ROLLING_MEDIAN = """
+WITH b AS (
+  SELECT event_id, user_id, ts, round(value * 100)::BIGINT AS y
+  FROM events WHERE value IS NOT NULL),
+w AS (
+  SELECT event_id, user_id,
+         list_sort(list(y) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 14 PRECEDING AND CURRENT ROW)) AS l
+  FROM b)
+SELECT event_id, user_id, len(l)::BIGINT AS win_cnt,
+       l[((len(l) + 1) // 2)::INT]::BIGINT AS roll_med
+FROM w
+"""
+
+
+def q_mode(spark, sf):
+    """Per-user modal event type with a pinned tie rule (round 6):
+    most frequent value, ties toward the smallest — pinned because
+    engines' mode()/arg_max leave ties unspecified
+    (operators/aggregates.py group_mode — two combinable aggs over
+    shrinking relations, no window)."""
+    from tgist_features_spark.operators.aggregates import group_mode
+
+    e = _t(spark, sf, "events").select("user_id", "event_type")
+    return group_mode(e, "event_type", "user_id")
+
+
+SQL_MODE = """
+WITH c AS (
+  SELECT user_id, event_type AS v, COUNT(*)::BIGINT AS n
+  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
+r AS (
+  SELECT user_id, v, n,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY n DESC, v ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS nd,
+         MAX(n) OVER (PARTITION BY user_id) AS mx
+  FROM c)
+SELECT user_id, v AS mode_value, mx::BIGINT AS mode_n,
+       nd::BIGINT AS n_distinct
+FROM r WHERE rn = 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- first 50 keys = the driver correctness window (driver caps
     # its oracle run at 50 keys, in order). Late-round-6 rotation:
@@ -4397,6 +4503,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "auc": q_auc,
     "loo_encode": q_loo_encode,
     "calibration": q_calibration,
+    "autocorr": q_autocorr,
+    "rolling_median": q_rolling_median,
+    "mode": q_mode,
 }
 
 ORACLES: dict[str, str] = {
@@ -4530,4 +4639,7 @@ ORACLES: dict[str, str] = {
     "auc": SQL_AUC,
     "loo_encode": SQL_LOO_ENCODE,
     "calibration": SQL_CALIBRATION,
+    "autocorr": SQL_AUTOCORR,
+    "rolling_median": SQL_ROLLING_MEDIAN,
+    "mode": SQL_MODE,
 }
