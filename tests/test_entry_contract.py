@@ -91,8 +91,9 @@ def test_driver_window_composition():
     driver row yet — all 37 round-6 additions; (2) every key whose
     backing FUNCTION changed after the r05 driver run (ADVICE
     floor-div/validation fixes, components cost cut, cluster_sizes
-    cap, multimodal GIF fallback); (3) the oldest-evidence r04 keys
-    that still fit. Guards against accidental reordering."""
+    cap, multimodal GIF fallback); (3) six session-4 keys — never-
+    checked first outranks refreshing r04-green untouched keys.
+    Guards against accidental reordering."""
     ks = list(entry_mod.queries())
     window = set(ks[:50])
     must_be_checked = {
@@ -110,9 +111,9 @@ def test_driver_window_composition():
         # backing functions changed after the r05 driver run
         "group_norm", "centroids", "cross_dedup", "budget_sample",
         "dup_clusters", "cluster_sizes", "multimodal_bytes",
-        # oldest driver evidence (r04) among untouched keys
-        "ivf_ann", "ann_lsh", "tf_stats", "resample", "pack_chunks",
-        "tpch_q1",
+        # session-4 never-checked keys (same policy: first-time
+        # evidence outranks refreshing r04-green untouched keys)
+        "pagerank3", "ewma", "rfm", "auc", "loo_encode", "bpe_encode",
     }
     missing = must_be_checked - window
     assert not missing, f"driver window lost round-6 evidence for: {missing}"
