@@ -680,15 +680,17 @@ def test_stateful_rolling_distinct_parity_with_batch(spark, tmp_path):
 
 def test_stream_profile_maintenance_equals_one_pass(spark, tmp_path):
     """T12: per-batch profiles merged at read time equal the one-pass
-    batch profile BIT FOR BIT (moments) and estimate-for-estimate
-    (HLL), across micro-batch boundaries and a restart (marker no-op —
-    rerun must not double-count)."""
+    batch profile BIT FOR BIT (moments AND the A20 quantile-sketch
+    buckets) and estimate-for-estimate (HLL), across micro-batch
+    boundaries and a restart (marker no-op — rerun must not
+    double-count)."""
     import numpy as np
     import pandas as pd
 
     from tgist_features_spark.operators.aggregates import (
         distinct_sketches,
         group_moments,
+        quantile_sketches,
     )
     from tgist_features_spark.sources.table_io import TableIO
     from tgist_features_spark.streaming.stream import (
@@ -701,7 +703,7 @@ def test_stream_profile_maintenance_equals_one_pass(spark, tmp_path):
     rng = np.random.default_rng(149)
     full = pd.DataFrame({
         "k": rng.choice(["a", "b"], 600),
-        "v": np.round(rng.normal(10, 3, 600), 2),
+        "v": np.round(rng.normal(10, 1.5, 600), 2),  # positive (A20 leg)
         "u": rng.integers(0, 80, 600),
     })
     full.loc[rng.choice(600, 30, replace=False), "v"] = None
@@ -717,12 +719,12 @@ def test_stream_profile_maintenance_equals_one_pass(spark, tmp_path):
 
     def run_once():
         q = stream_profile_writer(
-            stream, io_, "v", ["k"], distinct_col="u"
+            stream, io_, "v", ["k"], distinct_col="u", quantiles=True
         ).trigger(availableNow=True).start()
         q.awaitTermination(120)
 
     run_once()
-    moments, hll = read_current_profile(spark, io_, ["k"])
+    moments, hll, quant = read_current_profile(spark, io_, ["k"])
     got = moments.toPandas().sort_values("k").reset_index(drop=True)
     want = (
         group_moments(spark.createDataFrame(full), "v", ["k"])
@@ -735,9 +737,17 @@ def test_stream_profile_maintenance_equals_one_pass(spark, tmp_path):
         .toPandas().set_index("k")["est"].sort_index()
     )
     assert got_est.tolist() == want_est.tolist()
+    got_q = quant.toPandas().sort_values("k").reset_index(drop=True)
+    want_q = (
+        quantile_sketches(spark.createDataFrame(full), ["k"], "v")
+        .toPandas().sort_values("k").reset_index(drop=True)
+    )
+    assert (got_q["n"] == want_q["n"]).all()
+    for x, y in zip(got_q["buckets"], want_q["buckets"]):
+        assert [tuple(e) for e in x] == [tuple(e) for e in y]
     # restart over the same source: markers + checkpoint make it a no-op
     run_once()
-    again, _ = read_current_profile(spark, io_, ["k"])
+    again, _, _ = read_current_profile(spark, io_, ["k"])
     pd.testing.assert_frame_equal(
         again.toPandas().sort_values("k").reset_index(drop=True), want)
 

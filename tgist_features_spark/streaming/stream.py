@@ -245,6 +245,15 @@ def stream_dedup_writer(
             )
         finally:
             fresh.unpersist()
+        if quantiles:
+            qs = quantile_sketches(batch_df, key_cols, value_col, alpha)
+            (
+                qs.withColumn("ingest_batch", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("ingest_batch")
+                .parquet(io.path(PROFILE_QUANTILE_TABLE))
+            )
         os.makedirs(marker_dir, exist_ok=True)
         open(marker, "w").close()
 
@@ -313,6 +322,15 @@ def stream_features_writer(
         out.write.mode("append").partitionBy("bucket").parquet(
             io.path(STREAM_FEATURES_TABLE)
         )
+        if quantiles:
+            qs = quantile_sketches(batch_df, key_cols, value_col, alpha)
+            (
+                qs.withColumn("ingest_batch", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("ingest_batch")
+                .parquet(io.path(PROFILE_QUANTILE_TABLE))
+            )
         os.makedirs(marker_dir, exist_ok=True)
         open(marker, "w").close()
 
@@ -791,6 +809,7 @@ def stateful_rolling_distinct(
 
 PROFILE_MOMENTS_TABLE = "profile_moments"
 PROFILE_HLL_TABLE = "profile_hll"
+PROFILE_QUANTILE_TABLE = "profile_quantiles"
 
 
 def stream_profile_writer(
@@ -801,6 +820,8 @@ def stream_profile_writer(
     distinct_col: str | None = None,
     scale: int = 100,
     lg_k: int = 12,
+    quantiles: bool = False,
+    alpha: float = 0.01,
     checkpoint: str | None = None,
 ):
     """T12: incremental corpus-datasheet maintenance — every micro-batch
@@ -818,12 +839,21 @@ def stream_profile_writer(
     total on the write path — each batch owns its partition and a retry
     dynamic-OVERWRITES it (the stream_dedup_writer discipline). The
     merge happens at READ time, where merge==one-pass exactness is the
-    tested property of the profile operators."""
+    tested property of the profile operators.
+
+    ``quantiles=True`` adds the A20 log-bucket quantile sketches as a
+    third per-batch table — the percentile leg of the datasheet
+    (moments = mean/var, HLL = distinct, quantiles = distribution
+    shape), with the SAME merge==one-pass-bit-equal property because
+    bucket counts are order-insensitive. The value column must be
+    positive in that mode (the A20 contract; nonpositive values are
+    refused loudly in-plan, never silently bucketed)."""
     import os  # noqa: PLC0415
 
     from tgist_features_spark.operators.aggregates import (  # noqa: PLC0415
         distinct_sketches,
         group_moments,
+        quantile_sketches,
     )
 
     ckpt = checkpoint or io.path("_profile_ckpt")
@@ -850,6 +880,15 @@ def stream_profile_writer(
                 .partitionBy("ingest_batch")
                 .parquet(io.path(PROFILE_HLL_TABLE))
             )
+        if quantiles:
+            qs = quantile_sketches(batch_df, key_cols, value_col, alpha)
+            (
+                qs.withColumn("ingest_batch", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("ingest_batch")
+                .parquet(io.path(PROFILE_QUANTILE_TABLE))
+            )
         os.makedirs(marker_dir, exist_ok=True)
         open(marker, "w").close()
 
@@ -862,15 +901,16 @@ def stream_profile_writer(
 
 def read_current_profile(
     spark: SparkSession, io, key_cols: list[str]
-) -> tuple[DataFrame, DataFrame | None]:
+) -> tuple[DataFrame, DataFrame | None, DataFrame | None]:
     """The read side of T12: merge all per-batch profile partitions into
-    the current datasheet — (moments, hll_or_None). Bit-equal to the
-    one-pass profile over everything ingested (the merge==one-pass
-    property of group_moments / distinct_sketches), at the cost of
-    reading only profile rows."""
+    the current datasheet — (moments, hll_or_None, quantiles_or_None).
+    Bit-equal to the one-pass profile over everything ingested (the
+    merge==one-pass property of group_moments / distinct_sketches /
+    quantile_sketches), at the cost of reading only profile rows."""
     from tgist_features_spark.operators.aggregates import (  # noqa: PLC0415
         merge_distinct_sketches,
         merge_group_moments,
+        merge_quantile_sketches,
     )
 
     moments = merge_group_moments(
@@ -885,7 +925,15 @@ def read_current_profile(
             ),
             key_cols,
         )
-    return moments, hll
+    quant = None
+    if io.exists(PROFILE_QUANTILE_TABLE):
+        quant = merge_quantile_sketches(
+            spark.read.parquet(io.path(PROFILE_QUANTILE_TABLE)).drop(
+                "ingest_batch", "n"
+            ),
+            key_cols,
+        )
+    return moments, hll, quant
 
 
 ROLLOUT_OUT_SCHEMA = T.StructType([
