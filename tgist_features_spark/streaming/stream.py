@@ -245,15 +245,6 @@ def stream_dedup_writer(
             )
         finally:
             fresh.unpersist()
-        if quantiles:
-            qs = quantile_sketches(batch_df, key_cols, value_col, alpha)
-            (
-                qs.withColumn("ingest_batch", F.lit(batch_id))
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("ingest_batch")
-                .parquet(io.path(PROFILE_QUANTILE_TABLE))
-            )
         os.makedirs(marker_dir, exist_ok=True)
         open(marker, "w").close()
 
@@ -322,15 +313,6 @@ def stream_features_writer(
         out.write.mode("append").partitionBy("bucket").parquet(
             io.path(STREAM_FEATURES_TABLE)
         )
-        if quantiles:
-            qs = quantile_sketches(batch_df, key_cols, value_col, alpha)
-            (
-                qs.withColumn("ingest_batch", F.lit(batch_id))
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("ingest_batch")
-                .parquet(io.path(PROFILE_QUANTILE_TABLE))
-            )
         os.makedirs(marker_dir, exist_ok=True)
         open(marker, "w").close()
 
