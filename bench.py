@@ -114,6 +114,8 @@ R6_OPS = [
     "autocorr",
     "rolling_median",
     "mode",
+    "gini",
+    "churn_labels",
 ]
 
 # round-5 additions

@@ -117,5 +117,5 @@ def test_driver_window_composition():
     }
     missing = must_be_checked - window
     assert not missing, f"driver window lost round-6 evidence for: {missing}"
-    assert len(ks) == len(set(ks)) == 133
+    assert len(ks) == len(set(ks)) == 135
     assert set(entry_mod.oracle_sql()) == set(ks)

@@ -3421,3 +3421,97 @@ def test_group_mode_pinned_ties(spark):
     assert got.loc["g1"].tolist() == ["a", 2, 3]   # tie a/b -> smallest
     assert got.loc["g2"].tolist() == ["z", 1, 1]   # NULL excluded
     assert got.loc["g3"].tolist() == ["m", 2, 2]
+
+
+def test_group_gini_matches_pairwise_definition(spark):
+    """A27: the rank-identity fraction equals the pairwise
+    mean-absolute-difference definition sum|xi-xj| / (2n*sum x)
+    exactly (ties included — rank assignment among equal values
+    cannot change sum(rank*x)); all-equal groups report 0; a
+    single-holder group reports (n-1)/n; negatives refused."""
+    from fractions import Fraction
+
+    import pyspark.errors
+
+    from tgist_features_spark.operators.aggregates import group_gini
+
+    rng = np.random.default_rng(161)
+    rows = []
+    for g in range(12):
+        for i in range(int(rng.integers(2, 50))):
+            rows.append((g, i, int(rng.integers(0, 40))))  # ties + zeros
+    rows += [(90, i, 7) for i in range(10)]          # all equal -> 0
+    rows += [(91, 0, 100)] + [(91, i, 0) for i in range(1, 5)]  # one holder
+    pdf = pd.DataFrame(rows, columns=["g", "i", "x"])
+    got = (
+        group_gini(spark.createDataFrame(pdf), "x", "g", "i")
+        .toPandas().set_index("g").sort_index()
+    )
+    for g, grp in pdf.groupby("g"):
+        xs = grp["x"].to_numpy(dtype="int64")
+        n, s = len(xs), int(xs.sum())
+        r = got.loc[g]
+        if s == 0:
+            assert r["gini_den"] == 0
+            continue
+        mad = int(np.abs(xs[:, None] - xs[None, :]).sum())
+        assert Fraction(int(r["gini_num"]), int(r["gini_den"])) == Fraction(
+            mad, 2 * n * s
+        ), g
+    assert got.loc[90, "gini_num"] == 0
+    assert Fraction(int(got.loc[91, "gini_num"]),
+                    int(got.loc[91, "gini_den"])) == Fraction(4, 5)
+    bad = spark.createDataFrame(pd.DataFrame({"g": [1], "i": [1], "x": [-3]}))
+    with pytest.raises(pyspark.errors.PySparkException):
+        group_gini(bad, "x", "g", "i").collect()
+
+
+def test_churn_labels_leakage_invariance(spark):
+    """SP4: features (n_before, last_gap_us) come only from pre-cutoff
+    rows — PERTURBING events inside the label window changes labels
+    but never features; label-window-born entities are excluded;
+    matches the pandas reference."""
+    from tgist_features_spark.operators.sampling import churn_labels
+
+    day = 86_400_000_000
+    rng = np.random.default_rng(163)
+    rows = []
+    for u in range(40):
+        start = int(rng.integers(0, 15)) * day
+        for k in range(int(rng.integers(1, 15))):
+            rows.append((u, start + int(rng.integers(0, 13 * day))))
+    rows.append((999, 29 * day))        # born inside the label window
+    rows.append((0, 30 * day))          # anchors corpus max
+    pdf = pd.DataFrame(rows, columns=["u", "us"], dtype="int64")
+    hold = 7 * day
+    got = (
+        churn_labels(spark.createDataFrame(pdf), "u", "us", hold)
+        .toPandas().set_index("u").sort_index()
+    )
+    cutoff = int(pdf["us"].max()) - hold
+    ref = {}
+    for u, grp in pdf.groupby("u"):
+        before = grp[grp["us"] < cutoff]
+        if len(before) == 0:
+            continue
+        ref[u] = (
+            len(before),
+            cutoff - int(before["us"].max()),
+            int(not (grp["us"] >= cutoff).any()),
+        )
+    assert 999 not in got.index
+    assert len(got) == len(ref)
+    for u, (nb, gap, ch) in ref.items():
+        assert got.loc[u].tolist() == [nb, gap, ch], u
+
+    # leakage invariance: move every label-window event around WITHIN
+    # the window (keeping the max anchor) -> features identical
+    pdf2 = pdf.copy()
+    in_win = (pdf2["us"] >= cutoff) & (pdf2["us"] < int(pdf["us"].max()))
+    pdf2.loc[in_win, "us"] = cutoff + (pdf2.loc[in_win, "us"] % hold)
+    got2 = (
+        churn_labels(spark.createDataFrame(pdf2), "u", "us", hold)
+        .toPandas().set_index("u").sort_index()
+    )
+    assert (got["n_before"] == got2["n_before"]).all()
+    assert (got["last_gap_us"] == got2["last_gap_us"]).all()

@@ -1466,3 +1466,57 @@ def group_mode(
         F.max("__n").alias("mode_n"),
         F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
     )
+
+
+def group_gini(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    id_col: str,
+) -> DataFrame:
+    """A27: per-group Gini concentration of a non-negative quantity —
+    "is this segment's spend/engagement whale-dominated", the
+    inequality audit a mixture or monetization review reads — as the
+    EXACT integer fraction
+
+        gini_num = 2 * sum(rank_i * x_(i)) - (n + 1) * sum(x)
+        gini_den = n * sum(x)
+
+    over values sorted ascending by (value, id) — the id tiebreak
+    pins rank assignment under ties, and with it the exact fraction
+    (the mean-difference Gini identity; 0 = perfectly equal,
+    (n-1)/n = one row holds everything). Negative values are REFUSED
+    in-plan (Gini is undefined below zero — a silent negative would
+    corrupt the fraction, the zorder refusal posture); NULLs are
+    excluded; all-zero groups report gini_den = 0 (undefined, the
+    den-0 convention).
+
+    Scale shape: ONE shuffle on the group (the rank window), then one
+    map-side-combinable aggregation. Overflow bound: n * sum(x) and
+    2 * n * max_rank_term must stay under 2^63 — coarse units for
+    very large groups, the group_standardize discipline."""
+    x_raw = F.col(value_col).cast("bigint")
+    checked = F.when(x_raw >= 0, x_raw).otherwise(
+        F.raise_error(
+            F.lit(f"group_gini: {value_col} must be >= 0 (got negative)")
+        )
+    )
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(group_col), F.col(id_col), checked.alias("__x")
+    )
+    w = Window.partitionBy(group_col).orderBy(F.col("__x"), F.col(id_col))
+    ranked = base.withColumn(
+        "__r", F.row_number().over(w).cast("bigint")
+    )
+    agg = ranked.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("__x").cast("bigint").alias("__s"),
+        F.sum(F.col("__r") * F.col("__x")).cast("bigint").alias("__rs"),
+    )
+    return agg.select(
+        group_col,
+        "n",
+        (F.lit(2) * F.col("__rs") - (F.col("n") + 1) * F.col("__s"))
+        .cast("bigint").alias("gini_num"),
+        (F.col("n") * F.col("__s")).cast("bigint").alias("gini_den"),
+    )

@@ -322,3 +322,56 @@ def stratified_kfold(
     w = Window.partitionBy(label_col).orderBy(h, F.col(key_col))
     fold = F.pmod((F.row_number().over(w) - 1).cast("bigint"), F.lit(k))
     return df.withColumn(out_col, fold)
+
+
+def churn_labels(
+    df: DataFrame,
+    entity_col: str,
+    ts_us_col: str,
+    holdout_us: int,
+) -> DataFrame:
+    """SP4: leakage-safe churn LABEL GENERATION — the temporal
+    label/feature split in one relation: the corpus tail of length
+    ``holdout_us`` (ending at the corpus max timestamp, computed
+    in-plan as a broadcast 1-row aggregate) is the LABEL window, and
+    every feature is computed ONLY from rows strictly BEFORE the
+    cutoff. churned = the entity had pre-cutoff activity and NO event
+    in the label window — the standard churn target, produced so that
+    no feature can read the label period (the point-in-time rule
+    applied to label construction; features computed over the full
+    span would leak the answer).
+
+    Entities whose FIRST event falls inside the label window are
+    EXCLUDED (no pre-cutoff history — nothing to predict from; the
+    pinned convention). Returns per entity:
+    (entity, n_before bigint, last_gap_us bigint — cutoff minus last
+    pre-cutoff event, churned int) — all integers, bitwise anywhere.
+
+    Scale shape: one broadcast 1-row max, then ONE map-side-combinable
+    aggregation computing pre-cutoff features AND the label-window
+    existence flag in the same pass — no self-join, no second shuffle.
+    NULL timestamps are excluded."""
+    if holdout_us <= 0:
+        raise ValueError("churn_labels: holdout_us must be > 0")
+    base = df.filter(F.col(ts_us_col).isNotNull()).select(
+        F.col(entity_col), F.col(ts_us_col).cast("bigint").alias("__us")
+    )
+    mx = base.agg(F.max("__us").alias("__max_us"))
+    with_cut = base.crossJoin(F.broadcast(mx)).withColumn(
+        "__cutoff", F.col("__max_us") - F.lit(int(holdout_us))
+    )
+    before = F.col("__us") < F.col("__cutoff")
+    agg = with_cut.groupBy(entity_col).agg(
+        F.sum(F.when(before, 1).otherwise(0)).cast("bigint").alias("n_before"),
+        F.max(F.when(before, F.col("__us"))).alias("__last_before"),
+        F.max(F.when(~before, 1).otherwise(0)).alias("__active_after"),
+        F.max("__cutoff").alias("__cut"),
+    )
+    return agg.filter(F.col("n_before") > 0).select(
+        entity_col,
+        "n_before",
+        (F.col("__cut") - F.col("__last_before")).cast("bigint").alias(
+            "last_gap_us"
+        ),
+        (F.lit(1) - F.col("__active_after")).cast("int").alias("churned"),
+    )

@@ -4353,6 +4353,77 @@ FROM r WHERE rn = 1
 """
 
 
+def q_gini(spark, sf):
+    """Per-event-type Gini concentration of spend (round 6): is the
+    value mass whale-dominated — the exact integer fraction
+    (2*Σrank·x − (n+1)·Σx) / (n·Σx) under the pinned (value, event_id)
+    rank order (operators/aggregates.py group_gini — one rank window
+    + one combinable agg; negatives refused in-plan)."""
+    from tgist_features_spark.operators.aggregates import group_gini
+
+    e = _t(spark, sf, "events").select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    return group_gini(e, "cents", "event_type", "event_id")
+
+
+SQL_GINI = """
+WITH b AS (
+  SELECT event_type, event_id, round(value * 100)::BIGINT AS x
+  FROM events WHERE value IS NOT NULL),
+r AS (
+  SELECT event_type, x,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY x, event_id)::BIGINT AS rk
+  FROM b),
+a AS (
+  SELECT event_type, COUNT(*)::BIGINT AS n, SUM(x)::BIGINT AS s,
+         SUM(rk * x)::BIGINT AS rs
+  FROM r GROUP BY 1)
+SELECT event_type, n,
+       (2 * rs - (n + 1) * s)::BIGINT AS gini_num,
+       (n * s)::BIGINT AS gini_den
+FROM a
+"""
+
+
+def q_churn_labels(spark, sf):
+    """Leakage-safe churn labels (round 6): the last 7 days of the
+    corpus are the LABEL window; features (pre-cutoff event count,
+    gap to cutoff) come only from rows strictly before the cutoff —
+    the point-in-time rule applied to label construction, so no
+    feature can read the label period (operators/sampling.py
+    churn_labels — broadcast 1-row max, ONE combinable aggregation
+    computing features and the label flag in the same pass).
+    Entities born inside the label window are excluded (pinned)."""
+    from tgist_features_spark.operators.sampling import churn_labels
+
+    e = _t(spark, sf, "events").select(
+        "user_id", _US(F.col("ts")).alias("us")
+    )
+    return churn_labels(e, "user_id", "us", 7 * 86_400_000_000)
+
+
+SQL_CHURN_LABELS = """
+WITH b AS (
+  SELECT user_id, epoch_us(ts) AS us FROM events WHERE ts IS NOT NULL),
+mx AS (SELECT MAX(us) - 604800000000 AS cutoff FROM b),
+a AS (
+  SELECT user_id,
+         SUM(CASE WHEN us < cutoff THEN 1 ELSE 0 END)::BIGINT AS n_before,
+         MAX(CASE WHEN us < cutoff THEN us END) AS last_before,
+         MAX(CASE WHEN us >= cutoff THEN 1 ELSE 0 END) AS active_after,
+         MAX(cutoff) AS cut
+  FROM b, mx GROUP BY user_id)
+SELECT user_id, n_before,
+       (cut - last_before)::BIGINT AS last_gap_us,
+       (1 - active_after)::INT AS churned
+FROM a WHERE n_before > 0
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- first 50 keys = the driver correctness window (driver caps
     # its oracle run at 50 keys, in order). Late-round-6 rotation:
@@ -4509,6 +4580,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "autocorr": q_autocorr,
     "rolling_median": q_rolling_median,
     "mode": q_mode,
+    "gini": q_gini,
+    "churn_labels": q_churn_labels,
 }
 
 ORACLES: dict[str, str] = {
@@ -4645,4 +4718,6 @@ ORACLES: dict[str, str] = {
     "autocorr": SQL_AUTOCORR,
     "rolling_median": SQL_ROLLING_MEDIAN,
     "mode": SQL_MODE,
+    "gini": SQL_GINI,
+    "churn_labels": SQL_CHURN_LABELS,
 }
