@@ -2711,6 +2711,30 @@ def test_tf_cosine_pairs_matches_bruteforce(spark):
     assert (4, 5) in got  # identical docs always pass
 
 
+def test_tf_cosine_prune_keeps_hot_overlap_pair(spark):
+    """D17 prune safety: a pair whose cosine is carried almost entirely
+    by shared HOT (df > max_df) terms — the shared-rare dot alone is far
+    under threshold — must survive the candidate upper-bound prune and
+    score exactly. Guards the prune's Cauchy-Schwarz bound against ever
+    dropping a passing pair."""
+    from tgist_features_spark.operators.dedup import tf_cosine_pairs
+
+    docs = {
+        1: "r " + "h " * 9,      # tf: r=1, h=9 -> n2 = 82
+        2: "r " + "h " * 9,      # identical: dot = 1 + 81 = 82, cos = 1.0
+        3: "h z1 z2 z3 z4",      # makes df(h) = 3 > max_df -> h is HOT
+    }
+    rows = [(i, t) for i, txt in docs.items() for t in txt.split()]
+    rel = spark.createDataFrame(pd.DataFrame(rows, columns=["id", "term"]))
+    got = {
+        (r["a"], r["b"]): (r["dot"], r["n2_a"], r["n2_b"])
+        for r in tf_cosine_pairs(rel, "id", "term", 80, 2).collect()
+    }
+    # dot_sr = 1 (the rare "r"); 1^2 * 1e4 << 6400 * 82 * 82, so a prune
+    # that ignored hot mass would drop the pair — the exact answer keeps it
+    assert got == {(1, 2): (82, 82, 82)}
+
+
 def test_borda_fuse_matches_reference(spark):
     """X15: Borda fusion equals a Python reference — items missing from
     one list take that list's per-query N+1 penalty, ties break on item

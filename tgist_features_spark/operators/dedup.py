@@ -1317,13 +1317,69 @@ def tf_cosine_pairs(
         .filter(F.col("df") <= max_df)
         .select("term")
     )
-    posts = tf_rel.join(rare, "term").select("term", "id")
-    cand = (
+    posts = tf_rel.join(rare, "term").select("term", "id", "tf")
+    # Candidate PRUNE before exact scoring (the expensive part is joining
+    # every candidate pair back onto both docs' FULL vectors — O(pairs x
+    # terms/doc) rows). The posts self-join below enumerates EVERY shared
+    # rare term of a pair, so aggregating it per pair gives the EXACT dot
+    # restricted to rare terms (dot_sr). The residual dot can only come
+    # from shared HOT (df > max_df) terms, and Cauchy-Schwarz over each
+    # doc's hot sub-vector bounds it by sqrt(hot2_a * hot2_b) with
+    # hot2 = n2 - rare2 (rare2 = per-doc sum of tf^2 over its rare terms).
+    # A pair whose upper bound cannot reach the cosine threshold is
+    # dropped WITHOUT touching the full vectors; the bound is exact-safe
+    # (floor(sqrt)+2 dominates the true sqrt even at the double-precision
+    # edge), so the surviving set is a superset of every passing pair and
+    # the exact scoring below reproduces the unpruned output bitwise
+    # (pinned by test incl. a hot-overlap adversarial case).
+    rare2 = posts.groupBy("id").agg(
+        F.sum(F.col("tf") * F.col("tf")).cast("bigint").alias("rare2")
+    )
+    docstats = (
+        n2.join(rare2, "id", "left")
+        .select(
+            "id",
+            "n2",
+            (F.col("n2") - F.coalesce("rare2", F.lit(0))).alias("hot2"),
+        )
+    )
+    pair_sr = (
         posts.alias("pa")
         .join(posts.alias("pb"), "term")
         .filter(F.col("pa.id") < F.col("pb.id"))
-        .select(F.col("pa.id").alias("a"), F.col("pb.id").alias("b"))
-        .distinct()
+        .groupBy(F.col("pa.id").alias("a"), F.col("pb.id").alias("b"))
+        .agg(
+            F.sum(F.col("pa.tf") * F.col("pb.tf")).cast("bigint").alias("dot_sr")
+        )
+    )
+    thr2 = threshold_pct * threshold_pct
+    hot_ub = (
+        F.floor(F.sqrt((F.col("hot2_a") * F.col("hot2_b")).cast("double")))
+        .cast("bigint")
+        + F.lit(2)
+    )
+    ub = F.col("dot_sr") + hot_ub
+    cand = (
+        pair_sr.join(
+            docstats.select(
+                F.col("id").alias("a"),
+                F.col("n2").alias("n2_a"),
+                F.col("hot2").alias("hot2_a"),
+            ),
+            "a",
+        )
+        .join(
+            docstats.select(
+                F.col("id").alias("b"),
+                F.col("n2").alias("n2_b"),
+                F.col("hot2").alias("hot2_b"),
+            ),
+            "b",
+        )
+        .filter(
+            ub * ub * F.lit(10_000) >= F.lit(thr2) * F.col("n2_a") * F.col("n2_b")
+        )
+        .select("a", "b", "n2_a", "n2_b")
     )
     ta = tf_rel.select(
         F.col("id").alias("a"), F.col("term").alias("t"), F.col("tf").alias("tfa")
@@ -1334,14 +1390,11 @@ def tf_cosine_pairs(
     dot = (
         cand.join(ta, "a")
         .join(tb, ["b", "t"])
-        .groupBy("a", "b")
+        .groupBy("a", "b", "n2_a", "n2_b")
         .agg(F.sum(F.col("tfa") * F.col("tfb")).cast("bigint").alias("dot"))
     )
-    thr2 = threshold_pct * threshold_pct
     return (
-        dot.join(n2.withColumnRenamed("id", "a").withColumnRenamed("n2", "n2_a"), "a")
-        .join(n2.withColumnRenamed("id", "b").withColumnRenamed("n2", "n2_b"), "b")
-        .filter(
+        dot.filter(
             F.col("dot") * F.col("dot") * F.lit(10_000)
             >= F.lit(thr2) * F.col("n2_a") * F.col("n2_b")
         )
