@@ -92,7 +92,16 @@ def connected_components(
     else:
 
         def _ckpt(df: DataFrame) -> DataFrame:
-            return df.localCheckpoint(eager=True)
+            # LAZY local checkpoint: truncates lineage identically to the
+            # eager form, but defers the result-stage pass + block caching
+            # to the first downstream action — inside this loop that is
+            # always the convergence count, so each iteration pays ONE
+            # materializing job instead of two (checkpoint pass + count
+            # pass). AQE still resolves the plan's shuffle stages at
+            # call time (Dataset.localCheckpoint goes through toRdd), so
+            # the work moved is exactly the final pass, not a semantic
+            # change; values are untouched either way.
+            return df.localCheckpoint(eager=False)
 
     def _drop(df: DataFrame | None) -> None:
         """Delete a superseded reliable checkpoint (no-op in local mode).
@@ -354,6 +363,7 @@ def pagerank_fixed_point(
     src: str = "src",
     dst: str = "dst",
     weight: str = "w",
+    checkpoint_every: int = 4,
 ) -> DataFrame:
     """G5: weighted PageRank over a directed graph, run for a FIXED
     number of power iterations in pure 64-bit integer arithmetic — the
@@ -391,9 +401,13 @@ def pagerank_fixed_point(
     sum keyed by destination, and one left join back to the node set —
     all hash-partitioned on node ids, no driver-side data. N enters
     the plan as a broadcast 1-row aggregate, never a collected Python
-    scalar baked into the closure. Per-iteration eager localCheckpoint
-    truncates lineage (the connected_components trade: an un-truncated
-    loop re-plans its whole history every round).
+    scalar baked into the closure. Lineage is truncated every
+    ``checkpoint_every``-th iteration (eager localCheckpoint) rather
+    than every iteration: short runs (the common 2-4 iteration
+    fixed-point) pay ZERO in-loop materializations while long runs keep
+    the bounded-plan guarantee (the connected_components trade: an
+    un-truncated loop re-plans its whole history every round).
+    Checkpoint cadence cannot change values — it only cuts lineage.
 
     Returns (node <input id type>, pr_x1e9 bigint, n_nodes bigint) — pr at
     ``scale`` fixed point (column named for the default scale).
@@ -402,6 +416,8 @@ def pagerank_fixed_point(
         raise ValueError("pagerank_fixed_point: iters must be >= 0")
     if not (0 < damp_num < damp_den):
         raise ValueError("pagerank_fixed_point: need 0 < damp_num < damp_den")
+    if checkpoint_every < 1:
+        raise ValueError("pagerank_fixed_point: checkpoint_every must be >= 1")
     e = (
         edges.select(
             F.col(src).alias("u"),
@@ -429,7 +445,7 @@ def pagerank_fixed_point(
         nodes.crossJoin(F.broadcast(n_df))
         .select("node", "__n", F.expr(f"{int(scale)}L div __n").alias("pr"))
     )
-    for _ in range(iters):
+    for it in range(iters):
         contrib = (
             e.join(
                 pr.select(F.col("node").alias("u"), F.col("pr")), "u"
@@ -455,8 +471,12 @@ def pagerank_fixed_point(
                     )
                 ).alias("pr"),
             )
-            .localCheckpoint(eager=True)
         )
+        # truncate lineage on the cadence, never after the LAST iteration
+        # (the caller's action materializes the final plan anyway — an
+        # in-loop checkpoint there would be a pure extra pass)
+        if (it + 1) % checkpoint_every == 0 and (it + 1) < iters:
+            pr = pr.localCheckpoint(eager=True)
     return pr.select(
         F.col("node"),
         F.col("pr").alias("pr_x1e9"),

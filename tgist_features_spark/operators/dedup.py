@@ -463,13 +463,24 @@ def _simhash_batch(texts: pd.Series, chunk_tokens: int = 1 << 16) -> np.ndarray:
 
 
 def simhash_signatures(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    parallelism: int | None = None,
 ) -> DataFrame:
     """64-bit SimHash per doc: sign of the per-bit ±1 sums over md5 token
     hashes. Tokens split on the literal single space (``string_split``
     semantics) and hashed with md5 so the signature is bit-for-bit
     reproducible outside Spark — the driver's DuckDB oracle recomputes it
-    in SQL. Fully vectorized per Arrow batch (see ``_simhash_batch``)."""
+    in SQL. Fully vectorized per Arrow batch (see ``_simhash_batch``).
+
+    ``parallelism``: optional repartition before the signature UDF —
+    single-file sources otherwise feed the whole corpus to ONE Python
+    worker (the minhash_signatures discipline; signatures are per-row
+    deterministic, so fan-out never changes values). Callers whose input
+    already fans out pass None."""
+    if parallelism:
+        df = df.repartition(parallelism)
 
     @pandas_udf(T.LongType())
     def sh(texts: pd.Series) -> pd.Series:
@@ -484,6 +495,7 @@ def simhash_near_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     max_bucket: int | None = 256,
+    parallelism: int | None = 0,
 ) -> DataFrame:
     """Near-dup candidates: docs whose 64-bit simhash agrees on >=1 of 4
     16-bit bands (pigeonhole: Hamming<=3 guarantees a matching band); exact
@@ -491,8 +503,15 @@ def simhash_near_pairs(
     rows keep a deterministic subset before the self-join (see module
     docstring) — with the cap the Hamming<=3 guarantee holds for docs whose
     shared band-bucket is within the cap, and for the kept subset of
-    degenerate buckets."""
-    sigs = simhash_signatures(df, id_col, text_col)
+    degenerate buckets.
+
+    ``parallelism``: fan-out for the signature UDF; the default sentinel 0
+    resolves to the cluster's default parallelism (single-file sources
+    otherwise run the whole signature pass on one Python worker); None
+    skips the repartition for callers whose input already fans out."""
+    if parallelism == 0:
+        parallelism = df.sparkSession.sparkContext.defaultParallelism
+    sigs = simhash_signatures(df, id_col, text_col, parallelism=parallelism)
     bands = sigs.select(
         "id",
         "simhash",
@@ -510,7 +529,15 @@ def simhash_near_pairs(
     ).select("id", "simhash", "bk.band", "bk.bval")
     bands = cap_buckets(bands, ["band", "bval"], max_bucket)
     l, r = bands.alias("l"), bands.alias("r")
-    cand = (
+    hamming = F.bit_count(
+        F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+    ).cast("int")
+    # Hamming filter BEFORE the (a, b) distinct: the filter is a cheap
+    # per-row bit op on columns already in the join output, and hamming is
+    # a pure function of (a, b), so filter-then-distinct emits exactly the
+    # distinct-then-filter pair set while shuffling only the surviving
+    # candidates into the dedup exchange.
+    return (
         l.join(
             r,
             on=[
@@ -522,16 +549,10 @@ def simhash_near_pairs(
         .select(
             F.col("l.id").alias("a"),
             F.col("r.id").alias("b"),
-            F.col("l.simhash").alias("sa"),
-            F.col("r.simhash").alias("sb"),
+            hamming.alias("hamming"),
         )
-        .dropDuplicates(["a", "b"])
-    )
-    hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("int")
-    return (
-        cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
-        .select("a", "b", "hamming")
+        .dropDuplicates(["a", "b"])
     )
 
 
