@@ -559,8 +559,9 @@ def simhash_near_pairs(
 # ------------------------------------------------------- n-gram Jaccard
 
 
-def _gram_array_from_tokens(tok_col: str, n: int):
-    """Distinct word-n-gram array from a MATERIALIZED token-array column.
+def _gram_expr(toks, n: int):
+    """Word-n-gram array from a MATERIALIZED token-array column, built in
+    ONE indexed transform: gram i = concat_ws(' ', toks[i..i+n-1]).
 
     The token column must come from its own projection (see ``_gram_array``)
     — inlining ``split(text)`` here would re-execute the split for every
@@ -568,20 +569,30 @@ def _gram_array_from_tokens(tok_col: str, n: int):
     turning an O(tokens) expression into O(tokens^2) per row. At sf0.1's
     ~54-token docs that's only ~12% of the decontamination wall (measured
     4.04s -> 3.60s steady), but the quadratic term dominates for the long
-    documents a real 100 TB corpus contains."""
-    toks = F.col(tok_col)
-    # n-1 chained zip_withs against shifted copies of the token array beat
-    # the transform(sequence)+slice formulation ~1.7x (each zip_with is one
-    # linear pass; the indexed form allocates a per-element slice). zip_with
-    # pads the shorter side with null and concat propagates it, so the
-    # trailing n-1 entries are null — the final slice drops exactly those.
-    acc = toks
-    for j in range(1, n):
-        shifted = F.slice(toks, j + 1, F.greatest(F.size(toks) - j, F.lit(0)))
-        acc = F.zip_with(acc, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
-    return F.array_distinct(
-        F.slice(acc, 1, F.greatest(F.size(toks) - n + 1, F.lit(0)))
+    documents a real 100 TB corpus contains.
+
+    Replaces the earlier n-1 chained zip_with formulation: the chain is
+    n-1 linear passes allocating progressively longer intermediate
+    strings, the indexed form is one pass with n element_at reads per
+    gram — measured parity at n=2..3 and ~1.6x faster at n=8 on the
+    sf0.1 corpus, with identical output (incl. short docs -> [] and
+    null token arrays -> null, pinned by the gram-edge tests)."""
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + F.lit(j + 1)) for j in range(n)]
+        ),
     )
+    # size(null) is null under ANSI, so a null token array falls through
+    # both whens -> null grams (the zip_with chain's semantics exactly)
+    return F.when(F.size(toks) >= n, grams).when(
+        toks.isNotNull(), F.array().cast("array<string>")
+    )
+
+
+def _gram_array_from_tokens(tok_col: str, n: int):
+    """Distinct word-n-gram array (see ``_gram_expr`` for the build)."""
+    return F.array_distinct(_gram_expr(F.col(tok_col), n))
 
 
 def _with_grams(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
@@ -783,20 +794,14 @@ def decontaminate(
 def _position_grams(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """(id, __total, g): one row per n-gram POSITION — no within-doc
     dedup, because span-level statistics weight repeated spans by how
-    often they occur. Same zip_with chain + explode_outer discipline as
-    ``_distinct_grams`` (see those docstrings for the two optimizer traps
-    this dodges)."""
-    toks = F.col("__tk")
-    acc = toks
-    for j in range(1, n):
-        shifted = F.slice(toks, j + 1, F.greatest(F.size(toks) - j, F.lit(0)))
-        acc = F.zip_with(acc, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
-    grams = F.slice(acc, 1, F.greatest(F.size(toks) - n + 1, F.lit(0)))
+    often they occur. Same indexed-transform + explode_outer discipline
+    as ``_distinct_grams`` (see ``_gram_expr`` / those docstrings for the
+    optimizer traps this dodges)."""
     return (
         df.select(
             F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("__tk")
         )
-        .select("id", grams.alias("grams"))
+        .select("id", _gram_expr(F.col("__tk"), n).alias("grams"))
         .select(
             "id",
             F.size("grams").cast("long").alias("__total"),
@@ -904,20 +909,14 @@ def _position_grams_idx(
 ) -> DataFrame:
     """(id, p, g): one row per n-gram position with its 0-based start
     index — the positional variant of ``_position_grams`` for operators
-    that must map dup grams back onto token spans. Same zip_with chain +
-    posexplode_outer discipline (InferFiltersFromGenerate exempts outer
-    generates; see ``_distinct_grams``)."""
-    toks = F.col("__tk")
-    acc = toks
-    for j in range(1, n):
-        shifted = F.slice(toks, j + 1, F.greatest(F.size(toks) - j, F.lit(0)))
-        acc = F.zip_with(acc, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
-    grams = F.slice(acc, 1, F.greatest(F.size(toks) - n + 1, F.lit(0)))
+    that must map dup grams back onto token spans. Same indexed-transform
+    + posexplode_outer discipline (InferFiltersFromGenerate exempts outer
+    generates; see ``_gram_expr`` / ``_distinct_grams``)."""
     return (
         df.select(
             F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("__tk")
         )
-        .select("id", grams.alias("grams"))
+        .select("id", _gram_expr(F.col("__tk"), n).alias("grams"))
         .select("id", F.posexplode_outer("grams").alias("p", "g"))
         .filter(F.col("g").isNotNull())
     )
