@@ -2847,6 +2847,30 @@ def test_dq_report_counts_planted_violations(spark):
     assert ok == 1
 
 
+def test_dq_report_empty_table_is_all_green(spark):
+    """DQ1: an EMPTY input table is a well-defined all-green report (0
+    rows, 0 violations, every check ok) — the SUM-over-zero-rows NULLs
+    must coalesce, not TypeError (a realistic pre-publish gate input)."""
+    from tgist_features_spark.operators.dq import dq_report
+
+    empty = spark.createDataFrame(
+        [], "id long, line long, flag string, qty long, fk long"
+    )
+    parent = spark.createDataFrame([(100,)], "pk long")
+    rep = {
+        (r["check"], r["target"]): (r["n_rows"], r["n_violations"], r["ok"])
+        for r in dq_report(
+            empty,
+            not_null=("id",),
+            unique=(("id", "line"),),
+            accepted={"flag": ["A"]},
+            in_range={"qty": (1, 50)},
+            ref={"fk": (parent, "pk")},
+        ).collect()
+    }
+    assert all(v == (0, 0, 1) for v in rep.values()) and len(rep) == 5
+
+
 def test_k_core_matches_reference_peeling(spark):
     """G4: k-core equals Python reference peeling on a random graph;
     a star dissolves at k=2 (connected but not dense); a planted

@@ -814,8 +814,17 @@ def bpe_train(
             break
         left, right, cnt = best["l"], best["r"], int(best["cnt"])
         merges.append((step, left, right, cnt))
+        if step == n_merges:
+            # the re-segmentation only exists to feed the NEXT step's
+            # pair counts; after the final merge decision it is a pure
+            # extra vocabulary pass — skip it (the merge table is
+            # already complete and unchanged)
+            break
         merged = F.concat(F.lit(left), F.lit(right))
-        # left-to-right non-overlapping merge application as a pure fold
+        # left-to-right non-overlapping merge application as a pure fold;
+        # LAZY checkpoint: lineage still truncates, and the next step's
+        # argmax action is what materializes it — one job per step
+        # instead of two
         vocab = vocab.select(
             F.aggregate(
                 "syms",
@@ -830,7 +839,7 @@ def bpe_train(
                 ).otherwise(F.concat(acc, F.array(s))),
             ).alias("syms"),
             "n",
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
     spark = df.sparkSession
     return spark.createDataFrame(
         merges, "step int, left string, right string, pair_count bigint"

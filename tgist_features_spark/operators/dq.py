@@ -77,14 +77,15 @@ def dq_report(
             .alias(alias)
         )
         rows.append(("unique", ",".join(key), alias))
-    one = df.agg(*aggs).first()
-    spark = df.sparkSession
-    out = [
-        (name, target, int(one["__n"]), int(one[alias]))
-        for name, target, alias in rows
-    ]
-    for c, (parent, parent_key) in (ref or {}).items():
-        miss = (
+    # the row-local aggregation pass and each referential anti-join are
+    # INDEPENDENT actions — submit the ref counts from a small thread
+    # pool so their jobs back-fill the same executors while the agg pass
+    # drains (guide-standard overlap of independent jobs; result values
+    # are unaffected, only the wall clock)
+    from concurrent.futures import ThreadPoolExecutor  # noqa: PLC0415
+
+    def _ref_count(c: str, parent: DataFrame, parent_key: str) -> int:
+        return (
             df.filter(F.col(c).isNotNull())
             .join(
                 parent.select(F.col(parent_key).alias(c)).distinct(),
@@ -93,7 +94,29 @@ def dq_report(
             )
             .count()
         )
-        out.append(("ref", f"{c}->{parent_key}", int(one["__n"]), int(miss)))
+
+    ref_items = list((ref or {}).items())
+    futures = []
+    if ref_items:
+        pool = ThreadPoolExecutor(max_workers=min(2, len(ref_items)))
+        futures = [
+            pool.submit(_ref_count, c, parent, parent_key)
+            for c, (parent, parent_key) in ref_items
+        ]
+    one = df.agg(*aggs).first()
+    spark = df.sparkSession
+    # `or 0`: every violation aggregate is a SUM, which is NULL over an
+    # empty table — an empty input is a well-defined all-green report
+    # (0 violations everywhere), not a TypeError
+    n_rows = int(one["__n"] or 0)
+    out = [
+        (name, target, n_rows, int(one[alias] or 0))
+        for name, target, alias in rows
+    ]
+    for (c, (parent, parent_key)), fut in zip(ref_items, futures):
+        out.append(("ref", f"{c}->{parent_key}", n_rows, int(fut.result())))
+    if ref_items:
+        pool.shutdown()
     return spark.createDataFrame(
         [(c, t, n, v, 1 if v == 0 else 0) for c, t, n, v in out],
         "check string, target string, n_rows bigint, "
