@@ -1043,7 +1043,8 @@ def cross_corpus_near_pairs(
     min_est_jaccard: float = 0.5,
     max_bucket: int | None = 200,
     ref_signatures: DataFrame | None = None,
-) -> DataFrame:
+    lazy: bool = False,
+) -> DataFrame | tuple:
     """Near-duplicate pairs BETWEEN two corpora: (a from ``df``, b from
     ``ref``, est_jaccard) — the document-level decontamination /
     cross-corpus dedup primitive ("drop training docs near-duplicating
@@ -1143,8 +1144,15 @@ def cross_corpus_near_pairs(
         .withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= min_est_jaccard)
         .select("a", "b", "est_jaccard")
-        .persist()
     )
+    if lazy:
+        # caller owns materialization + cache lifecycle: the returned
+        # sig handles must be unpersist()ed once the pair relation (or a
+        # derivation of it) has materialized — saves the separate
+        # persist+count barrier when the caller's first action over the
+        # pairs is itself a materializing job (the dedup-score shape)
+        return out, sig_a, (sig_b if own_b else None)
+    out = out.persist()
     out.count()
     sig_a.unpersist()
     if own_b:

@@ -987,10 +987,19 @@ def q_dedup_minhash(spark, sf):
     est filter at 0.25 is ~17 sigma below the true estimate. Thin-margin
     recall on adversarial corpora is gated separately in
     tests/test_recall.py."""
+    from tgist_features_spark.operators.dedup import _lsh_pairs_lazy
+
     docs = _t(spark, sf, "documents")
-    pairs = minhash_lsh_pairs(
-        docs, n_hashes=64, bands=32, min_est_jaccard=0.25
+    # LAZY pair core + persist WITHOUT a count barrier: the scorer's own
+    # first action (its gram-relation checkpoint) is the job that
+    # materializes the candidate pairs into the cache, so the pipeline
+    # pays one fewer serial materialization than the public
+    # minhash_lsh_pairs path while computing the identical pair set
+    pairs_lazy, sigs, _banded = _lsh_pairs_lazy(
+        docs, "doc_id", "text", n_hashes=64, bands=32, shingle=3, seed=42,
+        min_est_jaccard=0.25, max_bucket=200,
     )
+    pairs = pairs_lazy.persist()
     out = (
         ngram_jaccard_score(docs, pairs, n=3)
         .filter(F.col("jaccard") >= 0.5)
@@ -1002,6 +1011,7 @@ def q_dedup_minhash(spark, sf):
         # (measured at sf0.1: 3.9-4.1s steady vs 4.4-5.1s for persist+count)
         .localCheckpoint(eager=True)
     )
+    sigs.unpersist()
     pairs.unpersist()
     return out
 
@@ -2306,15 +2316,22 @@ def q_cross_dedup(spark, sf):
     docs = _t(spark, sf, "documents")
     corpus = docs.filter(F.col("doc_id") % 5 != 0)
     ref = docs.filter(F.col("doc_id") % 5 == 0)
-    pairs = cross_corpus_near_pairs(
-        corpus, ref, n_hashes=64, bands=32, min_est_jaccard=0.25
+    # lazy pair core (same pair set as the materializing path): the
+    # scorer's first action materializes the persisted pairs, skipping
+    # the separate count barrier — the q_dedup_minhash discipline
+    pairs_lazy, sig_a, sig_b = cross_corpus_near_pairs(
+        corpus, ref, n_hashes=64, bands=32, min_est_jaccard=0.25, lazy=True
     )
+    pairs = pairs_lazy.persist()
     out = (
         ngram_jaccard_score(docs, pairs, n=3)
         .filter(F.col("jaccard") >= 0.5)
         .select("a", "b", "inter", F.round("jaccard", 6).alias("jaccard"))
         .localCheckpoint(eager=True)  # materialize, then drop the pair cache
     )
+    sig_a.unpersist()
+    if sig_b is not None:
+        sig_b.unpersist()
     pairs.unpersist()
     return out
 
