@@ -1790,6 +1790,11 @@ def test_population_drift_counts_and_edges(spark):
         population_drift(
             spark.createDataFrame(ref), spark.createDataFrame(new), "v", 0
         )
+    # an EMPTY (or all-NULL) reference must refuse loudly, not silently
+    # report an empty drift table while the new corpus has rows
+    empty = spark.createDataFrame([], "v long")
+    with pytest.raises(ValueError, match="reference"):
+        population_drift(empty, spark.createDataFrame(new), "v", 10)
 
 
 def test_new_ops_null_value_contracts(spark):

@@ -395,9 +395,17 @@ def population_drift(
     # re-evaluate (each re-evaluation re-scans the whole reference
     # corpus). Downstream, edges is a local relation: free to reference.
     spark = ref.sparkSession
-    edges = spark.createDataFrame(
-        edges_plan.collect(), schema=edges_plan.schema
-    )
+    edge_rows = edges_plan.collect()
+    if not edge_rows:
+        # an empty (or all-NULL) reference yields zero edge rows, and the
+        # final plan starts from edges — drift monitoring against a
+        # misconfigured reference would silently report NOTHING; refuse
+        # loudly instead (the cross_corpus_near_pairs empty-cache posture)
+        raise ValueError(
+            "population_drift: reference corpus has no non-NULL "
+            f"'{value_col}' values — empty/misconfigured reference?"
+        )
+    edges = spark.createDataFrame(edge_rows, schema=edges_plan.schema)
 
     def _binned_counted(df: DataFrame, out: str) -> DataFrame:
         b = F.broadcast(edges.select(F.col("__bin"), F.col("lo")))
