@@ -776,6 +776,11 @@ def test_stateful_rolling_outliers_parity_with_batch(spark, tmp_path):
                 v = None
             elif k in (17, 33):
                 v = base + 50.0  # planted spike
+            elif k in (5, 25):
+                # exact .5 fixed-point boundary (x.125 * 100 = exact
+                # .5): batch F.round is HALF_UP, Python round() is
+                # banker's — parity must hold on the boundary too
+                v = base + 0.125
             elif u == 5:
                 v = base  # constant stream: degenerate-variance rule
             else:
@@ -843,6 +848,10 @@ def test_stateful_ewma_parity_with_batch(spark, tmp_path):
         for j in range(30):
             if rng.random() < 0.12:
                 v = None
+            elif j in (4, 19):
+                # exact .5 boundaries, both signs: HALF_UP rounds away
+                # from zero, banker's would flip these (ADVICE class)
+                v = 7.125 if j == 4 else -7.125
             else:
                 v = round(float(rng.normal(0, 40.0)), 2)  # negatives too
             rows.append((eid, u, v, pd.Timestamp(9000 * u + 60 * j, unit="s")))
@@ -886,15 +895,22 @@ def test_stateful_ewma_parity_with_batch(spark, tmp_path):
     assert (last["ewma"] == want["ewma"]).all()
 
     # every intermediate emission equals the python prefix fold
+    from decimal import ROUND_HALF_UP, Decimal
+
     def tdiv(a: int) -> int:
         return a // 8 if a >= 0 else -((-a) // 8)
+
+    def rhu(x: float) -> int:
+        # batch F.round semantics: HALF_UP over the shortest decimal
+        # repr (NOT python round()'s half-to-even)
+        return int(Decimal(repr(x)).quantize(Decimal(1), ROUND_HALF_UP))
 
     for u, grp in pdf.dropna(subset=["value"]).groupby("user_id"):
         seq = grp.sort_values(["ts", "event_id"])
         s = None
         mine = []
         for _, r in seq.iterrows():
-            y = int(round(float(r["value"]) * 100))
+            y = rhu(float(r["value"]) * 100)
             s = y if s is None else tdiv(y + 7 * s)
             mine.append((int(r["event_id"]), s))
         theirs = (

@@ -160,11 +160,13 @@ def test_ohlc_buckets_matches_pandas(spark):
         "v": np.round(rng.normal(5, 2, n), 2),
     })
     pdf.loc[rng.choice(n, 100, replace=False), "v"] = None
-    # one bucket that is entirely NULL
+    # one bucket that is entirely NULL (dtype pinned to float64 so the
+    # concat of an all-NA column stays warning-free under pandas 2.x)
     allnull_ts = pd.to_datetime(base + 4 * 3600, unit="s")
     pdf = pd.concat([pdf, pd.DataFrame({
         "event_id": [n, n + 1], "e": ["u1", "u1"],
-        "ts": [allnull_ts, allnull_ts], "v": [None, None]})],
+        "ts": [allnull_ts, allnull_ts],
+        "v": np.array([np.nan, np.nan], dtype="float64")})],
         ignore_index=True)
     got = (
         ohlc_buckets(spark.createDataFrame(pdf), "e", "ts", "v",

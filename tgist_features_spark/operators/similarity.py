@@ -505,7 +505,11 @@ def borda_fuse(
     query. An item missing from one ranking is penalized with that
     ranking's per-query N_q + 1 — absent evidence is worse than any
     ranked position but not infinitely so (the standard Borda
-    treatment). fused = rank_a' + rank_b'; ties break on item id
+    treatment). A query present in only ONE ranking (the other
+    retriever returned nothing for it) keeps its items: the absent
+    side's N_q coalesces to 0, so every item takes that side's minimum
+    penalty 1 — consistent with the missing-item rule, never a silent
+    whole-query drop. fused = rank_a' + rank_b'; ties break on item id
     ascending, top-k kept per query via row_number.
 
     Scale shape: one full-outer equi-join on (query, item) plus two
@@ -529,13 +533,16 @@ def borda_fuse(
     ra, na = _side(rank_a, "a")
     rb, nb = _side(rank_b, "b")
     cand = ra.join(rb, ["q", "item"], "full_outer")
+    # LEFT joins on the per-query maxima: an inner join would silently
+    # drop every query absent from one input; coalescing the absent
+    # side's N_q to 0 gives its items penalty 1 instead
     scored = (
-        cand.join(F.broadcast(na), "q")
-        .join(F.broadcast(nb), "q")
+        cand.join(F.broadcast(na), "q", "left")
+        .join(F.broadcast(nb), "q", "left")
         .withColumn(
             "fused",
-            F.coalesce(F.col("r_a"), F.col("n_a") + 1)
-            + F.coalesce(F.col("r_b"), F.col("n_b") + 1),
+            F.coalesce(F.col("r_a"), F.coalesce(F.col("n_a"), F.lit(0)) + 1)
+            + F.coalesce(F.col("r_b"), F.coalesce(F.col("n_b"), F.lit(0)) + 1),
         )
     )
     w = Window.partitionBy("q").orderBy(F.col("fused").asc(), F.col("item").asc())

@@ -15,6 +15,7 @@ serving join reads one consistent layout.
 
 from __future__ import annotations
 
+from decimal import ROUND_HALF_UP, Decimal
 from typing import Any
 
 import numpy as np
@@ -25,6 +26,17 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from tgist_features_spark.sources.corpus import TRANSCRIPT_SCHEMA
+
+
+def _round_half_up(x: float) -> int:
+    """Spark-compatible fixed-point rounding for the stateful kernels:
+    batch F.round on a double goes through BigDecimal.valueOf (shortest
+    decimal repr) with HALF_UP, while Python's round() is half-to-even
+    and flips exact-.5 boundaries (10.125 * 100 = 1012.5: Spark 1013,
+    round() 1012). Decimal over repr(x) reproduces Spark's value
+    exactly, preserving row-for-row batch/stream parity on boundary
+    values."""
+    return int(Decimal(repr(x)).quantize(Decimal(1), rounding=ROUND_HALF_UP))
 
 
 def read_transcript_stream(
@@ -987,7 +999,7 @@ def stateful_rolling_outliers(
         vals = pdf[value_col].to_numpy()
         out_rows = []
         for v in vals:
-            y = None if pd.isna(v) else int(round(float(v) * scale))
+            y = None if pd.isna(v) else _round_half_up(float(v) * scale)
             tail.append(y)
             if len(tail) > n:
                 tail.pop(0)
@@ -1102,7 +1114,7 @@ def stateful_ewma(
             v = row[value_col]
             if pd.isna(v):
                 continue
-            y = int(round(float(v) * scale))
+            y = _round_half_up(float(v) * scale)
             s = y if cnt == 0 else _tdiv(y + m * s)
             cnt += 1
             out.append((int(row["event_id"]), row["ts"], cnt, y, s))
