@@ -735,7 +735,8 @@ def bpe_train(
     df: DataFrame,
     text_col: str = "text",
     n_merges: int = 16,
-) -> DataFrame:
+    return_final_vocab: bool = False,
+) -> DataFrame | tuple:
     """X16: distributed BPE tokenizer TRAINING — iterate the merge rule
     ``char_pair_counts`` computes once: per step, count corpus-weighted
     adjacent symbol pairs over the vocabulary, merge the argmax into a
@@ -751,16 +752,23 @@ def bpe_train(
     Scale shape — the reason BPE training is feasible at 100 TB: ONE
     corpus-sized aggregation total (the word-count pass, map-side
     combinable), after which every iteration runs over the
-    vocabulary-sized (symbols, n) relation only: a pair explode + one
-    combinable agg + a 1-row argmax collect + a pure-Catalyst fold
+    vocabulary-sized (word, symbols, n) relation only: a pair explode +
+    one combinable agg + a 1-row argmax collect + a pure-Catalyst fold
     (``aggregate``) that applies the merge left-to-right
     non-overlapping — greedy exactly like the reference algorithm,
     because a merged symbol's string differs from its left part, so a
     fresh overlap cannot chain within one pass. The vocabulary
-    relation is eagerly localCheckpointed per step (tiny; untruncated
-    loops re-plan the whole history — the connected_components trap).
-    Each merge decision is a 1-row driver action: bounded metadata,
-    the same budget as connected_components' convergence counts."""
+    relation is localCheckpointed per step (tiny; untruncated loops
+    re-plan the whole history — the connected_components trap). Each
+    merge decision is a 1-row driver action: bounded metadata, the
+    same budget as connected_components' convergence counts.
+
+    ``return_final_vocab=True`` additionally applies the LAST merge
+    (otherwise skipped — it only exists to feed a next step) and
+    returns ``(merge_table, final_vocab)`` with final_vocab =
+    (w, syms): the per-word segmentation under the full learned merge
+    list. The encode half (``bpe_encode_counts``) consumes it to skip
+    re-deriving and re-folding the identical vocabulary."""
     if n_merges < 1:
         raise ValueError("bpe_train: n_merges must be >= 1")
     toks = F.filter(
@@ -776,6 +784,7 @@ def bpe_train(
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
         .select(
+            "w",
             # split at every inter-character position; the lookahead
             # also matches at end-of-string, so drop the trailing ""
             F.filter(
@@ -814,11 +823,12 @@ def bpe_train(
             break
         left, right, cnt = best["l"], best["r"], int(best["cnt"])
         merges.append((step, left, right, cnt))
-        if step == n_merges:
+        if step == n_merges and not return_final_vocab:
             # the re-segmentation only exists to feed the NEXT step's
             # pair counts; after the final merge decision it is a pure
             # extra vocabulary pass — skip it (the merge table is
-            # already complete and unchanged)
+            # already complete and unchanged) unless the caller asked
+            # for the fully-folded vocabulary
             break
         merged = F.concat(F.lit(left), F.lit(right))
         # left-to-right non-overlapping merge application as a pure fold;
@@ -826,6 +836,7 @@ def bpe_train(
         # argmax action is what materializes it — one job per step
         # instead of two
         vocab = vocab.select(
+            "w",
             F.aggregate(
                 "syms",
                 F.array().cast("array<string>"),
@@ -841,9 +852,12 @@ def bpe_train(
             "n",
         ).localCheckpoint(eager=False)
     spark = df.sparkSession
-    return spark.createDataFrame(
+    merge_df = spark.createDataFrame(
         merges, "step int, left string, right string, pair_count bigint"
     )
+    if return_final_vocab:
+        return merge_df, vocab.select("w", "syms")
+    return merge_df
 
 
 def bpe_encode_counts(
@@ -851,6 +865,7 @@ def bpe_encode_counts(
     merges: list[tuple[str, str]],
     id_col: str = "doc_id",
     text_col: str = "text",
+    vocab_syms: DataFrame | None = None,
 ) -> DataFrame:
     """X16 (encode half): apply a LEARNED BPE merge list to a corpus and
     report per-document token counts — the deploy-side of ``bpe_train``
@@ -870,7 +885,13 @@ def bpe_encode_counts(
     back onto the exploded (doc, word) relation, then ONE combinable
     per-doc aggregation. Merge lists are bounded tokenizer artifacts
     (30-50k entries in production BPE) — plan-time literals, the same
-    class as a broadcast dimension."""
+    class as a broadcast dimension.
+
+    ``vocab_syms``: optional (w, syms) relation ALREADY folded through
+    ``merges`` — ``bpe_train(..., return_final_vocab=True)``'s second
+    output over the SAME corpus and token rule (the caller's contract).
+    Skips re-deriving the distinct vocabulary and replaying the folds:
+    train-then-encode pipelines pay the segmentation once."""
     toks = F.filter(
         F.transform(
             F.split(F.lower(F.col(text_col)), " "),
@@ -882,6 +903,19 @@ def bpe_encode_counts(
         df.select(F.col(id_col), F.explode_outer(toks).alias("w"))
         .filter(F.col("w").isNotNull())
     )
+    if vocab_syms is not None:
+        per_word = vocab_syms.select(
+            "w", F.size("syms").cast("bigint").alias("n_toks")
+        )
+        agg = rel.join(F.broadcast(per_word), "w").groupBy(id_col).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("n_toks").cast("bigint").alias("n_tokens"),
+        )
+        return df.select(id_col).join(agg, id_col, "left").select(
+            id_col,
+            F.coalesce("n_words", F.lit(0)).cast("bigint").alias("n_words"),
+            F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
+        )
     vocab = rel.select("w").distinct().select(
         "w",
         F.filter(F.split(F.col("w"), "(?!^)"), lambda s: s != "").alias("syms"),

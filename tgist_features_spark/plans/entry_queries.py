@@ -3733,12 +3733,21 @@ def q_bpe_encode(spark, sf):
     tokenizer metadata (the bpe_train driver-action budget)."""
     from tgist_features_spark.functions.text import bpe_encode_counts, bpe_train
 
-    m = bpe_train(_t(spark, sf, "documents"), "text", n_merges=3)
+    # return_final_vocab: the trainer's fully-folded (w, syms) relation
+    # feeds the encoder directly, so the identical vocabulary is not
+    # re-derived and re-folded a second time (values unchanged — the
+    # encoder's own replay produces the same segmentation by definition;
+    # oracle-verified bitwise)
+    m, vocab = bpe_train(
+        _t(spark, sf, "documents"), "text", n_merges=3,
+        return_final_vocab=True,
+    )
     merges = [
         (r["left"], r["right"]) for r in m.orderBy("step").collect()
     ]
     return bpe_encode_counts(
-        _t(spark, sf, "documents"), merges, "doc_id", "text"
+        _t(spark, sf, "documents"), merges, "doc_id", "text",
+        vocab_syms=vocab,
     )
 
 
