@@ -27,15 +27,27 @@ from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
 
+def _dot(a, b):
+    """Dot product of two array<double> columns — pure Catalyst
+    (zip_with + aggregate fold), runs inside whole-stage codegen."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+
+
+def _l2norm(a):
+    """L2 norm of an array<double> column (same fold shape `_cosine` has
+    always used, so a hoisted norm is bit-identical to an inline one)."""
+    a = F.col(a) if isinstance(a, str) else a
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
+
+
 def _cosine(a, b):
     """Cosine similarity between two array columns — pure Catalyst
     (zip_with + aggregate fold), runs inside whole-stage codegen."""
     a = F.col(a) if isinstance(a, str) else a
     b = F.col(b) if isinstance(b, str) else b
-    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
-    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
-    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
-    return dot / (na * nb)
+    return _dot(a, b) / (_l2norm(a) * _l2norm(b))
 
 
 def cosine_topk(
@@ -50,16 +62,21 @@ def cosine_topk(
     ``queries``: (q_id, q_vec). Broadcast the queries, scan the corpus once;
     per-query rank via window over the (small) q_id domain.
     """
+    # norms are per-ROW quantities: hoist them below the all-pairs join so
+    # each side's fold runs once per row, not once per (query, neighbor)
+    # pair (guide §1.2 — don't recompute per pair what is per-row). The
+    # hoisted expression is the exact fold `_cosine` inlines, so the double
+    # — and therefore every rounded cosine — is bit-identical.
     base = df.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
-    )
+    ).withColumn("nv", _l2norm("v"))
     q = queries.select(
         F.col("q_id"), F.col("q_vec").cast("array<double>").alias("qv")
-    )
+    ).withColumn("nq", _l2norm("qv"))
     scored = (
         base.join(F.broadcast(q), on=F.col("neighbor_id") != F.col("q_id"))
-        .withColumn("cos", F.round(_cosine("v", "qv"), 6))
+        .withColumn("cos", F.round(_dot("v", "qv") / (F.col("nv") * F.col("nq")), 6))
         .select("q_id", "neighbor_id", "cos")
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
@@ -94,19 +111,21 @@ def hard_negatives(
     the exactness baseline; at 100 TB swap the corpus side for the
     LSH/IVF candidate generators in this module and re-rank exactly,
     exactly as ``ann_lsh``/``ivf_ann`` do for nearest-neighbor search."""
+    # per-row norms hoisted below the pair join (see cosine_topk): the
+    # fold shape is `_cosine`'s own, so the values are bit-identical.
     base = df.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(label_col).alias("neighbor_label"),
         F.col(vec_col).cast("array<double>").alias("v"),
-    )
+    ).withColumn("nv", _l2norm("v"))
     q = queries.select(
         F.col("q_id"),
         F.col("q_label"),
         F.col("q_vec").cast("array<double>").alias("qv"),
-    )
+    ).withColumn("nq", _l2norm("qv"))
     scored = (
         base.join(F.broadcast(q), on=F.col("neighbor_label") != F.col("q_label"))
-        .withColumn("cos", F.round(_cosine("v", "qv"), 6))
+        .withColumn("cos", F.round(_dot("v", "qv") / (F.col("nv") * F.col("nq")), 6))
         .select("q_id", "neighbor_id", "neighbor_label", "cos")
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))

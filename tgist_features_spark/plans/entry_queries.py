@@ -1635,18 +1635,33 @@ GROUP BY c_mktsegment, o_orderpriority
 
 
 def q_embed_near_dup(spark, sf):
-    """Embedding-cosine near-duplicate pairs (brute-force a<b)."""
-    from tgist_features_spark.operators.similarity import _cosine
+    """Embedding-cosine near-duplicate pairs (brute-force a<b).
+
+    Norms are hoisted below the n² join (one fold per ROW instead of two
+    folds per PAIR — the hoisted fold is `_cosine`'s own expression, so
+    every double is bit-identical); only the dot runs per pair, and the
+    join condition is authored with the cheap `a < b` FIRST so the And
+    short-circuits half the ordered pairs before any fold runs (the
+    pushed-filter form evaluated the full cosine first, for all n²)."""
+    from tgist_features_spark.operators.similarity import _dot, _l2norm
 
     emb = _t(spark, sf, "embeddings")
     a = emb.select(F.col("vec_id").alias("a"),
                    F.col("embedding").cast("array<double>").alias("va"))
+    # the streamed side of the n² nested-loop join inherits the SCAN's
+    # partitioning — a single-file corpus would run the whole O(n²) compute
+    # on one core. One narrow round-robin exchange of the n-row side is
+    # negligible against n² fold work at any scale, so fan it out
+    # unconditionally (cluster-parameterised, not a local[32] constant).
+    a = a.repartition(spark.sparkContext.defaultParallelism)
+    a = a.withColumn("na", _l2norm("va"))
     b = emb.select(F.col("vec_id").alias("b"),
                    F.col("embedding").cast("array<double>").alias("vb"))
+    b = b.withColumn("nb", _l2norm("vb"))
+    cos = F.round(_dot("va", "vb") / (F.col("na") * F.col("nb")), 6)
     return (
-        a.join(b, F.col("a") < F.col("b"))
-        .withColumn("cos", F.round(_cosine("va", "vb"), 6))
-        .filter(F.col("cos") >= 0.45)
+        a.join(b, (F.col("a") < F.col("b")) & (cos >= 0.45))
+        .withColumn("cos", cos)
         .select("a", "b", "cos")
     )
 
