@@ -179,11 +179,14 @@ def _lsh_multi_buckets(
     id_col: str,
     vec_col: str,
 ) -> DataFrame:
-    """(id, v, table, bucket) — one row per (vector, hash table).
+    """(id, v, nv, table, bucket) — one row per (vector, hash table).
 
     All tables' buckets come out of ONE vectorized UDF pass over the scan
     (a single (batch, n_tables*n_planes) matmul), then one explode; the big
-    side is still read exactly once."""
+    side is still read exactly once. ``nv`` is the vector's L2 norm (the
+    exact fold `_cosine` would inline), hoisted here so the re-rank pays
+    one dot per candidate pair instead of dot + two norm folds — carrying
+    it through the explode/shuffle costs 8 bytes per row."""
     rng = np.random.default_rng(seed)
     planes = rng.normal(size=(n_tables * n_planes, dim)).astype(np.float64)
     weights = (1 << np.arange(n_planes)).astype(np.int64)
@@ -198,11 +201,13 @@ def _lsh_multi_buckets(
     sig = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
+        _l2norm(F.col(vec_col).cast("array<double>")).alias("nv"),
         buckets(F.col(vec_col).cast("array<double>")).alias("bks"),
     )
     return sig.select(
         "id",
         "v",
+        "nv",
         F.posexplode("bks").alias("table", "bucket"),
     )
 
@@ -237,16 +242,22 @@ def lsh_ann_topk(
     qsig = _lsh_multi_buckets(
         queries.select(F.col("q_id").alias(id_col), F.col("q_vec").alias(vec_col)),
         dim, n_planes, n_tables, seed, id_col, vec_col,
-    ).select(F.col("id").alias("q_id"), F.col("v").alias("qv"), "table", "bucket")
+    ).select(
+        F.col("id").alias("q_id"), F.col("v").alias("qv"),
+        F.col("nv").alias("nq"), "table", "bucket",
+    )
     cand = (
         base.join(F.broadcast(qsig), on=["table", "bucket"])
         .filter(F.col("id") != F.col("q_id"))
         .dropDuplicates(["q_id", "id"])  # same pair may match in >1 table
     )
+    # per-row norms were hoisted into the signature pass (`nv`/`nq`), so
+    # the exact re-rank pays one dot fold per candidate, not three.
     scored = cand.withColumn(
         "cos",
         F.round(
-            _cosine(F.col("v").cast("array<double>"), F.col("qv").cast("array<double>")), 6
+            _dot(F.col("v").cast("array<double>"), F.col("qv").cast("array<double>"))
+            / (F.col("nv") * F.col("nq")), 6
         ),
     ).select("q_id", F.col("id").alias("neighbor_id"), "cos")
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
@@ -378,9 +389,12 @@ def ivf_ann_topk(
         top = np.argpartition(-sim, nprobe - 1, axis=1)[:, :nprobe]
         return pd.Series(list(top.astype(np.int64)))
 
+    # `nv`/`nq` hoist the per-row L2 norms (the exact fold `_cosine` would
+    # inline) out of the candidate re-rank: one dot per pair, not three folds.
     base = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
+        _l2norm(F.col(vec_col).cast("array<double>")).alias("nv"),
         cell_of(F.col(vec_col).cast("array<double>")).alias("cell"),
     )
     # probe_cells in its own projection + explode_outer: a plain explode
@@ -389,15 +403,17 @@ def ivf_ann_topk(
     qcells = queries.select(
         "q_id",
         F.col("q_vec").alias("qv"),
+        _l2norm(F.col("q_vec").cast("array<double>")).alias("nq"),
         probe_cells(F.col("q_vec").cast("array<double>")).alias("__cells"),
-    ).select("q_id", "qv", F.explode_outer("__cells").alias("cell"))
+    ).select("q_id", "qv", "nq", F.explode_outer("__cells").alias("cell"))
     cand = base.join(F.broadcast(qcells), on="cell").filter(
         F.col("id") != F.col("q_id")
     )
     scored = cand.withColumn(
         "cos",
         F.round(
-            _cosine(F.col("v").cast("array<double>"), F.col("qv").cast("array<double>")), 6
+            _dot(F.col("v").cast("array<double>"), F.col("qv").cast("array<double>"))
+            / (F.col("nv") * F.col("nq")), 6
         ),
     ).select("q_id", F.col("id").alias("neighbor_id"), "cos")
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
