@@ -486,7 +486,18 @@ def simhash_signatures(
     def sh(texts: pd.Series) -> pd.Series:
         return pd.Series(_simhash_batch(texts))
 
-    return df.select(F.col(id_col).alias("id"), sh(F.col(text_col)).alias("simhash"))
+    # coalesce makes the column STATICALLY non-nullable (the UDF never
+    # returns null — nulls are fillna('')-signed — but Catalyst only sees
+    # the declared nullability). Without it, every downstream equi-join
+    # key derived from the signature gets an inferred isnotnull filter
+    # pushed BELOW the fan-out exchange, re-evaluating the UDF once per
+    # row per side (guide §4.4); the non-nullable output kills the
+    # inference at the source while keeping the expression deterministic,
+    # so AQE's cross-side stage reuse stays intact.
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.coalesce(sh(F.col(text_col)), F.lit(0)).alias("simhash"),
+    )
 
 
 def simhash_near_pairs(

@@ -204,12 +204,19 @@ def _lsh_multi_buckets(
         _l2norm(F.col(vec_col).cast("array<double>")).alias("nv"),
         buckets(F.col(vec_col).cast("array<double>")).alias("bks"),
     )
+    # posexplode_OUTER, not posexplode: InferFiltersFromGenerate would
+    # otherwise push `size(buckets(...)) > 0 AND isnotnull(buckets(...))`
+    # below this projection and evaluate the Arrow UDF a SECOND time per
+    # row (guide §4.4; the _banded_numeric discipline). The array always
+    # has n_tables >= 1 elements, so the outer generate emits the same
+    # rows and the null-row filter below is a no-op that only restores
+    # the non-nullable schema.
     return sig.select(
         "id",
         "v",
         "nv",
-        F.posexplode("bks").alias("table", "bucket"),
-    )
+        F.posexplode_outer("bks").alias("table", "bucket"),
+    ).filter(F.col("table").isNotNull())
 
 
 def lsh_ann_topk(
@@ -391,11 +398,19 @@ def ivf_ann_topk(
 
     # `nv`/`nq` hoist the per-row L2 norms (the exact fold `_cosine` would
     # inline) out of the candidate re-rank: one dot per pair, not three folds.
+    # coalesce makes `cell` statically non-nullable (the UDF never returns
+    # null, but Catalyst only sees declared nullability): without it the
+    # cell equi-join below infers an isnotnull(cell_of(...)) filter pushed
+    # beneath this projection, evaluating the Arrow UDF TWICE per corpus
+    # row (guide §4.4). -1 is not a valid cell id, and the branch is dead
+    # anyway — it exists purely to fix the static nullability.
     base = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         _l2norm(F.col(vec_col).cast("array<double>")).alias("nv"),
-        cell_of(F.col(vec_col).cast("array<double>")).alias("cell"),
+        F.coalesce(
+            cell_of(F.col(vec_col).cast("array<double>")), F.lit(-1)
+        ).alias("cell"),
     )
     # probe_cells in its own projection + explode_outer: a plain explode
     # makes Catalyst infer size(probe_cells(...)) > 0, which would invoke
