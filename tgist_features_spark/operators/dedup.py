@@ -520,15 +520,16 @@ def simhash_near_pairs(
     resolves to the cluster's default parallelism (single-file sources
     otherwise run the whole signature pass on one Python worker); None
     skips the repartition for callers whose input already fans out.
-    Worktree-A/B note (r07): the fan-out does invite Catalyst's
+    Worktree-A/B note (r07): the fan-out invites Catalyst's
     filter-pushdown UDF duplication below the new exchange (an inferred
-    isnotnull(simhash) pre-filter re-evaluates the UDF), yet the fanned
-    variant still measured fastest on all three simhash-family keys
-    (e.g. dedup_simhash 2.15s vs 2.39s un-fanned at sf0.1) — 32-way
-    parallel signature passes beat one serial pass even paid twice, and
-    marking the UDF nondeterministic to suppress the duplicate breaks
-    AQE's cross-side stage reuse (measured ~+1.5s on dup_clusters) —
-    so the plan keeps the duplicate deliberately."""
+    isnotnull(simhash) pre-filter re-evaluates the UDF). Marking the UDF
+    nondeterministic suppresses the duplicate but breaks AQE's
+    cross-side stage reuse (measured ~+1.5s on dup_clusters); the fix
+    that dominates both is `simhash_signatures`' statically non-nullable
+    output (identity coalesce), which stops the isnotnull inference at
+    the source while keeping the expression deterministic — one
+    signature pass per side, stage reuse intact (dedup_simhash steady
+    2.1–5.1s → 1.3–1.6s under co-tenant load)."""
     if parallelism == 0:
         parallelism = df.sparkSession.sparkContext.defaultParallelism
     sigs = simhash_signatures(df, id_col, text_col, parallelism=parallelism)
